@@ -1,0 +1,55 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Design notes (scale):
+- Session timezone is pinned to UTC because the Datetime/Date filter
+  semantics (reference filters/simple.py:175-291) always convert to UTC.
+- Arrow is enabled for every pandas UDF boundary; kernel batches are
+  sized via ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+- AQE is on: runtime shuffle-partition coalescing and skew-join splitting
+  are the first line of defense against hot-repo skew; explicit salting
+  in the engine layer (engine/cdc.py) is the second.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "filters_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession configured for the engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` in the sandbox; on
+    a real cluster leave it unset and let spark-submit decide.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("FILTERS_SPARK_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("FILTERS_SPARK_DRIVER_MEM", "8g"))
+        # Parquet scan parallelism: at 100 TB this is governed by file
+        # splits; 128 MiB keeps partitions executor-memory friendly.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
