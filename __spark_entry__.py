@@ -1,38 +1,627 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``: flagship CDC merge-apply pipeline on sf0.001.
+``queries``/``oracle_sql``: one entry per implemented operator family
+(SURVEY.md §2 + engine layer + corpus-curation operators), each with a
+DuckDB-equivalent oracle where SQL-expressible.
+
+Column-name discipline: every computed column is aliased identically in
+the Spark query and the oracle SQL (the driver hash-compares by sorted
+column name).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship: full CDC replay into a lake table
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize a deterministic change stream, replay it
+    through validate -> watermark -> LWW dedupe -> bucketed merge ->
+    snapshot commit, and return the final lake table state."""
+    from filters_spark.engine.cdc import CDCEngine
+    from filters_spark.engine.defaults import default_registry
+    from filters_spark.lake.table import LakeTable
+    from filters_spark.sources.datagen import gen_events
+
+    root = tempfile.mkdtemp(prefix="filters_spark_entry_")
+    table = LakeTable.create(
+        spark, os.path.join(root, "lake"), key_cols=["repo", "path"], num_buckets=8
+    )
+    engine = CDCEngine(spark, table, default_registry())
+    events_path = os.path.join(root, "events.parquet")
+    gen_events(
+        spark, n_events=5000, n_repos=20, n_paths=300,
+        hot_frac=0.2, dirty_frac=0.08, seed=42,
+    ).write.parquet(events_path)
+    engine.replay(spark.read.parquet(events_path), num_batches=2)
+    return table.read().select(
+        "repo", "path", "commit", "event_seq", "lang", "content", "content_sha"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- engine layer: CDC primitives over the events stream --------------------
+
+
+@_q(
+    "cdc_lww_merge",
+    """
+    SELECT user_id, event_type AS last_event_type, event_id AS last_event_id,
+           CAST(value AS DECIMAL(18,2)) AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_cdc_lww_merge(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").cast("decimal(18,2)").alias("last_value"),
+        )
+    )
+
+
+@_q(
+    "cdc_checkpoint_offsets",
+    """
+    SELECT user_id % 16 AS bucket, max(event_id) AS watermark,
+           count(*) AS rows_applied,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS bytes_proxy
+    FROM events GROUP BY user_id % 16
+    """,
+)
+def q_cdc_checkpoint_offsets(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 16).alias("bucket"))
+        .agg(
+            F.max("event_id").alias("watermark"),
+            F.count("*").alias("rows_applied"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("bytes_proxy"),
+        )
+    )
+
+
+@_q(
+    "cdc_watermark_filter",
+    """
+    SELECT event_type, count(*) AS n_new
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-15 12:00:00' OR (ts = TIMESTAMP '2024-01-15 12:00:00' AND event_id > 0)
+    GROUP BY event_type
+    """,
+)
+def q_cdc_watermark_filter(spark, sf):
+    ev = _t(spark, sf, "events")
+    wm = F.lit("2024-01-15 12:00:00").cast("timestamp")
+    return (
+        ev.filter((F.col("ts") > wm) | ((F.col("ts") == wm) & (F.col("event_id") > 0)))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_new"))
+    )
+
+
+@_q(
+    "cdc_dead_letter_split",
+    """
+    SELECT is_valid, count(*) AS n FROM (
+      SELECT (event_type IN ('click','view','purchase','signup','error')
+              AND value >= 0 AND value <= 200
+              AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL) AS is_valid
+      FROM events
+    ) GROUP BY is_valid
+    """,
+)
+def q_cdc_dead_letter_split(spark, sf):
+    ev = _t(spark, sf, "events")
+    valid = (
+        F.col("event_type").isin("click", "view", "purchase", "signup", "error")
+        & (F.col("value") >= 0)
+        & (F.col("value") <= 200)
+        & F.get_json_object("props", "$.k").try_cast("long").isNotNull()
+    )
+    return ev.select(valid.alias("is_valid")).groupBy("is_valid").agg(F.count("*").alias("n"))
+
+
+# --- filter layer: reference operator semantics over testdata ----------------
+
+
+@_q(
+    "filter_strip",
+    """
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '^[ \t\r\n]+', ''), '[ \t\r\n]+$', '') AS stripped
+    FROM documents WHERE doc_id < 500
+    """,
+)
+def q_filter_strip(spark, sf):
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    stripped = F.regexp_replace(F.regexp_replace("text", r"^[ \t\r\n]+", ""), r"[ \t\r\n]+$", "")
+    return d.select("doc_id", stripped.alias("stripped"))
+
+
+@_q(
+    "filter_required_notempty",
+    """
+    SELECT source, count(*) AS n_valid FROM documents
+    WHERE text IS NOT NULL AND length(text) > 0
+    GROUP BY source
+    """,
+)
+def q_filter_required(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_valid"))
+    )
+
+
+@_q(
+    "filter_choice_lower",
+    """
+    SELECT lower(lang) AS lang_norm, count(*) AS n FROM documents
+    WHERE lower(lang) IN ('en','de','es','fr','zh')
+    GROUP BY lower(lang)
+    """,
+)
+def q_filter_choice(spark, sf):
+    d = _t(spark, sf, "documents")
+    norm = F.lower("lang")
+    return (
+        d.filter(norm.isin("en", "de", "es", "fr", "zh"))
+        .groupBy(norm.alias("lang_norm"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "filter_length_bounds",
+    """
+    SELECT lang, count(*) AS n_in_bounds FROM documents
+    WHERE length(text) >= 50 AND length(text) <= 400
+    GROUP BY lang
+    """,
+)
+def q_filter_length_bounds(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.filter((F.length("text") >= 50) & (F.length("text") <= 400))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_in_bounds"))
+    )
+
+
+@_q(
+    "filter_int_min_max",
+    """
+    SELECT event_type, count(*) AS n_valid, max(k_int) AS max_k FROM (
+      SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+      FROM events
+    ) WHERE k_int IS NOT NULL AND k_int >= 0 AND k_int <= 100
+    GROUP BY event_type
+    """,
+)
+def q_filter_int_min_max(spark, sf):
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").try_cast("long")
+    return (
+        ev.select("event_type", k.alias("k_int"))
+        .filter(F.col("k_int").isNotNull() & (F.col("k_int") >= 0) & (F.col("k_int") <= 100))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_valid"), F.max("k_int").alias("max_k"))
+    )
+
+
+@_q(
+    "filter_regex_match",
+    """
+    SELECT lang, count(*) AS n_match FROM documents
+    WHERE regexp_matches(text, 'merge.*join|join.*merge')
+    GROUP BY lang
+    """,
+)
+def q_filter_regex(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.filter(F.col("text").rlike("merge.*join|join.*merge"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_match"))
+    )
+
+
+@_q(
+    "filter_split_tokens",
+    """
+    SELECT doc_id, len(string_split(text, ' ')) AS n_parts,
+           string_split(text, ' ')[1] AS first_token
+    FROM documents WHERE doc_id < 500
+    """,
+)
+def q_filter_split(spark, sf):
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    parts = F.split("text", " ", -1)
+    return d.select(
+        "doc_id", F.size(parts).alias("n_parts"), F.element_at(parts, 1).alias("first_token")
+    )
+
+
+@_q(
+    "filter_uuid_canonical",
+    """
+    SELECT doc_id,
+           substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4) || '-'
+             || substr(h,17,4) || '-' || substr(h,21,12) AS uuid_canonical
+    FROM (SELECT doc_id, md5(text) AS h FROM documents) WHERE doc_id < 500
+    """,
+)
+def q_filter_uuid(spark, sf):
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    h = F.md5("text")
+    canon = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8), F.substring(h, 9, 4), F.substring(h, 13, 4),
+        F.substring(h, 17, 4), F.substring(h, 21, 12),
+    )
+    return d.select("doc_id", canon.alias("uuid_canonical"))
+
+
+@_q(
+    "filter_datetime_utc",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+    FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+    """,
+)
+def q_filter_datetime(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@_q(
+    "filter_unicode_normalize",
+    """
+    SELECT doc_id,
+           md5(replace(replace(nfc_normalize(regexp_replace(text, '[^\\P{C}\\s]+', '', 'g')),
+                               chr(13) || chr(10), chr(10)),
+                       chr(13), chr(10))) AS norm_md5
+    FROM documents WHERE doc_id < 500
+    """,
+)
+def q_filter_unicode(spark, sf):
+    """The Unicode kernel itself (NFC + non-printable strip + LF
+    normalization) vs DuckDB's nfc_normalize — kernel path, not SQL."""
+    from filters_spark.operators.validate import validate
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500).select("doc_id", "text")
+    v = validate(d, {"text": {"chain": ["unicode"]}}, keep_raw=False)
+    return v.select("doc_id", F.md5("text").alias("norm_md5"))
+
+
+# --- engine layer: relational core (scan/join/agg/window/sort) ---------------
+
+
+@_q(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_pricing(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "join_revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+           count(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_join_revenue(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@_q(
+    "window_topk_per_user",
+    """
+    SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS value, rnk FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
+      FROM events
+    ) WHERE rnk <= 3
+    """,
+)
+def q_window_topk(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", F.col("value").cast("decimal(18,2)").alias("value"), "rnk")
+    )
+
+
+@_q(
+    "sort_limit_top_orders",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+    """,
+)
+def q_sort_limit(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("total"))
+    )
+
+
+@_q(
+    "setop_active_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    """,
+)
+def q_setop(spark, sf):
+    ev = _t(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "signup").select("user_id")
+    return a.intersect(b)
+
+
+# --- corpus curation: dedupe / text / similarity -----------------------------
+
+
+@_q(
+    "dedup_exact_stats",
+    """
+    SELECT count(*) AS n_rows, count(DISTINCT md5(text)) AS n_distinct,
+           count(*) - count(DISTINCT md5(text)) AS n_dupes
+    FROM documents
+    """,
+)
+def q_dedup_exact(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_dupes"),
+    )
+
+
+@_q("dedup_minhash_lsh")  # rows-only: xxhash64 signatures have no DuckDB twin
+def q_dedup_minhash(spark, sf):
+    from filters_spark.operators.dedupe import minhash_lsh_pairs
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000)
+    return minhash_lsh_pairs(d, "text", "doc_id", num_hashes=32, bands=8,
+                             jaccard_threshold=0.4)
+
+
+@_q("dedup_simhash")  # rows-only
+def q_dedup_simhash(spark, sf):
+    from filters_spark.operators.dedupe import simhash_dupes
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000)
+    return simhash_dupes(d, "text", "doc_id", max_hamming=6)
+
+
+@_q(
+    "text_token_stats",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0))) AS BIGINT) AS total_tokens,
+           max(len(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0))) AS max_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def q_text_tokens(spark, sf):
+    from filters_spark.operators.textstats import token_count
+
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
+        F.max(token_count(F.col("text"))).alias("max_tokens"),
+    )
+
+
+@_q(
+    "text_quality_buckets",
+    """
+    SELECT q_bucket, count(*) AS n FROM (
+      SELECT CAST(least(len(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)) / 50.0, 1.0) * 10 AS INT) AS q_bucket
+      FROM documents
+    ) GROUP BY q_bucket
+    """,
+)
+def q_text_quality(spark, sf):
+    from filters_spark.operators.textstats import token_count
+
+    d = _t(spark, sf, "documents")
+    len_score = F.least(token_count(F.col("text")) / 50.0, F.lit(1.0))
+    return d.select((len_score * 10).cast("int").alias("q_bucket")).groupBy("q_bucket").agg(
+        F.count("*").alias("n")
+    )
+
+
+@_q("text_profile")  # rows-only: full profile incl. xxhash fingerprint
+def q_text_profile(spark, sf):
+    from filters_spark.operators.textstats import text_profile
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 1000)
+    return text_profile(d).select(
+        "doc_id", "n_tokens", "bpe_tokens_est", "stopword_ratio", "quality",
+        "lang_guess", "fingerprint",
+    )
+
+
+@_q(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id AS id, round(list_cosine_similarity(e.embedding, q.qvec), 4) AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id != 0
+    ORDER BY list_cosine_similarity(e.embedding, q.qvec) DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_ann_cosine(spark, sf):
+    from filters_spark.operators.similarity import cosine
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos_raw", cosine(F.col("embedding").cast("array<double>"), F.col("qvec").cast("array<double>")))
+    )
+    return (
+        scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select(F.col("vec_id").alias("id"), F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+@_q("ann_lsh_topk")  # rows-only: xxhash-derived hyperplanes
+def q_ann_lsh(spark, sf):
+    from filters_spark.operators.similarity import lsh_ann_topk
+
+    e = _t(spark, sf, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_ann_topk(e.filter(F.col("vec_id") >= 3), q, dim=dim, k=5, bits=8, tables=4)
+
+
+@_q(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE a.vec_id < 500 AND b.vec_id < 500
+      AND list_cosine_similarity(a.embedding, b.embedding) > 0.2
+    """,
+)
+def q_dedup_embedding(spark, sf):
+    from filters_spark.operators.similarity import cosine
+
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("label"),
+                 F.col("embedding").cast("array<double>").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("label"),
+                 F.col("embedding").cast("array<double>").alias("vb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_raw", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_raw") > 0.2)
+        .select("id_a", "id_b", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+# --- multimodal plumbing (stub decode; rows-only) ----------------------------
+
+
+@_q("multimodal_image_features")
+def q_multimodal(spark, sf):
+    from filters_spark.operators.multimodal import decode_images, gen_media
+
+    media = gen_media(spark, 2000).filter(F.col("kind") == "image")
+    return decode_images(media)
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,4 @@
+"""CDC engine: batch merge-apply loop with exactly-once semantics."""
+
+from filters_spark.engine.cdc import CDCEngine  # noqa: F401
+from filters_spark.engine.evolution import SpecRegistry, VersionSpec  # noqa: F401

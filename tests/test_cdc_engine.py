@@ -1,0 +1,191 @@
+"""End-to-end CDC engine tests: replay equality vs a pandas oracle,
+exactly-once idempotency, kill-resume, batch-boundary invariance,
+schema evolution (SURVEY.md §5.2.3-5.2.5)."""
+
+import hashlib
+import os
+import re
+import unicodedata
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+import regex as rx
+
+from filters_spark.engine.cdc import CDCEngine
+from filters_spark.engine.defaults import default_registry
+from filters_spark.lake.table import LakeTable
+from filters_spark.sources.datagen import LANGS, gen_events
+
+N_EVENTS = 4000
+
+
+def make_engine(spark, tmp, num_buckets=8):
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "lake"), key_cols=["repo", "path"],
+        num_buckets=num_buckets, path_salt=4,
+    )
+    return CDCEngine(spark, table, default_registry())
+
+
+_MATERIALIZED: dict[tuple, str] = {}
+
+
+def events_df(spark, **kw):
+    """Generated events, materialized once to parquet — the engine
+    consumes a WAL from storage, not a live expression tree."""
+    import tempfile
+
+    params = dict(n_events=N_EVENTS, n_repos=20, n_paths=200, hot_frac=0.2,
+                  dirty_frac=0.1, seed=7)
+    params.update(kw)
+    key = tuple(sorted(params.items()))
+    if key not in _MATERIALIZED:
+        path = tempfile.mkdtemp(prefix="fs_events_") + "/events.parquet"
+        gen_events(spark, **params).write.parquet(path)
+        _MATERIALIZED[key] = path
+    return spark.read.parquet(_MATERIALIZED[key])
+
+
+_NPR = rx.compile(r"[^\P{C}\s]+")
+
+
+def oracle_normalize(content):
+    if content is None:
+        return None
+    s = _NPR.sub("", content)
+    s = unicodedata.normalize("NFC", s).replace("\r\n", "\n").replace("\r", "\n")
+    return s
+
+
+def oracle_replay(pdf: pd.DataFrame) -> dict:
+    """Single-process reference replay: validate + LWW merge; returns
+    {(repo,path): sha256(content)}."""
+    state = {}
+    pdf = pdf.sort_values(["commit", "event_seq"])
+    for r in pdf.itertuples():
+        # validation rules the default specs enforce
+        path, lang, content = r.path, r.lang, r.content
+        if path is None or len(path.strip()) == 0 or len(path.strip()) > 512:
+            continue
+        if r.repo is None:
+            continue
+        if lang is not None and lang.strip().lower() not in LANGS:
+            continue
+        if content is None or len(content) == 0:
+            continue
+        key = (r.repo, path.strip())
+        if r.op == "D":
+            state.pop(key, None)
+        else:
+            norm = oracle_normalize(content)
+            state[key] = hashlib.sha256(norm.encode("utf-8")).hexdigest()
+    return state
+
+
+def final_state(engine) -> dict:
+    df = engine.table.read()
+    if df is None:
+        return {}
+    return {(r.repo, r.path): r.content_sha for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def oracle(spark):
+    pdf = events_df(spark).toPandas()
+    return oracle_replay(pdf)
+
+
+def test_replay_matches_oracle(spark, tmp_path, oracle):
+    engine = make_engine(spark, str(tmp_path))
+    metrics = engine.replay(events_df(spark), num_batches=3)
+    assert sum(m["applied"] for m in metrics) > 0
+    assert sum(m["dead_lettered"] for m in metrics) > 0
+    state = final_state(engine)
+    assert state == oracle
+    # lineage recorded per bucket per commit
+    lineage = engine.lineage()
+    assert lineage is not None and lineage.count() > 0
+    # dead letters carry raw payload + codes
+    dl = engine.dead_letters()
+    codes = {r.first_code for r in dl.select("first_code").distinct().collect()}
+    assert codes & {"empty", "not_valid_choice", "too_long"}
+
+
+def test_batch_boundary_invariance(spark, tmp_path, oracle):
+    e1 = make_engine(spark, str(tmp_path / "a"))
+    e1.replay(events_df(spark), num_batches=1)
+    e5 = make_engine(spark, str(tmp_path / "b"))
+    e5.replay(events_df(spark), num_batches=5)
+    assert final_state(e1) == final_state(e5) == oracle
+
+
+def test_idempotent_replay(spark, tmp_path, oracle):
+    engine = make_engine(spark, str(tmp_path))
+    ev = events_df(spark)
+    engine.apply_batch(ev)
+    sid = engine.table.current_snapshot_id()
+    # full replay of the same batch: watermark filter drops everything
+    m = engine.apply_batch(ev)
+    assert m["applied"] == 0
+    assert engine.table.current_snapshot_id() == sid
+    assert final_state(engine) == oracle
+
+
+def test_resume_from_checkpoint(spark, tmp_path, oracle):
+    """Kill-and-resume: apply first half, then REPLAY FROM ZERO — the
+    per-bucket watermarks skip the applied prefix; final state equals a
+    clean full replay."""
+    engine = make_engine(spark, str(tmp_path))
+    ev = events_df(spark)
+    mid = ev.select(F.max("commit")).first()[0]
+    first_half = ev.filter(F.col("commit") <= F.lit(mid)).filter(
+        F.col("commit") < F.format_string("%012x", F.lit(21))
+    )
+    engine.apply_batch(first_half)
+    # crash... new engine object over same lake root (checkpoint = manifest)
+    table2 = LakeTable.load(spark, engine.table.root)
+    engine2 = CDCEngine(spark, table2, default_registry())
+    engine2.apply_batch(ev)  # full stream from offset zero
+    assert final_state(engine2) == oracle
+
+
+def test_time_travel_snapshots(spark, tmp_path):
+    engine = make_engine(spark, str(tmp_path))
+    engine.replay(events_df(spark), num_batches=2)
+    snaps = engine.table.snapshots()
+    assert len(snaps) >= 3  # 0 (empty) + 2 commits
+    early = engine.table.read(snapshot_id=snaps[1])
+    late = engine.table.read(snapshot_id=snaps[-1])
+    assert early.count() < late.count()
+
+
+def test_schema_evolution_rename(spark, tmp_path):
+    """v2 events arrive with 'language' instead of 'lang'; v0 events
+    lack lang entirely. Both merge correctly."""
+    engine = make_engine(spark, str(tmp_path))
+    base = events_df(spark, n_events=200, dirty_frac=0.0)
+    v2 = (
+        events_df(spark, n_events=200, dirty_frac=0.0, start_commit=1000)
+        .withColumnRenamed("lang", "language")
+        .withColumn("schema_version", F.lit(2))
+    )
+    v0 = (
+        events_df(spark, n_events=100, dirty_frac=0.0, start_commit=2000)
+        .drop("lang")
+        .withColumn("schema_version", F.lit(0))
+    )
+    engine.apply_batch(base)
+    engine.apply_batch(v2)
+    m = engine.apply_batch(v0)
+    assert m["applied"] > 0
+    state = engine.table.read()
+    assert state.filter(F.col("lang").isNull()).count() > 0  # v0 rows
+    assert state.filter(F.col("lang").isin(LANGS)).count() > 0
+
+
+def test_unknown_schema_version_raises(spark, tmp_path):
+    engine = make_engine(spark, str(tmp_path))
+    ev = events_df(spark, n_events=10).withColumn("schema_version", F.lit(99))
+    with pytest.raises(KeyError):
+        engine.apply_batch(ev)

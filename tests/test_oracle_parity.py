@@ -1,0 +1,91 @@
+"""Cross-check every queries() entry against its oracle_sql() via
+DuckDB, replicating the driver's comparison (row count + schema-ordered
+value comparison) at sf0.001 for speed. The driver runs the same
+contract at sf0.01."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def normalize_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if isinstance(v, bool):
+        return bool(v)
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return str(v.normalize())
+    except Exception:
+        pass
+    import datetime
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return v
+
+
+def frame_to_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(normalize_cell(r[i]) for i in order))
+    return sorted(out, key=repr)
+
+
+ORACLED = sorted(set(entry_mod.oracle_sql()))
+ROWS_ONLY = sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    df = q(spark, SF_DIR)
+    spark_cols = [c.lower() for c in df.columns]
+    spark_rows = frame_to_rows(spark_cols, [tuple(r) for r in df.collect()])
+
+    res = ddb.execute(entry_mod.oracle_sql()[name])
+    ddb_cols = [c[0].lower() for c in res.description]
+    ddb_rows = frame_to_rows(ddb_cols, res.fetchall())
+
+    assert sorted(spark_cols) == sorted(ddb_cols), f"{name}: column mismatch"
+    assert len(spark_rows) == len(ddb_rows), f"{name}: row count {len(spark_rows)} != {len(ddb_rows)}"
+    mismatches = [
+        (a, b) for a, b in zip(spark_rows, ddb_rows) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert df.schema is not None
