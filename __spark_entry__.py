@@ -511,7 +511,7 @@ def q_text_tokens(spark, sf):
     "text_quality_buckets",
     """
     SELECT q_bucket, count(*) AS n FROM (
-      SELECT CAST(least(len(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)) / 50.0, 1.0) * 10 AS INT) AS q_bucket
+      SELECT CAST(floor(least(len(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)) / 50.0, 1.0) * 10) AS INT) AS q_bucket
       FROM documents
     ) GROUP BY q_bucket
     """,
@@ -521,7 +521,7 @@ def q_text_quality(spark, sf):
 
     d = _t(spark, sf, "documents")
     len_score = F.least(token_count(F.col("text")) / 50.0, F.lit(1.0))
-    return d.select((len_score * 10).cast("int").alias("q_bucket")).groupBy("q_bucket").agg(
+    return d.select(F.floor(len_score * 10).cast("int").alias("q_bucket")).groupBy("q_bucket").agg(
         F.count("*").alias("n")
     )
 

@@ -601,6 +601,25 @@ class CaseFoldK(Kernel):
         )
 
 
+class LowerK(Kernel):
+    """Plain lowercase (engine extension). Distinct from CaseFold —
+    'ß'.lower() == 'ß' but 'ß'.casefold() == 'ss' — so specs can choose
+    the JVM-exact native path (F.lower) when plain lowering is wanted."""
+
+    name = "lower"
+    templates = {"wrong_type": "{incoming} is not valid (allowed types: {allowed})."}
+
+    def _apply(self, sub):
+        if _is_all_strings(sub):
+            return sub.str.lower().astype(object), _none_series(sub.index)
+        return self._map(
+            sub,
+            lambda v: (v.lower(), None)
+            if isinstance(v, str)
+            else (None, ("", "wrong_type", self.msg("wrong_type", incoming=_type_name(type(v)), allowed="String"))),
+        )
+
+
 class StripK(Kernel):
     """Anchored regex strip of both ends (string.py:592-649); defaults
     strip whitespace + control chars."""
@@ -663,6 +682,34 @@ class RegexK(Kernel):
             if not matches:
                 return None, self.err("malformed", pattern=self.pattern)
             return matches, None
+
+        return self._map(sub, f)
+
+
+class RegexMatchK(Kernel):
+    """Validation-only Regex (engine extension, not in the reference):
+    error on no match, but pass the ORIGINAL string through — composes
+    in typed column chains where the reference Regex's list-of-matches
+    output (string.py:510-513) would change the column type."""
+
+    name = "regex_match"
+    CODE_INVALID = "malformed"
+    templates = {
+        "malformed": "Value does not match regular expression {pattern}.",
+        "wrong_type": "{incoming} is not valid (allowed types: {allowed}).",
+    }
+
+    def __init__(self, pattern: str):
+        self.pattern = pattern
+        self.regex = _regex.compile(pattern, _regex.UNICODE)
+
+    def _apply(self, sub):
+        def f(v):
+            if not isinstance(v, str):
+                return None, ("", "wrong_type", self.msg("wrong_type", incoming=_type_name(type(v)), allowed="String"))
+            if self.regex.search(v) is None:
+                return None, self.err("malformed", pattern=self.pattern)
+            return v, None
 
         return self._map(sub, f)
 

@@ -149,26 +149,36 @@ def minhash_lsh_pairs(
 def simhash(text_col: Column, bits: int = 64) -> Column:
     """64-bit SimHash of the token set, fully native: per-bit weighted
     majority over token hashes. Bit i of the result = sign of
-    sum_t (+1 if bit i of hash(t) else -1)."""
+    sum_t (+1 if bit i of hash(t) else -1).
+
+    The per-bit loop is unrolled in Python (``bits`` is a compile-time
+    constant) because the DataFrame DSL's ``shiftleft`` only takes
+    literal shift amounts."""
     toks = F.array_distinct(F.split(F.lower(text_col), r"\s+"))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda i: F.aggregate(
+    return _simhash_expr(hashes, bits)
+
+
+def _simhash_expr(hashes: Column, bits: int) -> Column:
+    """Compose the per-bit majority natively with Python-literal shift
+    amounts (unrolled; ``bits`` is a compile-time constant)."""
+    def vote(mask: int):
+        # closure factory: the merge lambda must have exactly 2 params
+        # (pyspark dispatches on arity)
+        return F.aggregate(
             hashes,
             F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(F.shiftleft(F.lit(1), i.cast("int"))) != 0, 1).otherwise(-1),
-        ),
-    )
-    return F.aggregate(
-        F.zip_with(
-            bit_votes,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i.cast("int"))).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
+            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask).cast("long")) != 0, 1).otherwise(-1),
+        )
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        # signed 64-bit representation (bit 63 = sign bit); the AND test
+        # works identically on the two's-complement pattern
+        mask = (1 << i) if i < 63 else -(2**63)
+        bit = F.lit(mask).cast("long")
+        out = out.bitwiseOR(F.when(vote(mask) > 0, bit).otherwise(F.lit(0).cast("long")))
+    return out
 
 
 def simhash_dupes(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
@@ -179,12 +189,14 @@ def simhash_dupes(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 
     chunks = sh.select(
         "_id", "_sh",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda i: F.struct(
-                    i.alias("chunk"),
-                    F.shiftrightunsigned("_sh", i.cast("int") * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned("_sh", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                    )
+                    for i in range(4)
+                ]
             )
         ).alias("c"),
     ).select("_id", "_sh", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))

@@ -1,0 +1,157 @@
+"""Curation operators: dedupe, similarity, text stats, multimodal
+plumbing — semantic checks on controlled inputs."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+        (3, "completely different text about spark shuffles and merges here"),
+        (4, "der schnelle braune fuchs springt und ist nicht mit der katze"),
+        (5, "el rapido zorro marron salta sobre el perro perezoso que no se mueve"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDedupe:
+    def test_exact_dupes(self, docs):
+        from filters_spark.operators.dedupe import dedupe_exact, exact_dupes
+
+        groups = exact_dupes(docs, ["text"], "doc_id").collect()
+        assert len(groups) == 1
+        assert groups[0].n_copies == 2 and groups[0].keep_id == 0
+        assert dedupe_exact(docs, ["text"], "doc_id").count() == 5
+
+    def test_minhash_lsh_finds_near_dup(self, docs):
+        from filters_spark.operators.dedupe import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=64, bands=16, shingle_k=3,
+            jaccard_threshold=0.3,
+        ).collect()
+        found = {(p.id_a, p.id_b) for p in pairs}
+        assert (0, 1) in found  # exact dup: jaccard 1.0
+        assert (0, 2) in found or (1, 2) in found  # near dup
+        assert not any({a, b} == {3, 4} for a, b in found)
+
+    def test_simhash_near_dup(self, docs):
+        from filters_spark.operators.dedupe import simhash_dupes
+
+        pairs = simhash_dupes(docs, "text", "doc_id", max_hamming=10).collect()
+        found = {(p.id_a, p.id_b): p.hamming for p in pairs}
+        assert found.get((0, 1)) == 0  # identical text -> identical simhash
+
+    def test_ngram_jaccard_exact_values(self, docs):
+        from filters_spark.operators.dedupe import ngram_jaccard_pairs
+
+        pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1).collect()
+        vals = {(p.id_a, p.id_b): p.jaccard for p in pairs}
+        assert vals.get((0, 1)) == 1.0
+
+    def test_lww_dedupe(self, spark):
+        from filters_spark.operators.dedupe import lww_dedupe
+
+        df = spark.createDataFrame(
+            [("k1", 1, "old"), ("k1", 2, "new"), ("k2", 5, "only")],
+            "key string, seq long, val string",
+        )
+        out = {r.key: r.val for r in lww_dedupe(df, ["key"], [F.col("seq")]).collect()}
+        assert out == {"k1": "new", "k2": "only"}
+
+
+class TestSimilarity:
+    def test_cosine_topk_exact(self, spark):
+        from filters_spark.operators.similarity import cosine_topk
+
+        vecs = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0, 0.0]),
+                (2, [0.9, 0.1, 0.0]),
+                (3, [0.0, 1.0, 0.0]),
+                (4, [-1.0, 0.0, 0.0]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        q = spark.createDataFrame([(0, [1.0, 0.0, 0.0])], "query_id long, embedding array<double>")
+        top = cosine_topk(vecs, q, k=2).collect()
+        assert [r.id for r in top] == [1, 2]
+        assert top[0].cosine == 1.0
+
+    def test_lsh_ann_recall(self, spark):
+        from filters_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+        import math
+
+        # ring of vectors; neighbors of the query are the closest angles
+        rows = [(i, [math.cos(i / 50.0), math.sin(i / 50.0), 0.1]) for i in range(1, 200)]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = spark.createDataFrame(
+            [(0, [math.cos(0.0), math.sin(0.0), 0.1])], "query_id long, embedding array<double>"
+        )
+        exact = {r.id for r in cosine_topk(vecs, q, k=10).collect()}
+        approx = {r.id for r in lsh_ann_topk(vecs, q, dim=3, k=10, bits=6, tables=6).collect()}
+        # recall@10 >= 0.5 with 6 tables on a smooth manifold
+        assert len(exact & approx) >= 5
+
+
+class TestTextStats:
+    def test_profile_columns(self, docs):
+        from filters_spark.operators.textstats import text_profile
+
+        prof = text_profile(docs).collect()
+        row = {r.doc_id: r for r in prof}
+        assert row[0].n_tokens == 12
+        assert row[0].lang_guess == "en"
+        assert row[4].lang_guess == "de"
+        assert row[5].lang_guess == "es"
+        assert 0.0 <= row[0].quality <= 1.0
+        assert row[0].fingerprint == row[1].fingerprint  # identical docs
+        assert row[0].bpe_tokens_est >= row[0].n_tokens // 4
+
+    def test_quality_penalizes_punct_soup(self, spark):
+        from filters_spark.operators.textstats import quality_score
+
+        df = spark.createDataFrame(
+            [("good", "a sensible sentence with many normal readable words in it"),
+             ("bad", "!!! ??? *** ### $$$ %%% ^^^ &&& !!! ???")],
+            "k string, text string",
+        )
+        out = {r.k: r.q for r in df.select("k", quality_score(F.col("text")).alias("q")).collect()}
+        assert out["good"] > out["bad"]
+
+
+class TestMultimodal:
+    def test_image_features_schema_and_determinism(self, spark):
+        from filters_spark.operators.multimodal import decode_images, gen_media
+
+        media = gen_media(spark, 200).filter(F.col("kind") == "image")
+        feats = decode_images(media)
+        rows1 = sorted([tuple(r) for r in feats.collect()])
+        rows2 = sorted([tuple(r) for r in decode_images(media).collect()])
+        assert rows1 == rows2  # deterministic stub
+        assert feats.columns == ["media_id", "width", "height", "n_bytes", "phash", "mean_luma"]
+        assert all(r[3] > 0 for r in rows1)
+
+    def test_frame_sampling_cadence(self, spark):
+        from filters_spark.operators.multimodal import gen_media, sample_frames
+
+        media = gen_media(spark, 50).filter(F.col("kind") == "video").limit(5)
+        frames = sample_frames(media, every_ms=5000)
+        per = frames.groupBy("media_id").agg(
+            F.count("*").alias("n"), F.max("ts_ms").alias("max_ts")
+        ).collect()
+        durs = {r.media_id: r.duration_ms for r in media.collect()}
+        for r in per:
+            assert r.n == max(durs[r.media_id] // 5000, 1)
+
+    def test_real_decode_is_guarded(self, spark):
+        from filters_spark.operators.multimodal import decode_images, gen_media
+
+        media = gen_media(spark, 5).filter(F.col("kind") == "image")
+        with pytest.raises(Exception):
+            decode_images(media, decode_stub=False).collect()

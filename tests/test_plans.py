@@ -1,0 +1,80 @@
+"""Plan audits: pushdown, pruning, broadcast, shuffle budget — the
+'would this survive 100×' checks (SURVEY.md §4)."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from filters_spark.plans import (
+    has_python_eval,
+    pushed_filters,
+    scan_columns,
+)
+from filters_spark.plans.audit import broadcast_join_count, exchange_count
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").filter(
+        F.col("l_quantity") > 30
+    ).select("l_orderkey")
+    pushed = pushed_filters(df)
+    assert any("l_quantity" in p for p in pushed), pushed
+
+
+def test_column_pruning(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    cols = scan_columns(df)
+    assert cols and set(cols[0]) == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_native_validation_has_no_python(spark):
+    from filters_spark.operators.validate import validate
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    out = validate(
+        df,
+        {"text": ["required", "strip", ("max_length", {"max_length": 10000})]},
+        keep_raw=False,
+    )
+    assert not has_python_eval(out)
+    # and pruning still works through the validation projection
+    cols = scan_columns(out.select("doc_id", "_errors"))
+    assert cols and "lang" not in cols[0]
+
+
+def test_small_dim_join_broadcasts(spark):
+    import __spark_entry__ as m
+
+    df = m.queries()["join_revenue_by_nation"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_merge_path_single_shuffle(spark, tmp_path):
+    """The CDC merge plan must contain exactly ONE hash exchange (by
+    _bucket) between validated events and the written files."""
+    from filters_spark.lake.table import bucket_expr, watermark_str
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("repo"),
+        F.col("source").alias("path"),
+        F.lit("0000").alias("commit"),
+        F.lit(0).cast("long").alias("event_seq"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.lit("U").alias("op"),
+    ).withColumn("_bucket", bucket_expr(F.col("repo"), F.col("path"), 8, 4)) \
+     .withColumn("_wm", watermark_str(F.col("commit"), F.col("event_seq")))
+
+    mw = Window.partitionBy("_bucket").orderBy("repo", "path", F.col("_wm").desc())
+    head = (
+        F.lag("repo").over(mw).isNull()
+        | (F.lag("repo").over(mw) != F.col("repo"))
+        | (F.lag("path").over(mw) != F.col("path"))
+    )
+    merged = ev.withColumn("_head", F.coalesce(head, F.lit(True))).filter(
+        F.col("_head") & (F.col("op") != "D")
+    )
+    assert exchange_count(merged) == 1, merged._jdf.queryExecution().executedPlan().toString()
