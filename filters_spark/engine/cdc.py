@@ -119,9 +119,21 @@ class CDCEngine:
         try:
             clean, dead = split_errors(validated)
 
+            # ONE stats pass materializes the cache and yields the dead
+            # count, touched buckets and per-bucket watermarks together
+            # (metadata-cardinality result; no extra full scans).
+            stats_rows = (
+                validated.groupBy(
+                    (F.size(F.col("_errors")) == 0).alias("_is_clean"), F.col("_bucket")
+                )
+                .agg(F.max("_wm").alias("wm"), F.count("*").alias("n"))
+                .collect()
+            )
+            n_dead = int(sum(r["n"] for r in stats_rows if not r["_is_clean"]))
+            bucket_stats = [r for r in stats_rows if r["_is_clean"]]
+
             # 3b. dead-letter sink (append-only parquet table; raw payload
             # kept so fixed specs can replay it)
-            n_dead = dead.count()
             if n_dead:
                 (
                     dead.select(
@@ -137,10 +149,6 @@ class CDCEngine:
             # a NULL key can't be merged; key-less clean rows are dead-lettered upstream
             # by the 'required' chain on path, so clean rows always have keys.
 
-            # 5. touched buckets + new watermarks (metadata-scale collects)
-            bucket_stats = (
-                clean.groupBy("_bucket").agg(F.max("_wm").alias("wm"), F.count("*").alias("n"))
-            ).collect()
             touched = [int(r["_bucket"]) for r in bucket_stats]
             new_wms = {int(r["_bucket"]): r["wm"] for r in bucket_stats}
             applied_events = int(sum(r["n"] for r in bucket_stats))
@@ -255,10 +263,17 @@ class CDCEngine:
             metrics.append(self.apply_batch(batch))
         return metrics
 
-    def dead_letters(self) -> DataFrame | None:
+    def dead_letters(self, distinct: bool = True) -> DataFrame | None:
+        """The dead-letter table. Replayed batches re-append their dead
+        letters (the sink is append-only; watermarks only advance on
+        *clean* events in a bucket), so reads dedupe on the event
+        identity by default."""
         if not os.path.isdir(self.dead_letter_dir):
             return None
-        return self.spark.read.parquet(self.dead_letter_dir)
+        df = self.spark.read.parquet(self.dead_letter_dir)
+        if distinct:
+            df = df.dropDuplicates(["commit", "event_seq", "repo", "path"])
+        return df
 
     def lineage(self) -> DataFrame | None:
         if not os.path.isdir(self.lineage_dir):

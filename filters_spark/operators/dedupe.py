@@ -67,13 +67,18 @@ def shingles(text_col: Column, k: int = 5) -> Column:
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 64, seed: int = 1) -> Column:
-    """num_hashes minhash values (array<bigint>), each = min over the
-    shingle set of xxhash64(shingle, salt_i) — all JVM-side."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(seed + i))))
-            for i in range(num_hashes)
-        ]
+    """num_hashes minhash values (array<bigint>) in ONE pass over the
+    shingle set: fold with an array of running minima, so the shingle
+    expression is evaluated once (not per hash function) — higher-order
+    functions are interpreted (no codegen CSE), so expression reuse is
+    on us."""
+    max_long = (1 << 63) - 1
+    init = F.array_repeat(F.lit(max_long).cast("long"), num_hashes)
+    salts = F.sequence(F.lit(seed), F.lit(seed + num_hashes - 1))
+    return F.aggregate(
+        shingle_col,
+        init,
+        lambda acc, s: F.zip_with(acc, salts, lambda a, salt: F.least(a, F.xxhash64(s, salt))),
     )
 
 
