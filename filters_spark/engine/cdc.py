@@ -34,12 +34,13 @@ replay-equality and local[8]-vs-local[32] tests pin.
 from __future__ import annotations
 
 import os
+import shutil
 import time
+import uuid
 from typing import Mapping
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark import StorageLevel
 
 from filters_spark.engine.evolution import SpecRegistry
 from filters_spark.lake.table import LakeTable, WATERMARK_ZERO, bucket_expr, watermark_str
@@ -79,7 +80,7 @@ class CDCEngine:
     def _validated(self, slices) -> DataFrame:
         validated = None
         for spec, df in slices:
-            v = validate(df, spec.field_specs)
+            v = validate(df, spec.field_specs, keep_raw="on_error")
             validated = v if validated is None else validated.unionByName(v)
         return validated
 
@@ -115,13 +116,23 @@ class CDCEngine:
                 .drop("_bucket_wm")
             )
 
-        validated = validated.persist(StorageLevel.MEMORY_AND_DISK)
+        # Stage the validated batch to scratch parquet: ONE pass runs the
+        # validation (incl. the Arrow kernel) exactly once; the three
+        # consumers (stats, dead-letter write, merge) read the staged
+        # columnar file with per-consumer column pruning. This beat both
+        # alternatives measured in this environment: recompute-per-
+        # consumer (3x kernel + scan) and .persist() (Spark's row cache
+        # spilled through JavaSerializer and dominated wall-clock).
+        # On a cluster the scratch dir is the job's staging location on
+        # the DFS — bounded by batch size, cleaned after commit.
+        scratch = os.path.join(self.table.root, "_staging", f"batch-{uuid.uuid4().hex}")
         try:
+            validated.write.parquet(scratch)
+            validated = self.spark.read.parquet(scratch)
             clean, dead = split_errors(validated)
 
-            # ONE stats pass materializes the cache and yields the dead
-            # count, touched buckets and per-bucket watermarks together
-            # (metadata-cardinality result; no extra full scans).
+            # ONE metadata-scale stats pass: dead count, touched buckets
+            # and per-bucket watermarks together.
             stats_rows = (
                 validated.groupBy(
                     (F.size(F.col("_errors")) == 0).alias("_is_clean"), F.col("_bucket")
@@ -155,7 +166,6 @@ class CDCEngine:
 
             if not touched:
                 events_in = events.count()
-                validated.unpersist()
                 return {
                     "events_in": events_in, "applied": 0, "dead_lettered": n_dead,
                     "skipped_replays": events_in - n_dead,
@@ -238,7 +248,7 @@ class CDCEngine:
                 "seconds": time.time() - t0,
             }
         finally:
-            validated.unpersist()
+            shutil.rmtree(scratch, ignore_errors=True)
 
     # ------------------------------------------------------------------
 

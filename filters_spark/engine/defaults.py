@@ -21,14 +21,16 @@ CANONICAL_COLUMNS = ["repo", "path", "lang", "content"]
 FIELD_SPECS_V1 = {
     "repo": {"chain": ["required", "strip", ("max_length", {"max_length": 256})]},
     "path": {"chain": ["required", "strip", ("max_length", {"max_length": 512})]},
-    "lang": {"chain": ["strip", "lower", ("choice", {"choices": LANGS})]},
+    # ascii_lower: outcome-identical to lower() ahead of an ASCII choice
+    # set, and avoids the ICU case-mapping lock (kernels.AsciiLowerK)
+    "lang": {"chain": ["strip", "ascii_lower", ("choice", {"choices": LANGS})]},
     "content": {"chain": ["required", "unicode"]},
 }
 
 
 def default_registry() -> SpecRegistry:
     reg = SpecRegistry(CANONICAL_COLUMNS)
-    reg.register(VersionSpec(0, {**FIELD_SPECS_V1, "lang": {"chain": ["strip", "lower"]}}))
+    reg.register(VersionSpec(0, {**FIELD_SPECS_V1, "lang": {"chain": ["strip", "ascii_lower"]}}))
     reg.register(VersionSpec(1, FIELD_SPECS_V1))
     reg.register(VersionSpec(2, FIELD_SPECS_V1, renames={"language": "lang"}))
     return reg

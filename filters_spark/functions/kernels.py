@@ -620,6 +620,34 @@ class LowerK(Kernel):
         )
 
 
+_ASCII_LOWER_TABLE = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
+
+class AsciiLowerK(Kernel):
+    """ASCII-only lowercase (engine extension). Non-ASCII letters pass
+    through unchanged — use this in hot chains whose downstream gate is
+    an ASCII ``choice`` set: the outcome is identical to full lower()
+    (non-ASCII values fail the choice either way) and it avoids Spark
+    4's ICU case-mapping lock, which serializes all executor threads
+    under concurrency (measured: 31/32 threads parked in
+    CollationSupport$Lower.execBinaryICU)."""
+
+    name = "ascii_lower"
+    templates = {"wrong_type": "{incoming} is not valid (allowed types: {allowed})."}
+
+    def _apply(self, sub):
+        if _is_all_strings(sub):
+            return sub.map(lambda s: s.translate(_ASCII_LOWER_TABLE)).astype(object), _none_series(sub.index)
+        return self._map(
+            sub,
+            lambda v: (v.translate(_ASCII_LOWER_TABLE), None)
+            if isinstance(v, str)
+            else (None, ("", "wrong_type", self.msg("wrong_type", incoming=_type_name(type(v)), allowed="String"))),
+        )
+
+
 class StripK(Kernel):
     """Anchored regex strip of both ends (string.py:592-649); defaults
     strip whitespace + control chars."""

@@ -102,6 +102,16 @@ def _b_lower(**kw) -> NativeStep:
     return NativeStep(transform=F.lower)
 
 
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def _b_ascii_lower(**kw) -> NativeStep:
+    # translate() is pure JVM byte mapping — no ICU case-mapping lock
+    # (F.lower serializes all executor threads under concurrency in
+    # this Spark build; see kernels.AsciiLowerK)
+    return NativeStep(transform=lambda c: F.translate(c, _UPPER, _UPPER.lower()))
+
+
 def _b_choice(choices, **kw) -> NativeStep:
     import json
 
@@ -203,6 +213,7 @@ NATIVE_BUILDERS: dict[str, Callable[..., NativeStep]] = {
     "optional": _b_optional,
     "strip": _b_strip,
     "lower": _b_lower,
+    "ascii_lower": _b_ascii_lower,
     "choice": _b_choice,
     "max_length": _b_max_length,
     "min_length": _b_min_length,

@@ -51,8 +51,8 @@ for _cls in (
     K.TypeK, K.ArrayK, K.RequiredK, K.NotEmptyK, K.EmptyK, K.OptionalK,
     K.ChoiceK, K.LengthK, K.MaxLengthK, K.MinLengthK, K.NoOpK,
     K.DecimalK, K.IntK, K.MaxK, K.MinK, K.RoundK,
-    K.UnicodeK, K.ByteStringK, K.CaseFoldK, K.LowerK, K.StripK, K.RegexK,
-    K.RegexMatchK, K.SplitK,
+    K.UnicodeK, K.ByteStringK, K.CaseFoldK, K.LowerK, K.AsciiLowerK,
+    K.StripK, K.RegexK, K.RegexMatchK, K.SplitK,
     K.Base64DecodeK, K.MaxBytesK, K.UuidK, K.IpAddressK, K.JsonDecodeK,
     K.ByteArrayK, K.DatetimeK, K.DateK,
 ):

@@ -116,11 +116,17 @@ def validate(
     df: DataFrame,
     specs: Mapping[str, Any],
     errors_col: str = ERRORS_COL,
-    keep_raw: bool = True,
+    keep_raw: bool | str = True,
     raw_prefix: str = "_raw_",
 ) -> DataFrame:
     """Apply per-field chains; returns df with validated field columns,
-    optional raw copies, and the flattened error channel."""
+    optional raw copies, and the flattened error channel.
+
+    ``keep_raw``: True = raw copy for every row; ``"on_error"`` = raw
+    copy only where the row has errors (NULL otherwise) — at scale the
+    clean fraction dominates, so this keeps the validated frame's
+    memory/cache footprint ~1x the payload instead of ~2x while the
+    dead-letter path still sees full raw payloads."""
     field_specs = {f: FieldSpec.of(s) for f, s in specs.items()}
     value_cols: dict[str, Column] = {}
     error_cols: list[Column] = []
@@ -132,6 +138,8 @@ def validate(
         value_cols[field] = val
         error_cols.append(errs)
 
+    flat_errors = F.flatten(F.array(*error_cols)) if error_cols else F.array().cast(ERRORS_DDL)
+
     projection: list[Column] = []
     for c in df.columns:
         if c in value_cols:
@@ -140,9 +148,21 @@ def validate(
                 projection.append(F.col(c).alias(f"{raw_prefix}{c}"))
         else:
             projection.append(F.col(c))
-    flat_errors = F.flatten(F.array(*error_cols)) if error_cols else F.array().cast(ERRORS_DDL)
     projection.append(flat_errors.alias(errors_col))
-    return df.select(*projection)
+    out = df.select(*projection)
+
+    if keep_raw == "on_error":
+        # second projection so the (non-cheap) error expression is
+        # evaluated once and referenced as an attribute; CollapseProject
+        # leaves multiply-referenced non-cheap expressions alone.
+        has_errors = F.size(F.col(errors_col)) > 0
+        out = out.select(
+            *[
+                F.when(has_errors, F.col(c)).alias(c) if c.startswith(raw_prefix) else F.col(c)
+                for c in out.columns
+            ]
+        )
+    return out
 
 
 def split_errors(

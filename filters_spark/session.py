@@ -44,7 +44,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("FILTERS_SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM hosts all 32 executor threads; an
+        # undersized heap turns cache-build + Arrow batches into a GC
+        # storm (measured: 146s GC in one 150k-row stage at 8g)
+        .config("spark.driver.memory", os.environ.get("FILTERS_SPARK_DRIVER_MEM", "48g"))
         # Parquet scan parallelism: at 100 TB this is governed by file
         # splits; 128 MiB keeps partitions executor-memory friendly.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
