@@ -119,32 +119,42 @@ def main() -> None:
     n_events = args.events or max(int(CDC_EVENTS_AT_SF01 * (sf / 0.1)), 10_000)
 
     if args.scaling:
+        # N vs 4N EXECUTORS with real separate executor JVMs
+        # (local-cluster mode): 1x8 cores vs 4x8 cores. Single-JVM
+        # local[k] is NOT a valid scaling proxy — one shared heap/python
+        # worker pool serializes wide configurations (measured: local[32]
+        # 4x slower than local[8] on identical input).
         results = {}
-        for cores in (8, 32):
-            spark = make_spark(f"local[{cores}]", shuffle_partitions=max(cores, 16))
+        for n_exec in (1, 4):
+            spark = make_spark(
+                f"local-cluster[{n_exec},8,8192]",
+                shuffle_partitions=8 * n_exec,
+            )
             r = run_cdc_replay(spark, n_events)
             spark.stop()
-            results[cores] = r
-            print(f"# local[{cores}]: {r['events_per_sec']:,.0f} events/s ({r['seconds']:.1f}s)",
-                  file=sys.stderr)
-        eff = (results[32]["events_per_sec"] / results[8]["events_per_sec"]) / (32 / 8)
-        md = f"""# BENCH — CDC replay scaling (sandbox proxy for N vs 4N executors)
+            results[n_exec] = r
+            print(f"# {n_exec} executor(s) x 8 cores: {r['events_per_sec']:,.0f} events/s "
+                  f"({r['seconds']:.1f}s)", file=sys.stderr)
+        eff = (results[4]["events_per_sec"] / results[1]["events_per_sec"]) / 4
+        md = f"""# BENCH — CDC replay scaling (N vs 4N executors)
 
 Input: {n_events:,} deterministic change events (15% hot-repo skew,
 5% dirty), replayed in 4 batches into a fresh 32-bucket lake table.
-Same input both runs; only parallelism changes.
+Same input both runs; only the executor count changes. Runs use
+`local-cluster` mode — real separate executor JVMs with their own
+heaps and Python worker pools, the faithful single-host stand-in for a
+multi-executor cluster (single-JVM `local[k]` shares one heap and one
+python-worker lock across all task threads and anti-scales).
 
-| parallelism | events/sec | wall sec | applied | dead-lettered |
+| cluster size | events/sec | wall sec | applied | dead-lettered |
 |---|---|---|---|---|
-| local[8] (N) | {results[8]['events_per_sec']:,.0f} | {results[8]['seconds']:.1f} | {results[8]['applied']:,} | {results[8]['dead_lettered']:,} |
-| local[32] (4N) | {results[32]['events_per_sec']:,.0f} | {results[32]['seconds']:.1f} | {results[32]['applied']:,} | {results[32]['dead_lettered']:,} |
+| 1 executor x 8 cores (N) | {results[1]['events_per_sec']:,.0f} | {results[1]['seconds']:.1f} | {results[1]['applied']:,} | {results[1]['dead_lettered']:,} |
+| 4 executors x 8 cores (4N) | {results[4]['events_per_sec']:,.0f} | {results[4]['seconds']:.1f} | {results[4]['applied']:,} | {results[4]['dead_lettered']:,} |
 
-**Scaling efficiency (T_N/T_4N)/4 = {eff:.3f}** (north-rule target ≥ 0.8
-on a real cluster; single-JVM local mode shares scheduler/driver/GC, so
-this is a conservative lower bound).
+**Scaling efficiency (T_N/T_4N)/4 = {eff:.3f}** (north-rule target >= 0.8).
 
-Final-state check: both runs produced {results[8]['final_rows']:,} vs
-{results[32]['final_rows']:,} rows (byte-equality asserted separately in
+Final-state check: {results[1]['final_rows']:,} vs
+{results[4]['final_rows']:,} rows (byte-equality pinned separately in
 tests/test_scaling.py via content_sha set comparison).
 """
         os.makedirs("BENCH", exist_ok=True)
@@ -152,10 +162,10 @@ tests/test_scaling.py via content_sha set comparison).
             f.write(md)
         print(json.dumps({
             "metric": "cdc_replay_events_per_sec",
-            "value": round(results[32]["events_per_sec"], 1),
+            "value": round(results[4]["events_per_sec"], 1),
             "unit": "events/sec",
-            "local8_events_per_sec": round(results[8]["events_per_sec"], 1),
-            "local32_events_per_sec": round(results[32]["events_per_sec"], 1),
+            "n_exec_events_per_sec": round(results[1]["events_per_sec"], 1),
+            "4n_exec_events_per_sec": round(results[4]["events_per_sec"], 1),
             "scaling_efficiency": round(eff, 3),
             "sf": sf,
         }))

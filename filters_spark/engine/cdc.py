@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from filters_spark.engine.evolution import SpecRegistry
 from filters_spark.lake.table import LakeTable, WATERMARK_ZERO, bucket_expr, watermark_str
-from filters_spark.operators.validate import split_errors, validate
+from filters_spark.operators.validate import validate
 
 PASSTHROUGH = ["commit", "event_seq", "op", "schema_version"]
 
@@ -127,35 +127,40 @@ class CDCEngine:
         # the DFS — bounded by batch size, cleaned after commit.
         scratch = os.path.join(self.table.root, "_staging", f"batch-{uuid.uuid4().hex}")
         try:
-            validated.write.parquet(scratch)
-            validated = self.spark.read.parquet(scratch)
-            clean, dead = split_errors(validated)
+            (
+                validated.withColumn("_dead", F.size(F.col("_errors")) > 0)
+                .write.partitionBy("_dead")
+                .parquet(scratch)
+            )
+            has_rows = any(
+                f.endswith(".parquet")
+                for _, _, files in os.walk(scratch)
+                for f in files
+            )
+            if not has_rows:  # everything was a watermark-filtered replay
+                events_in = events.count()
+                return {
+                    "events_in": events_in, "applied": 0, "dead_lettered": 0,
+                    "skipped_replays": events_in,
+                    "snapshot_id": snap["snapshot_id"], "seconds": time.time() - t0,
+                }
+            validated = (
+                self.spark.read.option("basePath", scratch).parquet(scratch)
+                # partition-column inference yields STRING for booleans
+                .withColumn("_dead", F.col("_dead").cast("boolean"))
+            )
 
             # ONE metadata-scale stats pass: dead count, touched buckets
-            # and per-bucket watermarks together.
+            # and per-bucket watermarks together ( _dead is a partition
+            # column, so the grouping is pruning-friendly).
             stats_rows = (
-                validated.groupBy(
-                    (F.size(F.col("_errors")) == 0).alias("_is_clean"), F.col("_bucket")
-                )
+                validated.groupBy("_dead", F.col("_bucket"))
                 .agg(F.max("_wm").alias("wm"), F.count("*").alias("n"))
                 .collect()
             )
-            n_dead = int(sum(r["n"] for r in stats_rows if not r["_is_clean"]))
-            bucket_stats = [r for r in stats_rows if r["_is_clean"]]
-
-            # 3b. dead-letter sink (append-only parquet table; raw payload
-            # kept so fixed specs can replay it)
-            if n_dead:
-                (
-                    dead.select(
-                        "commit", "event_seq", "op", "schema_version", "repo", "path",
-                        "lang", "content",
-                        F.to_json(F.col("_errors")).alias("errors_json"),
-                        F.element_at(F.col("_errors"), 1)["code"].alias("first_code"),
-                        F.element_at(F.col("_errors"), 1)["key"].alias("first_key"),
-                    )
-                    .write.mode("append").parquet(self.dead_letter_dir)
-                )
+            n_dead = int(sum(r["n"] for r in stats_rows if r["_dead"]))
+            bucket_stats = [r for r in stats_rows if not r["_dead"]]
+            clean = validated.filter(~F.col("_dead")).drop("_dead")
 
             # a NULL key can't be merged; key-less clean rows are dead-lettered upstream
             # by the 'required' chain on path, so clean rows always have keys.
@@ -166,6 +171,7 @@ class CDCEngine:
 
             if not touched:
                 events_in = events.count()
+                self._adopt_dead_letters(scratch, n_dead)
                 return {
                     "events_in": events_in, "applied": 0, "dead_lettered": n_dead,
                     "skipped_replays": events_in - n_dead,
@@ -225,6 +231,12 @@ class CDCEngine:
                 columns=self.registry.canonical_columns,
             )
 
+            # 3b (deferred until after the merge executed, so the clean
+            # scan never races the move): adopt the staged _dead=true
+            # files AS the dead-letter table — a metadata move, not
+            # another Spark job over the batch.
+            self._adopt_dead_letters(scratch, n_dead)
+
             # 8. lineage
             lineage_rows = [
                 (
@@ -250,6 +262,13 @@ class CDCEngine:
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
 
+    def _adopt_dead_letters(self, scratch: str, n_dead: int) -> None:
+        dead_src = os.path.join(scratch, "_dead=true")
+        if n_dead and os.path.isdir(dead_src):
+            batch_dir = os.path.join(self.dead_letter_dir, os.path.basename(scratch))
+            os.makedirs(self.dead_letter_dir, exist_ok=True)
+            shutil.move(dead_src, batch_dir)
+
     # ------------------------------------------------------------------
 
     def replay(self, events: DataFrame, num_batches: int = 1) -> list[dict]:
@@ -274,13 +293,28 @@ class CDCEngine:
         return metrics
 
     def dead_letters(self, distinct: bool = True) -> DataFrame | None:
-        """The dead-letter table. Replayed batches re-append their dead
-        letters (the sink is append-only; watermarks only advance on
-        *clean* events in a bucket), so reads dedupe on the event
-        identity by default."""
+        """The dead-letter table: raw payloads + full error channel.
+
+        Rows are the adopted staging files (one dir per batch); raw
+        field values are restored under their original names and the
+        error channel is exposed both structured and as JSON. Replayed
+        batches re-append their dead letters (watermarks only advance on
+        *clean* events in a bucket), so reads dedupe on event identity
+        by default."""
         if not os.path.isdir(self.dead_letter_dir):
             return None
-        df = self.spark.read.parquet(self.dead_letter_dir)
+        df = self.spark.read.option("recursiveFileLookup", "true").parquet(self.dead_letter_dir)
+        raw_cols = [c for c in df.columns if c.startswith("_raw_")]
+        for rc in raw_cols:
+            orig = rc[len("_raw_"):]
+            df = df.drop(orig).withColumnRenamed(rc, orig)
+        df = df.select(
+            "commit", "event_seq", "op", "schema_version", "repo", "path", "lang", "content",
+            F.col("_errors").alias("errors"),
+            F.to_json(F.col("_errors")).alias("errors_json"),
+            F.element_at(F.col("_errors"), 1)["code"].alias("first_code"),
+            F.element_at(F.col("_errors"), 1)["key"].alias("first_key"),
+        )
         if distinct:
             df = df.dropDuplicates(["commit", "event_seq", "repo", "path"])
         return df

@@ -51,8 +51,19 @@ def get_spark(
         # Parquet scan parallelism: at 100 TB this is governed by file
         # splits; 128 MiB keeps partitions executor-memory friendly.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Never stall task waves waiting for data-locality: batches are
+        # small-file scans where a 3s locality wait per wave dwarfs the
+        # work (measured: 4 executors anti-scaled vs 1 purely from
+        # locality waits on freshly-written scratch/lake files).
+        .config("spark.locality.wait", "0")
         .config("spark.ui.enabled", "false")
     )
+    if master.startswith("local-cluster"):
+        # separate executor JVMs (the honest N-vs-4N proxy): ship the
+        # package to executor python workers — the programmatic analog
+        # of `spark-submit --py-files` for this repo layout.
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = builder.config("spark.executorEnv.PYTHONPATH", repo_root)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
