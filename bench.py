@@ -119,6 +119,10 @@ def main() -> None:
     n_events = args.events or max(int(CDC_EVENTS_AT_SF01 * (sf / 0.1)), 10_000)
 
     if args.scaling:
+        # scaling runs need the parallel fraction to dominate the fixed
+        # per-batch costs (Amdahl): 4x the event volume of the plain bench
+        if not args.events:
+            n_events *= 4
         # N vs 4N EXECUTORS with real separate executor JVMs
         # (local-cluster mode): 1x8 cores vs 4x8 cores. Single-JVM
         # local[k] is NOT a valid scaling proxy — one shared heap/python

@@ -67,22 +67,47 @@ class CDCEngine:
 
     # ------------------------------------------------------------------
 
-    def _normalize_versions(self, events: DataFrame) -> DataFrame:
-        versions = [r[0] for r in events.select("schema_version").distinct().collect()]
-        slices = []
-        for v in sorted(versions):
+    def _validated(self, events: DataFrame) -> DataFrame:
+        """Union of per-registered-version validated slices, plus a
+        dead-letter slice for unknown schema versions.
+
+        No driver round-trip: every registered version contributes a
+        filter branch; a batch's absent versions cost only parquet
+        footer reads (min=max row-group stats on schema_version prune
+        every row group). Events with an UNregistered version are
+        routed to the dead-letter channel with code
+        ``unknown_schema_version`` — a bad producer must not stall a
+        10^10-event stream."""
+        known = sorted(self.registry.versions)
+        validated = None
+        for v in known:
             spec = self.registry.get(v)
             sliced = events.filter(F.col("schema_version") == v)
             normalized = self.registry.normalize(sliced, v, PASSTHROUGH)
-            slices.append((spec, normalized))
-        return slices
+            vdf = validate(normalized, spec.field_specs, keep_raw="on_error")
+            validated = vdf if validated is None else validated.unionByName(vdf)
 
-    def _validated(self, slices) -> DataFrame:
-        validated = None
-        for spec, df in slices:
-            v = validate(df, spec.field_specs, keep_raw="on_error")
-            validated = v if validated is None else validated.unionByName(v)
-        return validated
+        unknown = events.filter(
+            ~F.col("schema_version").isin(known) | F.col("schema_version").isNull()
+        )
+        err = F.array(
+            F.struct(
+                F.lit("schema_version").alias("key"),
+                F.lit("unknown_schema_version").alias("code"),
+                F.concat(
+                    F.lit("No spec registered for schema_version="),
+                    F.coalesce(F.col("schema_version").cast("string"), F.lit("null")),
+                ).alias("message"),
+            )
+        )
+        cols = [F.col(c) for c in PASSTHROUGH]
+        for c in self.registry.canonical_columns:
+            cols.append(F.lit(None).cast("string").alias(c))
+            raw = F.col(c) if c in events.columns else F.lit(None).cast("string")
+            cols.append(raw.alias(f"_raw_{c}"))
+        cols.append(err.alias("_errors"))
+        unknown_validated = unknown.select(*cols)
+        return validated.unionByName(unknown_validated) if validated is not None else unknown_validated
 
     # ------------------------------------------------------------------
 
@@ -94,12 +119,9 @@ class CDCEngine:
         num_buckets = snap["num_buckets"]
         path_salt = snap["path_salt"]
 
-        # 1-2. schema-normalize then drop already-applied events
-        slices = self._normalize_versions(events)
-        validated = self._validated(slices)
-        if validated is None:
-            return {"events_in": 0, "applied": 0, "dead_lettered": 0, "skipped_replays": 0,
-                    "snapshot_id": snap["snapshot_id"], "seconds": 0.0}
+        # 1-2. schema-normalize + validate (one composite plan, no
+        # driver round-trips) then drop already-applied events
+        validated = self._validated(events)
 
         validated = validated.withColumn(
             "_bucket", bucket_expr(F.col("repo"), F.col("path"), num_buckets, path_salt)

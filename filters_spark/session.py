@@ -64,6 +64,18 @@ def get_spark(
         # of `spark-submit --py-files` for this repo layout.
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         builder = builder.config("spark.executorEnv.PYTHONPATH", repo_root)
+        # Every executor JVM sizes its GC/JIT/fork-join pools to the
+        # MACHINE's cores by default; N co-located executors then run
+        # N x machine-cores service threads and thrash (measured: 4x8
+        # executors 5x SLOWER than 1x8 until capped). Tell each JVM how
+        # many cores it actually owns.
+        try:
+            cores = master.split("[")[1].split(",")[1].strip()
+            builder = builder.config(
+                "spark.executor.extraJavaOptions", f"-XX:ActiveProcessorCount={cores}"
+            )
+        except (IndexError, ValueError):
+            pass
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

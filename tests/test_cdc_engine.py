@@ -184,8 +184,14 @@ def test_schema_evolution_rename(spark, tmp_path):
     assert state.filter(F.col("lang").isin(LANGS)).count() > 0
 
 
-def test_unknown_schema_version_raises(spark, tmp_path):
+def test_unknown_schema_version_dead_letters(spark, tmp_path):
+    """An unregistered schema_version must not stall the stream: those
+    events route to the dead-letter table with a dedicated code."""
     engine = make_engine(spark, str(tmp_path))
     ev = events_df(spark, n_events=10).withColumn("schema_version", F.lit(99))
-    with pytest.raises(KeyError):
-        engine.apply_batch(ev)
+    m = engine.apply_batch(ev)
+    assert m["applied"] == 0
+    assert m["dead_lettered"] == 10
+    dl = engine.dead_letters()
+    assert dl.count() == 10
+    assert {r.first_code for r in dl.collect()} == {"unknown_schema_version"}
