@@ -128,22 +128,27 @@ def main() -> None:
         # local[k] is NOT a valid scaling proxy — one shared heap/python
         # worker pool serializes wide configurations (measured: local[32]
         # 4x slower than local[8] on identical input).
+        # 4 cores per executor: this host exposes 32 CPUs but delivers
+        # ~21 effective cores (hypervisor-shared); 4Nx8 task threads plus
+        # python workers oversubscribe it and measure the host, not the
+        # engine. 4 + 16 task cores (plus Arrow workers) stay within
+        # real capacity on both legs.
         results = {}
         for n_exec in (1, 4):
             spark = make_spark(
-                f"local-cluster[{n_exec},8,8192]",
-                shuffle_partitions=8 * n_exec,
+                f"local-cluster[{n_exec},4,8192]",
+                shuffle_partitions=4 * n_exec,
             )
-            r = run_cdc_replay(spark, n_events)
+            r = run_cdc_replay(spark, n_events, batches=2)
             spark.stop()
             results[n_exec] = r
-            print(f"# {n_exec} executor(s) x 8 cores: {r['events_per_sec']:,.0f} events/s "
+            print(f"# {n_exec} executor(s) x 4 cores: {r['events_per_sec']:,.0f} events/s "
                   f"({r['seconds']:.1f}s)", file=sys.stderr)
         eff = (results[4]["events_per_sec"] / results[1]["events_per_sec"]) / 4
         md = f"""# BENCH — CDC replay scaling (N vs 4N executors)
 
 Input: {n_events:,} deterministic change events (15% hot-repo skew,
-5% dirty), replayed in 4 batches into a fresh 32-bucket lake table.
+5% dirty), replayed in 2 batches into a fresh 32-bucket lake table.
 Same input both runs; only the executor count changes. Runs use
 `local-cluster` mode — real separate executor JVMs with their own
 heaps and Python worker pools, the faithful single-host stand-in for a
@@ -152,8 +157,8 @@ python-worker lock across all task threads and anti-scales).
 
 | cluster size | events/sec | wall sec | applied | dead-lettered |
 |---|---|---|---|---|
-| 1 executor x 8 cores (N) | {results[1]['events_per_sec']:,.0f} | {results[1]['seconds']:.1f} | {results[1]['applied']:,} | {results[1]['dead_lettered']:,} |
-| 4 executors x 8 cores (4N) | {results[4]['events_per_sec']:,.0f} | {results[4]['seconds']:.1f} | {results[4]['applied']:,} | {results[4]['dead_lettered']:,} |
+| 1 executor x 4 cores (N) | {results[1]['events_per_sec']:,.0f} | {results[1]['seconds']:.1f} | {results[1]['applied']:,} | {results[1]['dead_lettered']:,} |
+| 4 executors x 4 cores (4N) | {results[4]['events_per_sec']:,.0f} | {results[4]['seconds']:.1f} | {results[4]['applied']:,} | {results[4]['dead_lettered']:,} |
 
 **Scaling efficiency (T_N/T_4N)/4 = {eff:.3f}** (north-rule target >= 0.8).
 
