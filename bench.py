@@ -5,10 +5,11 @@ Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
---scaling: run the same CDC replay at local[8] and local[32] on the
-same input and report events/sec at both + scaling efficiency
-(writes BENCH/BASELINE.md). This is the sandbox proxy for the north
-rule's N vs 4N executor requirement (no real cluster here).
+--scaling: replay the same input at N and 4N executors (real separate
+executor JVMs via local-cluster mode: 1x4 vs 4x4 cores) and report
+events/sec at both + scaling efficiency (T_N/T_4N)/4, writing
+BENCH/BASELINE.md. This is the sandbox proxy for the north rule's
+two-cluster-size requirement (no real cluster here).
 """
 
 from __future__ import annotations
@@ -50,7 +51,13 @@ def _sf_from_dir(sf_dir: str) -> float:
 def make_spark(master: str, shuffle_partitions: int):
     from filters_spark.session import get_spark
 
-    spark = get_spark("filters-spark-bench", master=master, shuffle_partitions=shuffle_partitions)
+    spark = get_spark(
+        "filters-spark-bench", master=master, shuffle_partitions=shuffle_partitions,
+        # content compresses ~40x: the default 64MB AQE advisory size
+        # coalesces post-shuffle stages below cluster width; 16MB keeps
+        # wide clusters busy at bench scale without hurting 1-exec runs
+        extra_conf={"spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     return spark
 
@@ -73,10 +80,13 @@ def run_cdc_replay(spark, n_events: int, num_buckets: int = 32, batches: int = 4
         # materialize the WAL to parquet first (generation is not part
         # of the measured replay; a real binlog arrives from storage)
         events_path = os.path.join(root, "events.parquet")
+        # a real WAL arrives as many segment files; write 64 so scan
+        # parallelism is never bounded by the file count (content
+        # compresses ~40x, so few-file layouts starve wide clusters)
         gen_events(
             spark, n_events=n_events, n_repos=500, n_paths=5000,
             hot_frac=0.15, dirty_frac=0.05, seed=42,
-        ).write.parquet(events_path)
+        ).repartition(64).write.parquet(events_path)
         events = spark.read.parquet(events_path)
         t0 = time.time()
         metrics = engine.replay(events, num_batches=batches)

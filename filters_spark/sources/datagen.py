@@ -139,11 +139,19 @@ def gen_events(
     content = F.when(dirty & (defect == 2), F.lit(None).cast("string")).otherwise(content)
     path = F.when(dirty & (defect == 3), F.concat(F.lit("x"), F.repeat(F.lit("y"), 600))).otherwise(path)
 
-    # benign mess that normalization must clean (exercises Unicode/Strip):
+    # benign mess that normalization must clean (exercises Unicode/Strip;
+    # hazard classes from FIXTURES.md / reference string_test.py:1474-1552):
+    # CRLF line endings, a control char, an NFD sequence ('Ame' +
+    # combining acute U+0301) and an em-space — all must normalize
+    # identically to the oracle for per-row sha256 equality to hold.
     messy = F.pmod(_h(seed + 32, "id"), F.lit(5)) == 0
     content = F.when(
         messy & content.isNotNull(),
-        F.concat(F.lit("  \t"), F.regexp_replace(content, "\n", "\r\n"), F.lit("\u0000  ")),
+        F.concat(
+            F.lit("  \t// Ame\u0301lie\u2003was here\r\n"),
+            F.regexp_replace(content, "\n", "\r\n"),
+            F.lit("\u0000  "),
+        ),
     ).otherwise(content)
 
     return df.select(
