@@ -79,7 +79,7 @@ def _q(name: str, oracle: str | None = None):
     "cdc_lww_merge",
     """
     SELECT user_id, event_type AS last_event_type, event_id AS last_event_id,
-           CAST(value AS DECIMAL(18,2)) AS last_value
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value
     FROM (
       SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
       FROM events
@@ -96,7 +96,7 @@ def q_cdc_lww_merge(spark, sf):
             "user_id",
             F.col("event_type").alias("last_event_type"),
             F.col("event_id").alias("last_event_id"),
-            F.col("value").cast("decimal(18,2)").alias("last_value"),
+            F.col("value").cast("decimal(18,2)").cast("double").alias("last_value"),
         )
     )
 
@@ -106,7 +106,7 @@ def q_cdc_lww_merge(spark, sf):
     """
     SELECT user_id % 16 AS bucket, max(event_id) AS watermark,
            count(*) AS rows_applied,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS bytes_proxy
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bytes_proxy
     FROM events GROUP BY user_id % 16
     """,
 )
@@ -117,7 +117,7 @@ def q_cdc_checkpoint_offsets(spark, sf):
         .agg(
             F.max("event_id").alias("watermark"),
             F.count("*").alias("rows_applied"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("bytes_proxy"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("bytes_proxy"),
         )
     )
 
@@ -347,9 +347,9 @@ def q_filter_unicode(spark, sf):
     "agg_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
            count(*) AS count_order
     FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -364,9 +364,9 @@ def q_agg_pricing(spark, sf):
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(price * (F.lit(1) - disc)).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -376,7 +376,7 @@ def q_agg_pricing(spark, sf):
     "join_revenue_by_nation",
     """
     SELECT n.n_name AS nation,
-           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            count(*) AS n_orders
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
                   JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -392,7 +392,7 @@ def q_join_revenue(spark, sf):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").alias("revenue"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
             F.count("*").alias("n_orders"),
         )
     )
@@ -401,7 +401,7 @@ def q_join_revenue(spark, sf):
 @_q(
     "window_topk_per_user",
     """
-    SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS value, rnk FROM (
+    SELECT user_id, event_id, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value, rnk FROM (
       SELECT user_id, event_id, value,
              row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
       FROM events
@@ -414,14 +414,14 @@ def q_window_topk(spark, sf):
     return (
         ev.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
-        .select("user_id", "event_id", F.col("value").cast("decimal(18,2)").alias("value"), "rnk")
+        .select("user_id", "event_id", F.col("value").cast("decimal(18,2)").cast("double").alias("value"), "rnk")
     )
 
 
 @_q(
     "sort_limit_top_orders",
     """
-    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+    SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
     FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
     """,
 )
@@ -430,7 +430,7 @@ def q_sort_limit(spark, sf):
     return (
         o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
-        .select("o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("total"))
+        .select("o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("total"))
     )
 
 
@@ -540,11 +540,12 @@ def q_text_profile(spark, sf):
 @_q(
     "ann_cosine_topk",
     """
-    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
-    SELECT e.vec_id AS id, round(list_cosine_similarity(e.embedding, q.qvec), 4) AS cosine
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id AS id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec), 4) AS cosine
     FROM embeddings e, q
     WHERE e.vec_id != 0
-    ORDER BY list_cosine_similarity(e.embedding, q.qvec) DESC, e.vec_id ASC
+    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec) DESC, e.vec_id ASC
     LIMIT 10
     """,
 )
@@ -581,11 +582,11 @@ def q_ann_lsh(spark, sf):
     "dedup_embedding_cosine",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE a.vec_id < 500 AND b.vec_id < 500
-      AND list_cosine_similarity(a.embedding, b.embedding) > 0.2
+      AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.2
     """,
 )
 def q_dedup_embedding(spark, sf):
