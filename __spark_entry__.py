@@ -207,7 +207,10 @@ def q_filter_required(spark, sf):
 )
 def q_filter_choice(spark, sf):
     d = _t(spark, sf, "documents")
-    norm = F.lower("lang")
+    # translate-based ASCII lowering, not F.lower: Spark 4's ICU
+    # case-mapping lock serializes executor threads (see
+    # kernels.AsciiLowerK); identical result for the ASCII choice gate.
+    norm = F.translate("lang", "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
     return (
         d.filter(norm.isin("en", "de", "es", "fr", "zh"))
         .groupBy(norm.alias("lang_norm"))
@@ -482,8 +485,11 @@ def q_dedup_minhash(spark, sf):
 def q_dedup_simhash(spark, sf):
     from filters_spark.operators.dedupe import simhash_dupes
 
+    # max_hamming=3: recall is guaranteed for any threshold (chunks
+    # derive from it), but 3 keeps the near-dup pair set near-dup-sized
+    # for the contract ledger (6 admits ~95k loosely-similar pairs)
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000)
-    return simhash_dupes(d, "text", "doc_id", max_hamming=6)
+    return simhash_dupes(d, "text", "doc_id", max_hamming=3)
 
 
 @_q(
@@ -604,6 +610,423 @@ def q_dedup_embedding(spark, sf):
         .filter(F.col("cos_raw") > 0.2)
         .select("id_a", "id_b", F.round("cos_raw", 4).alias("cosine"))
     )
+
+
+# --- filter layer round 2: kernel-path contract queries ----------------------
+# Each routes through validate() so the driver verifies the OPERATOR
+# (Arrow kernel / native Column path), not a SQL re-expression.
+
+
+@_q(
+    "filter_decimal_round",
+    """
+    SELECT event_id, CAST(round(CAST(value AS DECIMAL(18,2)), 1) AS VARCHAR) AS rounded
+    FROM events WHERE event_id < 3000
+    """,
+)
+def q_filter_decimal_round(spark, sf):
+    """Decimal parse -> Round(to_nearest=0.1, HALF_UP) kernels
+    (reference number.py:22-104, 280-334); input is the exact decimal
+    string so both sides round the same exact value."""
+    from filters_spark.operators.validate import validate
+
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 3000)
+    d = ev.select(
+        "event_id", F.col("value").cast("decimal(18,2)").cast("string").alias("rounded")
+    )
+    v = validate(
+        d,
+        {"rounded": {"chain": [("decimal", {}), ("round", {"to_nearest": "0.1"})],
+                     "dtype": "string"}},
+        keep_raw=False,
+    )
+    return v.select("event_id", "rounded")
+
+
+@_q(
+    "filter_date_parse",
+    """
+    SELECT CAST(ts AS DATE) AS day, count(*) AS n
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+)
+def q_filter_date_parse(spark, sf):
+    """Date kernel: dateutil parse of 'MM/dd/yyyy' strings -> date
+    (reference simple.py:268-291)."""
+    from filters_spark.operators.validate import validate
+
+    ev = _t(spark, sf, "events")
+    d = ev.select(F.date_format("ts", "MM/dd/yyyy").alias("day"))
+    v = validate(d, {"day": {"chain": ["date"], "dtype": "date"}}, keep_raw=False)
+    return v.groupBy("day").agg(F.count("*").alias("n"))
+
+
+@_q(
+    "filter_casefold",
+    """
+    SELECT doc_id, lower(upper(text)) AS folded
+    FROM documents WHERE doc_id < 500
+    """,
+)
+def q_filter_casefold(spark, sf):
+    """CaseFold kernel (str.casefold, reference string.py:106-139);
+    documents are ASCII (verified) so casefold == lower for the oracle."""
+    from filters_spark.operators.validate import validate
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    u = d.select("doc_id", F.upper("text").alias("folded"))
+    v = validate(u, {"folded": {"chain": ["case_fold"], "dtype": "string"}}, keep_raw=False)
+    return v.select("doc_id", "folded")
+
+
+@_q(
+    "filter_bytes_encode",
+    """
+    SELECT doc_id, to_base64(encode(text)) AS b64_bs, to_base64(encode(text)) AS b64_ba
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def q_filter_bytes_encode(spark, sf):
+    """ByteString (unicode->bytes, string.py:765-822) and ByteArray
+    (simple.py:63-125) kernels; byte outputs compared as base64."""
+    from filters_spark.operators.validate import validate
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    two = d.select("doc_id", F.col("text").alias("bs"), F.col("text").alias("ba"))
+    v = validate(
+        two,
+        {
+            "bs": {"chain": ["byte_string"], "dtype": "binary"},
+            "ba": {"chain": ["byte_array"], "dtype": "binary"},
+        },
+        keep_raw=False,
+    )
+    # this Spark build's base64() chunks at 76 chars with CRLF
+    # (legacy commons-codec behavior); strip to the canonical form
+    b64 = lambda c: F.regexp_replace(F.base64(c), "[\\r\\n]", "")  # noqa: E731
+    return v.select("doc_id", b64("bs").alias("b64_bs"), b64("ba").alias("b64_ba"))
+
+
+@_q(
+    "filter_base64_roundtrip",
+    """
+    SELECT doc_id, text AS decoded FROM documents WHERE doc_id < 300
+    """,
+)
+def q_filter_base64_roundtrip(spark, sf):
+    """Base64Decode kernel (ws strip, alphabet check, padding fixup,
+    reference string.py:39-102): base64(text) built in Spark, decoded by
+    the kernel; round-trip must restore the original text."""
+    from filters_spark.operators.validate import validate
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    enc = d.select(
+        "doc_id", F.encode(F.base64(F.encode("text", "utf-8")), "utf-8").alias("decoded")
+    )
+    v = validate(enc, {"decoded": {"chain": ["base64_decode"], "dtype": "binary"}}, keep_raw=False)
+    return v.select("doc_id", F.col("decoded").cast("string").alias("decoded"))
+
+
+@_q(
+    "filter_max_bytes_truncate",
+    """
+    SELECT doc_id,
+           CASE WHEN octet_length(encode(text)) > 100 THEN substr(text, 1, 100) ELSE text END AS clipped,
+           octet_length(encode(text)) > 100 AS was_clipped
+    FROM documents WHERE doc_id < 500
+    """,
+)
+def q_filter_max_bytes(spark, sf):
+    """MaxBytes kernel: UTF-8 byte budget with truncating replacement —
+    the only filter whose error carries a non-None replacement
+    (reference string.py:250-453). ASCII docs => byte==char positions
+    for the oracle's substr."""
+    from filters_spark.operators.validate import validate
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    v = validate(
+        d.select("doc_id", F.col("text").alias("clipped")),
+        {"clipped": {"chain": [("max_bytes", {"max_bytes": 100})], "dtype": "binary"}},
+        keep_raw=False,
+    )
+    return v.select(
+        "doc_id",
+        F.col("clipped").cast("string").alias("clipped"),
+        (F.size("_errors") > 0).alias("was_clipped"),
+    )
+
+
+@_q(
+    "filter_ip_canonical",
+    """
+    SELECT ((user_id % 300) <= 255 AND event_id % 11 != 0) AS is_valid,
+           count(*) AS n,
+           count(DISTINCT CASE WHEN (user_id % 300) <= 255 AND event_id % 11 != 0
+                 THEN (user_id % 300) || '.' || (event_id % 256) || '.7.9' END) AS n_ips
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_filter_ip(spark, sf):
+    """IpAddress kernel (inet_pton gate, reference string.py:143-214):
+    synthesized dotted quads, octet>255 and garbage rows must fail."""
+    from filters_spark.operators.validate import validate
+
+    ev = _t(spark, sf, "events")
+    ip = F.when(F.col("event_id") % 11 == 0, F.lit("not-an-ip")).otherwise(
+        F.concat_ws(
+            ".",
+            (F.col("user_id") % 300).cast("string"),
+            (F.col("event_id") % 256).cast("string"),
+            F.lit("7"), F.lit("9"),
+        )
+    )
+    v = validate(
+        ev.select(ip.alias("ip")),
+        {"ip": {"chain": [("ip_address", {"ipv4": True})], "dtype": "string"}},
+        keep_raw=False,
+    )
+    return v.groupBy((F.size("_errors") == 0).alias("is_valid")).agg(
+        F.count("*").alias("n"), F.countDistinct("ip").alias("n_ips")
+    )
+
+
+@_q(
+    "filter_mapper_nested",
+    """
+    SELECT CASE WHEN k > 49 THEN 'props.k' END AS err_key,
+           CASE WHEN k > 49 THEN 'too_big' END AS err_code,
+           count(*) AS n,
+           sum(CASE WHEN k <= 49 THEN k END) AS sum_k
+    FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def q_filter_mapper_nested(spark, sf):
+    """JsonDecode -> Mapper composition with dotted error keys
+    (reference string.py:217-246 + complex.py:174-383): per-key chains
+    over the decoded payload; 'props.k' failures poison only that slot."""
+    from filters_spark.operators.validate import validate
+
+    ev = _t(spark, sf, "events")
+    spec = {
+        "props": {
+            "chain": [
+                "json_decode",
+                {
+                    "filter": "mapper",
+                    "filter_map": {"k": [("max", {"max_value": 49})]},
+                    "allow_missing_keys": False,
+                    "allow_extra_keys": False,
+                },
+            ],
+            "dtype": "struct<k:bigint>",
+        }
+    }
+    v = validate(ev.select("props"), spec, keep_raw=False)
+    first = F.try_element_at("_errors", F.lit(1))
+    return v.groupBy(
+        first["key"].alias("err_key"), first["code"].alias("err_code")
+    ).agg(F.count("*").alias("n"), F.sum(F.col("props")["k"]).alias("sum_k"))
+
+
+@_q(
+    "filter_repeater_elements",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_parts,
+           len(list_filter(string_split(text, ' '), t -> len(t) > 6)) AS n_dropped,
+           len(list_filter(string_split(text, ' '), t -> len(t) > 6)) AS n_errs
+    FROM documents WHERE doc_id < 400
+    """,
+)
+def q_filter_repeater(spark, sf):
+    """Split -> Repeater(max_length) composition (reference
+    complex.py:21-170): per-element chain, invalid elements nulled in
+    place, one dotted error per bad slot."""
+    from filters_spark.operators.validate import validate
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    spec = {
+        "toks": {
+            "chain": [
+                ("split", {"pattern": " "}),
+                {"filter": "repeater", "steps": [("max_length", {"max_length": 6})]},
+            ],
+            "dtype": "array<string>",
+        }
+    }
+    v = validate(d.select("doc_id", F.col("text").alias("toks")), spec, keep_raw=False)
+    return v.select(
+        "doc_id",
+        F.size("toks").alias("n_parts"),
+        F.size(F.filter("toks", lambda x: x.isNull())).alias("n_dropped"),
+        F.size("_errors").alias("n_errs"),
+    )
+
+
+@_q(
+    "filter_presence_modes",
+    """
+    SELECT opt_val, empty_err, count(*) AS n FROM (
+      SELECT CASE WHEN event_id % 5 IN (0, 1) THEN 'unknown' ELSE event_type END AS opt_val,
+             CASE WHEN event_id % 5 IN (0, 1) THEN NULL ELSE 'not_empty' END AS empty_err
+      FROM events
+    ) GROUP BY opt_val, empty_err
+    """,
+)
+def q_filter_presence(spark, sf):
+    """Empty / Optional / NoOp kernels (reference simple.py:294-319,
+    541-574): None and '' pass Empty and are defaulted by Optional;
+    non-empty values fail Empty and pass through Optional + NoOp."""
+    from filters_spark.operators.validate import validate
+
+    ev = _t(spark, sf, "events")
+    s = F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("string")).when(
+        F.col("event_id") % 5 == 1, F.lit("")
+    ).otherwise(F.col("event_type"))
+    d = ev.select(s.alias("c_empty"), s.alias("c_opt"))
+    v = validate(
+        d,
+        {
+            "c_empty": {"chain": ["empty"], "dtype": "string"},
+            "c_opt": {"chain": [("optional", {"default": "unknown"}), "noop"], "dtype": "string"},
+        },
+        keep_raw=False,
+    )
+    first = F.try_element_at("_errors", F.lit(1))
+    return v.groupBy(
+        F.col("c_opt").alias("opt_val"), first["code"].alias("empty_err")
+    ).agg(F.count("*").alias("n"))
+
+
+@_q(
+    "filter_type_gate",
+    """
+    SELECT val, err_code, count(*) AS n FROM (
+      SELECT CASE WHEN event_id % 3 = 0 THEN NULL ELSE event_type END AS val,
+             CASE WHEN event_id % 3 = 0 THEN 'wrong_type' END AS err_code
+      FROM events
+    ) GROUP BY val, err_code
+    """,
+)
+def q_filter_type_gate(spark, sf):
+    """Type kernel isinstance gate (reference base.py:623-713) over
+    mixed-type JSON payloads: objects fail Type(str), strings pass."""
+    from filters_spark.functions import kernels as K
+    from filters_spark.operators.validate import validate
+
+    ev = _t(spark, sf, "events")
+    j = F.when(F.col("event_id") % 3 == 0, F.col("props")).otherwise(
+        F.concat(F.lit('"'), F.col("event_type"), F.lit('"'))
+    )
+    v = validate(
+        ev.select(j.alias("val")),
+        {"val": {"chain": [K.JsonDecodeK(), K.TypeK((str,))], "dtype": "string"}},
+        keep_raw=False,
+    )
+    first = F.try_element_at("_errors", F.lit(1))
+    return v.groupBy("val", first["code"].alias("err_code")).agg(F.count("*").alias("n"))
+
+
+@_q(
+    "filter_array_gate",
+    """
+    SELECT err_code, count(*) AS n, sum(first_elem) AS sum_first FROM (
+      SELECT CASE WHEN event_id % 4 = 0 THEN 'wrong_type' END AS err_code,
+             CASE WHEN event_id % 4 != 0
+                  THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS first_elem
+      FROM events
+    ) GROUP BY err_code
+    """,
+)
+def q_filter_array_gate(spark, sf):
+    """Array kernel: non-string Sequence gate (reference
+    simple.py:35-60) + MinLength over list values: JSON objects fail,
+    JSON arrays pass and keep their elements."""
+    from filters_spark.functions import kernels as K
+    from filters_spark.operators.validate import validate
+
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    j = F.when(F.col("event_id") % 4 == 0, F.col("props")).otherwise(
+        F.format_string("[%d,%d]", k, k + 1)
+    )
+    v = validate(
+        ev.select(j.alias("arr")),
+        {"arr": {"chain": [K.JsonDecodeK(), K.ArrayK(), K.MinLengthK(2)], "dtype": "array<bigint>"}},
+        keep_raw=False,
+    )
+    first = F.try_element_at("_errors", F.lit(1))
+    return v.groupBy(first["code"].alias("err_code")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.element_at("arr", 1)).alias("sum_first"),
+    )
+
+
+# --- corpus curation round 2: exact jaccard oracle + IVF ----------------------
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents WHERE doc_id < 1000
+    ), s AS (
+      SELECT doc_id, toks[1] AS blk,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')
+             )) AS grams
+      FROM g
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+    FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard(spark, sf):
+    """Exact word-3-gram Jaccard pairs, prefix-blocked — the exact
+    verification tier behind MinHash (operators/dedupe.py)."""
+    from filters_spark.operators.dedupe import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 1000)
+    return ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+
+
+@_q(
+    "ann_ivf_assign",
+    """
+    WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+               FROM embeddings WHERE vec_id < 4),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+               FROM embeddings WHERE vec_id >= 4 AND vec_id < 1000)
+    SELECT vec_id, cell FROM (
+      SELECT v.vec_id, c.cell,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY list_cosine_similarity(v.vec, c.cvec) DESC, c.cell ASC) AS rn
+      FROM v, c
+    ) WHERE rn = 1
+    """,
+)
+def q_ann_ivf_assign(spark, sf):
+    """IVF coarse quantization: nearest-centroid assignment as a
+    map-only broadcast argmax (operators/similarity.py:ivf_assign)."""
+    from filters_spark.operators.similarity import ivf_assign
+
+    e = _t(spark, sf, "embeddings")
+    cents = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").cast("array<double>").alias("centroid")
+    )
+    vecs = e.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 1000)).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return ivf_assign(vecs, cents).select("vec_id", "cell")
 
 
 # --- multimodal plumbing (stub decode; rows-only) ----------------------------

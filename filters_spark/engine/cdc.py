@@ -3,7 +3,9 @@ key-partitioned upserts into the lake table.
 
 Pipeline per batch (SURVEY.md §4.3):
 
-1. **Schema-normalize** each schema_version slice (engine/evolution.py).
+1. **Schema-normalize + validate in one scan**: versions dispatch via
+   CASE on schema_version; distinct chains run once over masked inputs
+   (``_validated``).
 2. **Watermark filter**: events at or below their bucket's committed
    watermark are replays — dropped (idempotency / exactly-once resume).
 3. **Validate** via per-field chains (native Column or Arrow kernel);
@@ -33,8 +35,8 @@ replay-equality and local[8]-vs-local[32] tests pin.
 
 from __future__ import annotations
 
+import json
 import os
-import shutil
 import time
 import uuid
 from typing import Mapping
@@ -44,7 +46,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from filters_spark.engine.evolution import SpecRegistry
 from filters_spark.lake.table import LakeTable, WATERMARK_ZERO, bucket_expr, watermark_str
-from filters_spark.operators.validate import validate
 
 PASSTHROUGH = ["commit", "event_seq", "op", "schema_version"]
 
@@ -60,6 +61,7 @@ class CDCEngine:
     ):
         self.spark = spark
         self.table = table
+        self.io = table.io  # same FS as the table (DFS-safe, lake/fileio.py)
         self.registry = registry
         root = table.root
         self.dead_letter_dir = dead_letter_dir or os.path.join(root, "dead_letter")
@@ -68,250 +70,369 @@ class CDCEngine:
     # ------------------------------------------------------------------
 
     def _validated(self, events: DataFrame) -> DataFrame:
-        """Union of per-registered-version validated slices, plus a
-        dead-letter slice for unknown schema versions.
+        """Single-scan, version-dispatched validation.
 
-        No driver round-trip: every registered version contributes a
-        filter branch; a batch's absent versions cost only parquet
-        footer reads (min=max row-group stats on schema_version prune
-        every row group). Events with an UNregistered version are
-        routed to the dead-letter channel with code
-        ``unknown_schema_version`` — a bad producer must not stall a
-        10^10-event stream."""
+        Per canonical field, registered versions are grouped by
+        (chain spec, source column after rename); each DISTINCT chain
+        compiles once and runs once over a version-masked input column,
+        with a CASE on ``schema_version`` stitching group outputs back
+        together. Versus the previous union-of-slices design this reads
+        the WAL once instead of once per version (+1 for the unknown
+        slice) and crosses the Python/Arrow boundary once per distinct
+        kernel chain instead of once per version — the dominant costs
+        of the staging pass. Events with an UNregistered version get
+        NULL fields and an ``unknown_schema_version`` dead-letter error
+        — a bad producer must not stall a 10^10-event stream."""
+        from filters_spark.operators.validate import ERRORS_COL, FieldSpec, compile_field
+        from filters_spark.functions.native import ERRORS_DDL
+
         known = sorted(self.registry.versions)
-        validated = None
-        for v in known:
-            spec = self.registry.get(v)
-            sliced = events.filter(F.col("schema_version") == v)
-            normalized = self.registry.normalize(sliced, v, PASSTHROUGH)
-            vdf = validate(normalized, spec.field_specs, keep_raw="on_error")
-            validated = vdf if validated is None else validated.unionByName(vdf)
+        sv = F.col("schema_version")
+        known_cond = sv.isin(known)
 
-        unknown = events.filter(
-            ~F.col("schema_version").isin(known) | F.col("schema_version").isNull()
-        )
-        err = F.array(
+        def src_name(field: str, v: int) -> str | None:
+            incoming = field
+            for old, new in self.registry.get(v).renames.items():
+                if new == field:
+                    incoming = old
+            return incoming if incoming in events.columns else None
+
+        empty_errs = F.array().cast(ERRORS_DDL)
+        field_values: dict[str, F.Column] = {}
+        field_raws: dict[str, F.Column] = {}
+        field_errs: list[F.Column] = []
+        for field in self.registry.canonical_columns:
+            groups: dict[str, list[int]] = {}
+            for v in known:
+                chain = self.registry.get(v).field_specs.get(field)
+                key = json.dumps([chain, src_name(field, v)], sort_keys=True, default=repr)
+                groups.setdefault(key, []).append(v)
+
+            value_expr, err_expr, raw_expr = None, None, None
+            for vs in groups.values():
+                chain_spec = self.registry.get(vs[0]).field_specs.get(field)
+                src = src_name(field, vs[0])
+                in_col = F.col(src) if src is not None else F.lit(None).cast("string")
+                cond = sv.isin(vs)
+                masked = F.when(cond, in_col)  # NULL outside this group
+                if chain_spec is None:  # field not validated in these versions
+                    val, errs = masked, empty_errs
+                else:
+                    spec = FieldSpec.of(chain_spec)
+                    _, fn = compile_field(field, spec, input_type="string")
+                    val, errs = fn(masked)
+                value_expr = F.when(cond, val) if value_expr is None else value_expr.when(cond, val)
+                err_expr = F.when(cond, errs) if err_expr is None else err_expr.when(cond, errs)
+                raw_expr = F.when(cond, in_col) if raw_expr is None else raw_expr.when(cond, in_col)
+
+            # unknown versions: NULL value, raw preserved when present
+            fallback_raw = F.col(field) if field in events.columns else F.lit(None).cast("string")
+            field_values[field] = value_expr.otherwise(F.lit(None))
+            field_raws[field] = raw_expr.otherwise(fallback_raw)
+            field_errs.append(err_expr.otherwise(empty_errs))
+
+        unknown_err = F.array(
             F.struct(
                 F.lit("schema_version").alias("key"),
                 F.lit("unknown_schema_version").alias("code"),
                 F.concat(
                     F.lit("No spec registered for schema_version="),
-                    F.coalesce(F.col("schema_version").cast("string"), F.lit("null")),
+                    F.coalesce(sv.cast("string"), F.lit("null")),
                 ).alias("message"),
             )
         )
-        cols = [F.col(c) for c in PASSTHROUGH]
-        for c in self.registry.canonical_columns:
-            cols.append(F.lit(None).cast("string").alias(c))
-            raw = F.col(c) if c in events.columns else F.lit(None).cast("string")
-            cols.append(raw.alias(f"_raw_{c}"))
-        cols.append(err.alias("_errors"))
-        unknown_validated = unknown.select(*cols)
-        return validated.unionByName(unknown_validated) if validated is not None else unknown_validated
+        all_errs = F.when(known_cond, F.flatten(F.array(*field_errs))).otherwise(unknown_err)
+
+        projection = [F.col(c) for c in PASSTHROUGH]
+        for field in self.registry.canonical_columns:
+            projection.append(field_values[field].alias(field))
+            projection.append(field_raws[field].alias(f"_raw_{field}"))
+        projection.append(all_errs.alias(ERRORS_COL))
+        out = events.select(*projection)
+
+        # keep_raw="on_error": second projection so the error expression
+        # is evaluated once (CollapseProject leaves multiply-referenced
+        # non-cheap expressions alone)
+        has_errors = F.size(F.col(ERRORS_COL)) > 0
+        return out.select(
+            *[
+                F.when(has_errors, F.col(c)).alias(c) if c.startswith("_raw_") else F.col(c)
+                for c in out.columns
+            ]
+        )
 
     # ------------------------------------------------------------------
+
+    def _stage(self, events: DataFrame, snap: dict, batch_col: F.Column | None = None) -> str:
+        """Validate + bucket the stream and stage it to scratch parquet,
+        partitioned by (_batch?, _dead).
+
+        This is THE fixed-cost sink: the multi-version validate plan
+        (the largest Catalyst tree in the engine) is analyzed, codegen'd
+        and executed exactly ONCE per stage call — replay() stages the
+        whole stream in one pass, so N batches pay the plan cost once
+        instead of N times (round-1 measured ~60s/batch of driver-side
+        fixed cost at any batch size; that was the scaling killer).
+        Downstream consumers (stats, dead-letter adoption, merge) read
+        the staged columnar files back with partition pruning on
+        (_batch, _dead) and per-consumer column pruning.
+
+        Staging to parquet beat both alternatives measured here:
+        recompute-per-consumer (3x kernel + scan) and .persist()
+        (JavaSerializer spill dominated). On a cluster the scratch dir
+        is the job's DFS staging location — bounded by the staged input
+        size, cleaned after the last commit."""
+        validated = self._validated(events)
+        validated = validated.withColumn(
+            "_bucket",
+            bucket_expr(F.col("repo"), F.col("path"), snap["num_buckets"], snap["path_salt"]),
+        ).withColumn("_wm", watermark_str(F.col("commit"), F.col("event_seq")))
+        staged = validated.withColumn("_dead", F.size(F.col("_errors")) > 0)
+        parts = ["_dead"]
+        if batch_col is not None:
+            staged = staged.withColumn("_batch", batch_col)
+            parts = ["_batch", "_dead"]
+        scratch = os.path.join(self.table.root, "_staging", f"batch-{uuid.uuid4().hex}")
+        staged.write.partitionBy(*parts).parquet(scratch)
+        return scratch
 
     def apply_batch(self, events: DataFrame) -> dict:
         """Apply one event batch; returns metrics. Idempotent: replaying
         any subset of already-applied events is a no-op."""
         t0 = time.time()
         snap = self.table.current()
-        num_buckets = snap["num_buckets"]
-        path_salt = snap["path_salt"]
+        scratch = self._stage(events, snap)
+        try:
+            if not self.io.tree_has_suffix(scratch, ".parquet"):  # empty input
+                return {
+                    "events_in": 0, "applied": 0, "dead_lettered": 0,
+                    "skipped_replays": 0,
+                    "snapshot_id": snap["snapshot_id"], "seconds": time.time() - t0,
+                }
+            staged = (
+                self.spark.read.option("basePath", scratch).parquet(scratch)
+                # partition-column inference yields STRING for booleans
+                .withColumn("_dead", F.col("_dead").cast("boolean"))
+            )
+            return self._apply_staged(
+                staged, os.path.join(scratch, "_dead=true"), os.path.basename(scratch), t0
+            )
+        finally:
+            self.io.rmtree(scratch)
 
-        # 1-2. schema-normalize + validate (one composite plan, no
-        # driver round-trips) then drop already-applied events
-        validated = self._validated(events)
+    def _apply_staged(self, staged: DataFrame, dead_src: str, adopt_name: str, t0: float) -> dict:
+        """Watermark-filter, merge and commit one staged (already
+        validated + bucketed) batch. All plans here are small — a
+        staged-parquet scan, a broadcast anti-join, one window — so the
+        per-batch driver cost is a few hundred ms, not a re-analysis of
+        the validate tree."""
+        snap = self.table.current()
 
-        validated = validated.withColumn(
-            "_bucket", bucket_expr(F.col("repo"), F.col("path"), num_buckets, path_salt)
-        ).withColumn("_wm", watermark_str(F.col("commit"), F.col("event_seq")))
-
+        # exactly-once resume: events at or below their bucket's
+        # committed watermark are replays. Flag instead of filter so ONE
+        # metadata-scale stats pass yields applied/dead/skipped counts
+        # and per-bucket watermarks together.
         wm_map = snap["watermarks"]
         if wm_map:
             wm_df = self.spark.createDataFrame(
                 [(int(b), w) for b, w in wm_map.items()], "_bucket int, _bucket_wm string"
             )
-            validated = (
-                validated.join(F.broadcast(wm_df), "_bucket", "left")
-                .filter(F.col("_bucket_wm").isNull() | (F.col("_wm") > F.col("_bucket_wm")))
-                .drop("_bucket_wm")
-            )
+            staged = staged.join(F.broadcast(wm_df), "_bucket", "left").withColumn(
+                "_survives", F.col("_bucket_wm").isNull() | (F.col("_wm") > F.col("_bucket_wm"))
+            ).drop("_bucket_wm")
+        else:
+            staged = staged.withColumn("_survives", F.lit(True))
 
-        # Stage the validated batch to scratch parquet: ONE pass runs the
-        # validation (incl. the Arrow kernel) exactly once; the three
-        # consumers (stats, dead-letter write, merge) read the staged
-        # columnar file with per-consumer column pruning. This beat both
-        # alternatives measured in this environment: recompute-per-
-        # consumer (3x kernel + scan) and .persist() (Spark's row cache
-        # spilled through JavaSerializer and dominated wall-clock).
-        # On a cluster the scratch dir is the job's staging location on
-        # the DFS — bounded by batch size, cleaned after commit.
-        scratch = os.path.join(self.table.root, "_staging", f"batch-{uuid.uuid4().hex}")
-        try:
-            (
-                validated.withColumn("_dead", F.size(F.col("_errors")) > 0)
-                .write.partitionBy("_dead")
-                .parquet(scratch)
-            )
-            has_rows = any(
-                f.endswith(".parquet")
-                for _, _, files in os.walk(scratch)
-                for f in files
-            )
-            if not has_rows:  # everything was a watermark-filtered replay
-                events_in = events.count()
-                return {
-                    "events_in": events_in, "applied": 0, "dead_lettered": 0,
-                    "skipped_replays": events_in,
-                    "snapshot_id": snap["snapshot_id"], "seconds": time.time() - t0,
-                }
-            validated = (
-                self.spark.read.option("basePath", scratch).parquet(scratch)
-                # partition-column inference yields STRING for booleans
-                .withColumn("_dead", F.col("_dead").cast("boolean"))
-            )
+        stats_rows = (
+            staged.groupBy("_dead", "_survives", F.col("_bucket"))
+            .agg(F.max("_wm").alias("wm"), F.count("*").alias("n"))
+            .collect()
+        )
+        events_in = int(sum(r["n"] for r in stats_rows))
+        n_dead = int(sum(r["n"] for r in stats_rows if r["_dead"] and r["_survives"]))
+        skipped = int(sum(r["n"] for r in stats_rows if not r["_survives"]))
+        bucket_stats = [r for r in stats_rows if not r["_dead"] and r["_survives"]]
+        clean = staged.filter(~F.col("_dead") & F.col("_survives")).drop("_dead", "_survives")
 
-            # ONE metadata-scale stats pass: dead count, touched buckets
-            # and per-bucket watermarks together ( _dead is a partition
-            # column, so the grouping is pruning-friendly).
-            stats_rows = (
-                validated.groupBy("_dead", F.col("_bucket"))
-                .agg(F.max("_wm").alias("wm"), F.count("*").alias("n"))
-                .collect()
-            )
-            n_dead = int(sum(r["n"] for r in stats_rows if r["_dead"]))
-            bucket_stats = [r for r in stats_rows if not r["_dead"]]
-            clean = validated.filter(~F.col("_dead")).drop("_dead")
+        # a NULL key can't be merged; key-less clean rows are dead-lettered upstream
+        # by the 'required' chain on path, so clean rows always have keys.
 
-            # a NULL key can't be merged; key-less clean rows are dead-lettered upstream
-            # by the 'required' chain on path, so clean rows always have keys.
+        touched = sorted({int(r["_bucket"]) for r in bucket_stats})
+        new_wms = {int(r["_bucket"]): r["wm"] for r in bucket_stats}
+        applied_events = int(sum(r["n"] for r in bucket_stats))
 
-            touched = [int(r["_bucket"]) for r in bucket_stats]
-            new_wms = {int(r["_bucket"]): r["wm"] for r in bucket_stats}
-            applied_events = int(sum(r["n"] for r in bucket_stats))
-
-            if not touched:
-                events_in = events.count()
-                self._adopt_dead_letters(scratch, n_dead)
-                return {
-                    "events_in": events_in, "applied": 0, "dead_lettered": n_dead,
-                    "skipped_replays": events_in - n_dead,
-                    "snapshot_id": snap["snapshot_id"], "seconds": time.time() - t0,
-                }
-
-            # 6. merge: current state of touched buckets + batch events.
-            # ONE shuffle, keyed on _bucket (== the table's physical
-            # partitioning), so the merge is partition-local and the
-            # write needs no further exchange. Within each bucket, rows
-            # are sorted by (key, _wm desc); the first row of each key
-            # group is the last writer — in-batch dedupe and
-            # merge-against-current collapse into the same window pass.
-            current = self.table.read(buckets=touched)
-            ev_cols = ["repo", "path", "commit", "event_seq", "lang", "content", "op", "_bucket", "_wm"]
-            incoming = clean.select(*ev_cols).filter(
-                F.col("repo").isNotNull() & F.col("path").isNotNull()
-            )
-            if current is not None:
-                cur = current.select(
-                    "repo", "path", "commit", "event_seq", "lang", "content",
-                    F.lit("K").alias("op"),
-                    F.col("_bucket").cast("int").alias("_bucket"),
-                    watermark_str(F.col("commit"), F.col("event_seq")).alias("_wm"),
-                )
-                merged_src = cur.unionByName(incoming)
-            else:
-                merged_src = incoming
-
-            mw = Window.partitionBy("_bucket").orderBy(
-                "repo", "path", F.col("_wm").desc()
-            )
-            is_group_head = (
-                F.lag("repo").over(mw).isNull()
-                | (F.lag("repo").over(mw) != F.col("repo"))
-                | (F.lag("path").over(mw) != F.col("path"))
-            )
-            merged = (
-                merged_src
-                .withColumn("_head", F.coalesce(is_group_head, F.lit(True)))
-                .filter(F.col("_head") & (F.col("op") != "D"))
-                .select(
-                    "repo", "path", "commit", "event_seq", "lang", "content",
-                    F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("content_sha"),
-                    "_bucket",
-                )
-            )
-
-            # 7. atomic commit (copy-on-write of touched buckets only)
-            stats = {
-                "rows_applied": applied_events,
-                "batch_dead_lettered": n_dead,
-            }
-            new_snap = self.table.commit_buckets(
-                merged, touched, new_wms, stats=stats,
-                schema_version=self.registry.latest,
-                columns=self.registry.canonical_columns,
-            )
-
-            # 3b (deferred until after the merge executed, so the clean
-            # scan never races the move): adopt the staged _dead=true
-            # files AS the dead-letter table — a metadata move, not
-            # another Spark job over the batch.
-            self._adopt_dead_letters(scratch, n_dead)
-
-            # 8. lineage
-            lineage_rows = [
-                (
-                    new_snap["snapshot_id"], int(r["_bucket"]), r["wm"], int(r["n"]),
-                    n_dead, int(time.time() * 1000),
-                )
-                for r in bucket_stats
-            ]
-            self.spark.createDataFrame(
-                lineage_rows,
-                "snapshot_id long, bucket int, watermark string, rows_applied long, "
-                "batch_dead_lettered long, ts_ms long",
-            ).coalesce(1).write.mode("append").parquet(self.lineage_dir)
-
+        if not touched:
+            self._adopt_dead_letters(dead_src, adopt_name, n_dead)
             return {
-                "events_in": None,  # not counted to avoid an extra pass; see applied
-                "applied": applied_events,
-                "dead_lettered": n_dead,
-                "touched_buckets": len(touched),
-                "snapshot_id": new_snap["snapshot_id"],
-                "seconds": time.time() - t0,
+                "events_in": events_in, "applied": 0, "dead_lettered": n_dead,
+                "skipped_replays": skipped,
+                "snapshot_id": snap["snapshot_id"], "seconds": time.time() - t0,
             }
-        finally:
-            shutil.rmtree(scratch, ignore_errors=True)
 
-    def _adopt_dead_letters(self, scratch: str, n_dead: int) -> None:
-        dead_src = os.path.join(scratch, "_dead=true")
-        if n_dead and os.path.isdir(dead_src):
-            batch_dir = os.path.join(self.dead_letter_dir, os.path.basename(scratch))
-            os.makedirs(self.dead_letter_dir, exist_ok=True)
-            shutil.move(dead_src, batch_dir)
+        # 6. merge: current state of touched buckets + batch events.
+        # ONE shuffle, keyed on _bucket (== the table's physical
+            # partitioning), so the merge is partition-local and the
+        # write needs no further exchange. Within each bucket, rows
+        # are sorted by (key, _wm desc); the first row of each key
+        # group is the last writer — in-batch dedupe and
+        # merge-against-current collapse into the same window pass.
+        current = self.table.read(buckets=touched)
+        ev_cols = ["repo", "path", "commit", "event_seq", "lang", "content", "op", "_bucket", "_wm"]
+        incoming = clean.select(*ev_cols).filter(
+            F.col("repo").isNotNull() & F.col("path").isNotNull()
+        )
+        if current is not None:
+            cur = current.select(
+                "repo", "path", "commit", "event_seq", "lang", "content",
+                F.lit("K").alias("op"),
+                F.col("_bucket").cast("int").alias("_bucket"),
+                watermark_str(F.col("commit"), F.col("event_seq")).alias("_wm"),
+            )
+            merged_src = cur.unionByName(incoming)
+        else:
+            merged_src = incoming
+
+        mw = Window.partitionBy("_bucket").orderBy(
+            "repo", "path", F.col("_wm").desc()
+        )
+        is_group_head = (
+            F.lag("repo").over(mw).isNull()
+            | (F.lag("repo").over(mw) != F.col("repo"))
+            | (F.lag("path").over(mw) != F.col("path"))
+        )
+        merged = (
+            merged_src
+            .withColumn("_head", F.coalesce(is_group_head, F.lit(True)))
+            .filter(F.col("_head") & (F.col("op") != "D"))
+            .select(
+                "repo", "path", "commit", "event_seq", "lang", "content",
+                F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("content_sha"),
+                "_bucket",
+            )
+        )
+
+        # 7. atomic commit (copy-on-write of touched buckets only)
+        stats = {
+            "rows_applied": applied_events,
+            "batch_dead_lettered": n_dead,
+        }
+        new_snap = self.table.commit_buckets(
+            merged, touched, new_wms, stats=stats,
+            schema_version=self.registry.latest,
+            columns=self.registry.canonical_columns,
+        )
+
+        # 3b (deferred until after the merge executed, so the clean
+        # scan never races the move): adopt the staged _dead=true
+        # files AS the dead-letter table — a metadata move, not
+        # another Spark job over the batch.
+        self._adopt_dead_letters(dead_src, adopt_name, n_dead)
+
+        # 8. lineage
+        lineage_rows = [
+            (
+                new_snap["snapshot_id"], int(r["_bucket"]), r["wm"], int(r["n"]),
+                n_dead, int(time.time() * 1000),
+            )
+            for r in bucket_stats
+        ]
+        self.spark.createDataFrame(
+            lineage_rows,
+            "snapshot_id long, bucket int, watermark string, rows_applied long, "
+            "batch_dead_lettered long, ts_ms long",
+        ).coalesce(1).write.mode("append").parquet(self.lineage_dir)
+
+        return {
+            "events_in": events_in,
+            "applied": applied_events,
+            "dead_lettered": n_dead,
+            "skipped_replays": skipped,
+            "touched_buckets": len(touched),
+            "snapshot_id": new_snap["snapshot_id"],
+            "seconds": time.time() - t0,
+        }
+
+    def _adopt_dead_letters(self, dead_src: str, adopt_name: str, n_dead: int) -> None:
+        if n_dead and self.io.isdir(dead_src):
+            batch_dir = os.path.join(self.dead_letter_dir, adopt_name)
+            self.io.move(dead_src, batch_dir)
 
     # ------------------------------------------------------------------
 
-    def replay(self, events: DataFrame, num_batches: int = 1) -> list[dict]:
+    def replay(self, events: DataFrame, num_batches: int = 1,
+               stage_batches: int | None = None) -> list[dict]:
         """Replay an event stream in commit-ordered batches (a WAL tail
         consumes ranges in order; batching by commit prefix keeps each
-        batch a contiguous WAL range)."""
+        batch a contiguous WAL range).
+
+        The stream is validated + staged ONCE (partitioned by batch id),
+        then each batch merges from its staged partition — N batches pay
+        the validate plan's analysis/codegen and its full-stream scan a
+        single time. ``stage_batches`` bounds scratch usage at very
+        large replays: the stream is staged in groups of that many
+        batches (default: all at once)."""
         if num_batches <= 1:
             return [self.apply_batch(events)]
         bounds = events.select(
             F.min("commit").alias("lo"), F.max("commit").alias("hi")
         ).first()
         lo, hi = int(bounds.lo, 16), int(bounds.hi, 16)
-        metrics = []
         span = (hi - lo + num_batches) // num_batches
-        for i in range(num_batches):
-            b_lo, b_hi = lo + i * span, lo + (i + 1) * span
-            batch = events.filter(
-                (F.col("commit") >= F.format_string("%012x", F.lit(b_lo)))
-                & (F.col("commit") < F.format_string("%012x", F.lit(b_hi)))
-            )
-            metrics.append(self.apply_batch(batch))
+        group = stage_batches or num_batches
+
+        snap0 = self.table.current()
+        commit_long = F.conv(F.col("commit"), 16, 10).cast("long")
+        batch_id = F.least(
+            F.floor((commit_long - F.lit(lo)) / F.lit(span)), F.lit(num_batches - 1)
+        ).cast("int")
+
+        metrics: list[dict] = []
+        for g_lo in range(0, num_batches, group):
+            g_hi = min(g_lo + group, num_batches)
+            part = events
+            if group < num_batches:  # stage only this group's commit range
+                part = events.filter(
+                    (F.col("commit") >= F.format_string("%012x", F.lit(lo + g_lo * span)))
+                    & (F.col("commit") < F.format_string(
+                        "%012x", F.lit(lo + g_hi * span if g_hi < num_batches else hi + 1)))
+                )
+            scratch = self._stage(part, snap0, batch_col=batch_id)
+            try:
+                if not self.io.tree_has_suffix(scratch, ".parquet"):
+                    metrics.extend(
+                        {"events_in": 0, "applied": 0, "dead_lettered": 0,
+                         "skipped_replays": 0,
+                         "snapshot_id": self.table.current()["snapshot_id"],
+                         "seconds": 0.0}
+                        for _ in range(g_lo, g_hi)
+                    )
+                    continue
+                staged_all = (
+                    self.spark.read.option("basePath", scratch).parquet(scratch)
+                    .withColumn("_dead", F.col("_dead").cast("boolean"))
+                )
+                for i in range(g_lo, g_hi):
+                    t0 = time.time()
+                    bdir = os.path.join(scratch, f"_batch={i}")
+                    if not self.io.tree_has_suffix(bdir, ".parquet"):
+                        metrics.append(
+                            {"events_in": 0, "applied": 0, "dead_lettered": 0,
+                             "skipped_replays": 0,
+                             "snapshot_id": self.table.current()["snapshot_id"],
+                             "seconds": time.time() - t0}
+                        )
+                        continue
+                    staged_i = staged_all.filter(F.col("_batch") == i).drop("_batch")
+                    metrics.append(
+                        self._apply_staged(
+                            staged_i,
+                            os.path.join(bdir, "_dead=true"),
+                            f"{os.path.basename(scratch)}-b{i}",
+                            t0,
+                        )
+                    )
+            finally:
+                self.io.rmtree(scratch)
         return metrics
 
     def dead_letters(self, distinct: bool = True) -> DataFrame | None:
@@ -323,7 +444,7 @@ class CDCEngine:
         batches re-append their dead letters (watermarks only advance on
         *clean* events in a bucket), so reads dedupe on event identity
         by default."""
-        if not os.path.isdir(self.dead_letter_dir):
+        if not self.io.isdir(self.dead_letter_dir):
             return None
         df = self.spark.read.option("recursiveFileLookup", "true").parquet(self.dead_letter_dir)
         raw_cols = [c for c in df.columns if c.startswith("_raw_")]
@@ -342,6 +463,6 @@ class CDCEngine:
         return df
 
     def lineage(self) -> DataFrame | None:
-        if not os.path.isdir(self.lineage_dir):
+        if not self.io.isdir(self.lineage_dir):
             return None
         return self.spark.read.parquet(self.lineage_dir)

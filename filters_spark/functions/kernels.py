@@ -825,7 +825,10 @@ class MaxBytesK(Kernel):
         self.truncate = truncate
         self.prefix = prefix
         self.encoding = encoding
-        self._uni = UnicodeK(encoding=encoding, normalize=False)
+        # reference MaxBytes pipes the value through Unicode(encoding)
+        # with normalize ON (string.py:319-324 -> 653-762): NFC, strip
+        # non-printables, CRLF->LF — all BEFORE measuring/truncating.
+        self._uni = UnicodeK(encoding=encoding, normalize=True)
 
     def truncate_string(self, value: str) -> bytes:
         raw = bytearray(value.encode(self.encoding))
@@ -858,6 +861,7 @@ class MaxBytesK(Kernel):
             text, e = self._uni._decode_one(v)
             if e is not None:
                 return None, e
+            text = self._uni._normalize_one(text)
             encoded = text.encode(self.encoding)
             if len(encoded) > self.max_bytes:
                 replacement = self.truncate_string(self.prefix + text) if self.truncate else None

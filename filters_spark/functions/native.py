@@ -184,18 +184,47 @@ def _b_int(**kw) -> NativeStep:
     )
 
 
-def _b_regex_match(pattern: str, **kw) -> NativeStep:
+# Constructs whose semantics (or validity) differ between Java regex
+# (rlike / regexp_extract_all) and the Python 'regex' module the kernel
+# fallback compiles with: unicode property classes (\p{Alpha} vs POSIX
+# spellings), lookbehind width rules ((?<...), named groups ((?P< py-only),
+# \g/\k group refs, numeric backrefs, \A/\Z/\z end anchors (py \Z == java
+# \z), \uXXXX escapes, conditionals ((?(, and POSIX [[:alpha:]] classes.
+# A pattern using any of these compiles ONLY on the kernel path, so both
+# strategies always agree.
+import re as _stdre
+
+_DIALECT_UNSAFE = _stdre.compile(
+    r"\\[pPgkAZzuN]|\(\?P|\(\?<|\(\?\(|\\[1-9]|\[\[:"
+)
+
+
+def _dialect_safe(pattern: str) -> bool:
+    if _DIALECT_UNSAFE.search(pattern):
+        return False
+    try:  # stdlib re ~ the common subset; rejects java-only syntax too
+        _stdre.compile(pattern)
+    except _stdre.error:
+        return False
+    return True
+
+
+def _b_regex_match(pattern: str, **kw) -> Optional[NativeStep]:
     # Validation-only Regex variant (engine extension): keeps the string
     # instead of returning the match list, so it composes in typed
     # column chains. The reference Regex's list-of-matches behavior is
     # available via the kernel path / 'regex' name.
+    if not _dialect_safe(pattern):
+        return None
     return NativeStep(
         conds=[(lambda c: ~c.rlike(pattern), "malformed",
                 f"Value does not match regular expression {pattern}.")]
     )
 
 
-def _b_regex(pattern: str, **kw) -> NativeStep:
+def _b_regex(pattern: str, **kw) -> Optional[NativeStep]:
+    if not _dialect_safe(pattern):
+        return None
     return NativeStep(
         conds=[(lambda c: F.size(F.regexp_extract_all(c, F.lit(pattern), 0)) == 0,
                 "malformed", f"Value does not match regular expression {pattern}.")],
@@ -244,9 +273,20 @@ def _normalize_steps(chain_spec) -> list[tuple[str, dict]]:
     return steps
 
 
-def compile_native_chain(field: str, chain_spec) -> Optional[Callable[[Column], tuple[Column, Column]]]:
+def compile_native_chain(
+    field: str, chain_spec, input_type: str | None = None
+) -> Optional[Callable[[Column], tuple[Column, Column]]]:
     """Compile a chain spec to a ``col -> (value, errors_array)`` Column
-    function, or None if any step is not native-able."""
+    function, or None if any step is not native-able.
+
+    ``input_type``: the Spark simpleString of the input column when
+    known. The native builders assume string semantics (e.g. required's
+    emptiness test is ``length(cast(string)) == 0``, which an empty
+    ARRAY — cast to ``"[]"`` — would never fire); non-string inputs
+    route to the kernel path, whose Python ``len()`` matches the
+    reference for every container type."""
+    if input_type is not None and input_type != "string":
+        return None
     steps = _normalize_steps(chain_spec)
     if steps is None:
         return None
@@ -256,9 +296,12 @@ def compile_native_chain(field: str, chain_spec) -> Optional[Callable[[Column], 
         if builder is None:
             return None
         try:
-            native_steps.append(builder(**params))
+            built = builder(**params)
         except TypeError:
             return None
+        if built is None:  # builder declined (e.g. dialect-unsafe regex)
+            return None
+        native_steps.append(built)
 
     def apply(col: Column) -> tuple[Column, Column]:
         # LINEAR composition: one flat CASE over all step conditions.

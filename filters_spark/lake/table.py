@@ -40,11 +40,12 @@ from __future__ import annotations
 import json
 import os
 import time
-import uuid
 from typing import Iterable
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+from filters_spark.lake.fileio import FileIO, fileio_for
 
 WATERMARK_ZERO = "000000000000:-1"
 
@@ -70,9 +71,13 @@ def watermark_str(commit_col, seq_col):
 class LakeTable:
     """Handle to a copy-on-write bucketed table rooted at ``root``."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, io: FileIO | None = None):
         self.spark = spark
         self.root = root
+        # all direct file ops (manifest JSON, listings, staged moves) go
+        # through FileIO so the same code runs on local FS and DFS/object
+        # stores (lake/fileio.py); bulk data IO stays on spark.read/write
+        self.io = io or fileio_for(spark, root)
         self.meta_dir = os.path.join(root, "metadata")
         self.data_dir = os.path.join(root, "data")
 
@@ -90,10 +95,10 @@ class LakeTable:
         columns: list[str] | None = None,
     ) -> "LakeTable":
         t = cls(spark, root)
-        if os.path.exists(os.path.join(t.meta_dir, "version-hint.text")):
+        if t.io.exists(os.path.join(t.meta_dir, "version-hint.text")):
             raise FileExistsError(f"lake table already exists at {root}")
-        os.makedirs(t.meta_dir, exist_ok=True)
-        os.makedirs(t.data_dir, exist_ok=True)
+        t.io.makedirs(t.meta_dir)
+        t.io.makedirs(t.data_dir)
         snapshot = {
             "snapshot_id": 0,
             "parent_id": None,
@@ -122,44 +127,35 @@ class LakeTable:
         return os.path.join(self.meta_dir, f"snap-{snapshot_id:08d}.json")
 
     def current_snapshot_id(self) -> int:
-        with open(os.path.join(self.meta_dir, "version-hint.text")) as f:
-            return int(f.read().strip())
+        return int(self.io.read_text(os.path.join(self.meta_dir, "version-hint.text")).strip())
 
     def snapshot(self, snapshot_id: int | None = None) -> dict:
         if snapshot_id is None:
             snapshot_id = self.current_snapshot_id()
-        with open(self._snap_path(snapshot_id)) as f:
-            return json.load(f)
+        return json.loads(self.io.read_text(self._snap_path(snapshot_id)))
 
     def current(self) -> dict:
         return self.snapshot()
 
     def snapshots(self) -> list[int]:
         out = []
-        for name in os.listdir(self.meta_dir):
+        for name in self.io.listdir(self.meta_dir):
             if name.startswith("snap-") and name.endswith(".json"):
                 out.append(int(name[5:-5]))
         return sorted(out)
 
     def _write_snapshot(self, snapshot: dict) -> None:
         sid = snapshot["snapshot_id"]
-        final = self._snap_path(sid)
-        tmp = final + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(snapshot, f, indent=1, sort_keys=True)
-            f.flush()
-            os.fsync(f.fileno())
-        # optimistic concurrency: fail if another writer committed sid
-        if os.path.exists(final):
-            os.unlink(tmp)
-            raise FileExistsError(f"snapshot {sid} already committed (concurrent writer)")
-        os.rename(tmp, final)
-        hint_tmp = os.path.join(self.meta_dir, f".hint-{uuid.uuid4().hex}")
-        with open(hint_tmp, "w") as f:
-            f.write(str(sid))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(hint_tmp, os.path.join(self.meta_dir, "version-hint.text"))
+        # optimistic concurrency: the snapshot file is create-exclusive —
+        # a concurrent writer that committed sid first wins the rename
+        self.io.write_text_atomic(
+            self._snap_path(sid),
+            json.dumps(snapshot, indent=1, sort_keys=True),
+            fail_if_exists=True,
+        )
+        self.io.write_text_atomic(
+            os.path.join(self.meta_dir, "version-hint.text"), str(sid)
+        )
 
     # -- read ---------------------------------------------------------------
 
@@ -212,14 +208,11 @@ class LakeTable:
         new_files: dict[str, list[str]] = {}
         for b in touched_buckets:
             bdir = os.path.join(out_dir, f"_bucket={b}")
-            if os.path.isdir(bdir):
-                new_files[str(b)] = sorted(
-                    os.path.join(bdir, f)
-                    for f in os.listdir(bdir)
-                    if f.endswith(".parquet")
-                )
-            else:  # bucket became empty (all rows deleted)
-                new_files[str(b)] = []
+            new_files[str(b)] = sorted(
+                os.path.join(bdir, f)
+                for f in self.io.listdir(bdir)  # [] when bucket became empty
+                if f.endswith(".parquet")
+            )
 
         buckets = dict(prev["buckets"])
         for b, fl in new_files.items():

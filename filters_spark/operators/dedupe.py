@@ -104,6 +104,15 @@ def minhash_lsh_pairs(
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
         .withColumn("_sig", minhash_signature(shingles(F.col("_text"), shingle_k), num_hashes, seed))
         .drop("_text")
+        # materialize signatures through ONE narrow exchange of
+        # (_id, num_hashes longs). Without it Catalyst inlines the
+        # interpreted shingle->minhash expression into every downstream
+        # derivation — this self-join has four (a, b, both bucket-size
+        # guards) — and an all-broadcast plan collapses to a single
+        # task recomputing signatures 4x (measured: 10min vs 10s at
+        # 2k docs). With it, ReuseExchange computes signatures once,
+        # in parallel, and every consumer reads materialized arrays.
+        .repartition("_id")
     )
     banded = sig.select(
         "_id",
@@ -133,17 +142,19 @@ def minhash_lsh_pairs(
 
     a = banded.select(F.col("band"), F.col("bucket"), F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
     b = banded.select(F.col("band"), F.col("bucket"), F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
-    pairs = (
+    # score + threshold BEFORE the cross-band dedupe so the
+    # dropDuplicates exchange shuffles (id_a, id_b, est_jaccard) — 3
+    # scalars/row — instead of two full num_hashes-long signatures.
+    # est_jaccard is a pure function of the signatures, so it is
+    # identical in every band a pair collides in; deduping after
+    # scoring changes nothing semantically.
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e))
+    return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b", (agree / F.size("sig_a")).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
         .dropDuplicates(["id_a", "id_b"])
-    )
-    # estimated jaccard = fraction of agreeing minhashes
-    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e))
-    pairs = pairs.withColumn("est_jaccard", agree / F.size("sig_a"))
-    return (
-        pairs.filter(F.col("est_jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
     )
 
@@ -186,11 +197,37 @@ def _simhash_expr(hashes: Column, bits: int) -> Column:
     return out
 
 
-def simhash_dupes(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 16-bit chunks (a pair within
-    hamming distance 3 of 64 bits shares at least one of 4 chunks), then
-    verify hamming distance exactly — no cross join."""
-    sh = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_sh"))
+def simhash_dupes(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    hash_col: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on bit chunks, then verify
+    hamming distance exactly — no cross join.
+
+    Recall guarantee by pigeonhole: a pair within hamming distance h
+    must agree on at least one of h+1 disjoint chunks, so the number of
+    blocking chunks is DERIVED from ``max_hamming`` (h+1), not fixed.
+    More chunks = narrower chunks = more candidates verified; the exact
+    hamming filter keeps the output identical for any chunking.
+
+    ``hash_col``: use a precomputed 64-bit simhash column instead of
+    hashing ``text_col`` — at corpus scale the simhash is computed once
+    at ingest and stored, so re-runs with different thresholds only pay
+    the blocking join."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError("max_hamming must be in [0, 63]")
+    n_chunks = max_hamming + 1
+    # chunk i covers bits [i*64//n, (i+1)*64//n) — widths differ by at
+    # most 1 bit; disjoint and covering => pigeonhole holds.
+    bounds = [(i * 64 // n_chunks, (i + 1) * 64 // n_chunks) for i in range(n_chunks)]
+    hash_expr = F.col(hash_col) if hash_col else simhash(F.col(text_col))
+    # same materialization rationale as minhash_lsh_pairs: one narrow
+    # exchange so the 64-bit-unrolled simhash expression is computed
+    # once per doc (ReuseExchange) instead of once per derivation
+    sh = df.select(F.col(id_col).alias("_id"), hash_expr.alias("_sh")).repartition("_id")
     chunks = sh.select(
         "_id", "_sh",
         F.explode(
@@ -198,9 +235,11 @@ def simhash_dupes(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned("_sh", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                        F.shiftrightunsigned("_sh", lo).bitwiseAND(
+                            F.lit((1 << (hi - lo)) - 1).cast("long")
+                        ).alias("val"),
                     )
-                    for i in range(4)
+                    for i, (lo, hi) in enumerate(bounds)
                 ]
             )
         ).alias("c"),
@@ -235,7 +274,9 @@ def ngram_jaccard_pairs(
     full-corpus sweep."""
     grams = F.array_distinct(shingles(F.col(text_col), n))
     block = F.col(block_col) if block_col else F.element_at(F.split(F.lower(F.col(text_col)), r"\s+"), 1)
-    g = df.select(F.col(id_col).alias("_id"), grams.alias("_g"), block.alias("_blk"))
+    # materialize gram sets once (shared exchange) and pre-distribute
+    # by block so the pair join is co-located
+    g = df.select(F.col(id_col).alias("_id"), grams.alias("_g"), block.alias("_blk")).repartition("_blk")
     a = g.select(F.col("_blk"), F.col("_id").alias("id_a"), F.col("_g").alias("g_a"))
     b = g.select(F.col("_blk"), F.col("_id").alias("id_b"), F.col("_g").alias("g_b"))
     inter = F.size(F.array_intersect("g_a", "g_b"))

@@ -112,16 +112,79 @@ def lsh_ann_topk(
     )
 
 
+def _nearest_cells(vec: Column, cents: Column, nprobe: int) -> Column:
+    """Top-``nprobe`` cell ids for ``vec`` against a (small, broadcast)
+    array<struct<cell,cvec>> of centroids — a pure per-row expression:
+    score each centroid, sort by similarity desc, slice. No join, no
+    window, no shuffle."""
+    scored = F.transform(
+        cents,
+        lambda c: F.struct((-cosine(vec, c["cvec"])).alias("negd"), c["cell"].alias("cell")),
+    )
+    return F.slice(F.transform(F.array_sort(scored), lambda s: s["cell"]), 1, nprobe)
+
+
 def ivf_assign(df: DataFrame, centroids: DataFrame, vec_col: str = "embedding",
                cent_id: str = "cell", cent_vec: str = "centroid") -> DataFrame:
     """Assign each vector to its nearest centroid cell (IVF coarse
-    quantization). ``centroids`` is broadcast."""
-    c = centroids.select(F.col(cent_id).alias("_cell"), F.col(cent_vec).alias("_cvec"))
-    scored = df.crossJoin(F.broadcast(c)).withColumn("_d", cosine(F.col(vec_col), F.col("_cvec")))
-    w = Window.partitionBy(*df.columns).orderBy(F.col("_d").desc())
+    quantization, cosine metric).
+
+    Map-only: the centroid table is collapsed to ONE row holding an
+    array<struct<cell,cvec>> and broadcast; the argmax is a per-row
+    array expression. No window (the previous version windowed over all
+    of df's columns — including the vector — putting the embedding in
+    the shuffle key), no shuffle at any size of ``df``."""
+    cents = centroids.agg(
+        F.collect_list(
+            F.struct(F.col(cent_id).alias("cell"), F.col(cent_vec).alias("cvec"))
+        ).alias("_cents")
+    )
+    out = df.crossJoin(F.broadcast(cents))
+    best = F.element_at(_nearest_cells(F.col(vec_col), F.col("_cents"), 1), 1)
+    return out.withColumn("cell", best).drop("_cents")
+
+
+def ivf_topk(
+    df_assigned: DataFrame,
+    centroids: DataFrame,
+    query_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    nprobe: int = 2,
+    cent_id: str = "cell",
+    cent_vec: str = "centroid",
+) -> DataFrame:
+    """IVF search: each query probes its ``nprobe`` nearest cells, then
+    exact cosine re-ranks ONLY the vectors assigned to those cells.
+
+    ``df_assigned`` must carry a ``cell`` column (from :func:`ivf_assign`
+    — at scale it is the table's partition column, so the candidate
+    join prunes partitions). The probe side is queries × nprobe rows,
+    broadcast; the candidate join is a broadcast hash join on ``cell``."""
+    cents = centroids.agg(
+        F.collect_list(
+            F.struct(F.col(cent_id).alias("cell"), F.col(cent_vec).alias("cvec"))
+        ).alias("_cents")
+    )
+    probes = (
+        query_df.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "_qvec",
+            F.explode(_nearest_cells(F.col("_qvec"), F.col("_cents"), nprobe)).alias("cell"),
+        )
+    )
+    base = df_assigned.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_vec"), "cell"
+    )
+    scored = base.join(F.broadcast(probes), "cell").withColumn(
+        "cosine", cosine(F.col("_vec"), F.col("_qvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("id"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_cvec", "_d")
-        .withColumnRenamed("_cell", "cell")
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "id", F.round("cosine", 4).alias("cosine"), F.col("_rn").alias("rank"))
     )

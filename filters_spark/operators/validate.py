@@ -95,10 +95,10 @@ def _kernel_udf(field: str, spec: FieldSpec):
     return udf
 
 
-def compile_field(field: str, spec: FieldSpec):
+def compile_field(field: str, spec: FieldSpec, input_type: str | None = None):
     """Return (strategy, fn) where fn: Column -> (value_col, errors_col)."""
     if spec.mode in ("auto", "native"):
-        native = compile_native_chain(field, spec.chain_spec)
+        native = compile_native_chain(field, spec.chain_spec, input_type=input_type)
         if native is not None:
             return "native", native
         if spec.mode == "native":
@@ -133,7 +133,7 @@ def validate(
     for field, spec in field_specs.items():
         if field not in df.columns:
             raise ValueError(f"validate: column {field!r} not in DataFrame {df.columns}")
-        _, fn = compile_field(field, spec)
+        _, fn = compile_field(field, spec, input_type=df.schema[field].dataType.simpleString())
         val, errs = fn(F.col(field))
         value_cols[field] = val
         error_cols.append(errs)

@@ -98,6 +98,80 @@ class TestSimilarity:
         # recall@10 >= 0.5 with 6 tables on a smooth manifold
         assert len(exact & approx) >= 5
 
+    def test_ivf_assign_nearest_cell(self, spark):
+        from filters_spark.operators.similarity import ivf_assign
+
+        vecs = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0, 0.0]),
+                (2, [0.9, 0.2, 0.0]),
+                (3, [0.0, 1.0, 0.0]),
+                (4, [0.1, 0.9, 0.0]),
+                (5, [0.0, 0.0, 1.0]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        cents = spark.createDataFrame(
+            [(10, [1.0, 0.0, 0.0]), (20, [0.0, 1.0, 0.0]), (30, [0.0, 0.0, 1.0])],
+            "cell long, centroid array<double>",
+        )
+        assigned = ivf_assign(vecs, cents)
+        out = {r.vec_id: r.cell for r in assigned.collect()}
+        assert out == {1: 10, 2: 10, 3: 20, 4: 20, 5: 30}
+        # original columns preserved; the data side is map-only — no
+        # window/sort over df rows (the old version windowed over all
+        # columns incl. the vector). The only exchanges allowed are the
+        # broadcast + the single-row centroid-side collect_list agg.
+        assert set(assigned.columns) == {"vec_id", "embedding", "cell"}
+        plan = assigned._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan and "SortExec" not in plan
+
+    def test_ivf_topk_matches_exact_within_probed_cells(self, spark):
+        import math
+
+        from filters_spark.operators.similarity import cosine_topk, ivf_assign, ivf_topk
+
+        rows = [(i, [math.cos(i / 30.0), math.sin(i / 30.0), 0.05]) for i in range(1, 120)]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0, 0.0]),
+                (1, [0.0, 1.0, 0.0]),
+                (2, [-1.0, 0.0, 0.0]),
+                (3, [0.7, 0.7, 0.0]),
+            ],
+            "cell long, centroid array<double>",
+        )
+        assigned = ivf_assign(vecs, cents)
+        q = spark.createDataFrame(
+            [(0, [math.cos(0.2), math.sin(0.2), 0.05])], "query_id long, embedding array<double>"
+        )
+        exact = {r.id for r in cosine_topk(vecs, q, k=10).collect()}
+        approx = {r.id for r in ivf_topk(assigned, cents, q, k=10, nprobe=2).collect()}
+        # query near angle 0.2 -> its cell + 1 probe cover the true neighbors
+        assert len(exact & approx) >= 8
+
+    def test_simhash_pigeonhole_recall_above_3(self, spark):
+        """max_hamming > 3 must still surface pairs whose differing bits
+        span >4 of the old fixed 16-bit chunks (ADVICE round 1): bits
+        {0, 16, 24, 32, 48, 60} differ — one per old chunk and then
+        some — at hamming distance 6."""
+        from filters_spark.operators.dedupe import simhash_dupes
+
+        base = 0x0123456789ABCDEF
+        flip = (1 << 0) | (1 << 16) | (1 << 24) | (1 << 32) | (1 << 48) | (1 << 60)
+
+        def signed(v):  # two's-complement into Spark LongType
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        df = spark.createDataFrame(
+            [(0, signed(base)), (1, signed(base ^ flip)), (2, signed(~base & ((1 << 64) - 1)))],
+            "doc_id long, sh long",
+        )
+        pairs = {(r.id_a, r.id_b): r.hamming for r in
+                 simhash_dupes(df, "unused", "doc_id", max_hamming=6, hash_col="sh").collect()}
+        assert pairs == {(0, 1): 6}
+
 
 class TestTextStats:
     def test_profile_columns(self, docs):
