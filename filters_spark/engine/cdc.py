@@ -45,7 +45,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from filters_spark.engine.evolution import SpecRegistry
-from filters_spark.lake.table import LakeTable, WATERMARK_ZERO, bucket_expr, watermark_str
+from filters_spark.lake.table import LakeTable, WATERMARK_ZERO, bucket_expr, lww_merge, watermark_str
 
 PASSTHROUGH = ["commit", "event_seq", "op", "schema_version"]
 
@@ -58,11 +58,28 @@ class CDCEngine:
         registry: SpecRegistry,
         dead_letter_dir: str | None = None,
         lineage_dir: str | None = None,
+        write_mode: str = "cow",
+        compact_after: int = 8,
     ):
+        """``write_mode``:
+
+        - ``"cow"`` (default): each batch rewrites the touched buckets
+          with the merged state — reads stay bare scans, but ingest IO
+          is O(touched table) per batch.
+        - ``"mor"``: each batch appends O(batch) delta files
+          (merge-on-read); reads fold base ∪ deltas lazily, and buckets
+          auto-compact once they accumulate ``compact_after`` delta
+          files. The ingest path for 10^10-event replays, where CoW's
+          per-batch rewrite is quadratic in total IO.
+        """
         self.spark = spark
         self.table = table
         self.io = table.io  # same FS as the table (DFS-safe, lake/fileio.py)
         self.registry = registry
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
+        self.write_mode = write_mode
+        self.compact_after = compact_after
         root = table.root
         self.dead_letter_dir = dead_letter_dir or os.path.join(root, "dead_letter")
         self.lineage_dir = lineage_dir or os.path.join(root, "lineage")
@@ -220,34 +237,47 @@ class CDCEngine:
         finally:
             self.io.rmtree(scratch)
 
-    def _apply_staged(self, staged: DataFrame, dead_src: str, adopt_name: str, t0: float) -> dict:
-        """Watermark-filter, merge and commit one staged (already
-        validated + bucketed) batch. All plans here are small — a
-        staged-parquet scan, a broadcast anti-join, one window — so the
-        per-batch driver cost is a few hundred ms, not a re-analysis of
-        the validate tree."""
-        snap = self.table.current()
-
-        # exactly-once resume: events at or below their bucket's
-        # committed watermark are replays. Flag instead of filter so ONE
-        # metadata-scale stats pass yields applied/dead/skipped counts
-        # and per-bucket watermarks together.
-        wm_map = snap["watermarks"]
+    def _with_survives(self, staged: DataFrame, wm_map: Mapping) -> DataFrame:
+        """Flag replays: events at or below their bucket's committed
+        watermark don't survive (idempotency / exactly-once resume).
+        Flagging instead of filtering lets ONE stats pass yield
+        applied/dead/skipped counts and per-bucket watermarks."""
         if wm_map:
             wm_df = self.spark.createDataFrame(
                 [(int(b), w) for b, w in wm_map.items()], "_bucket int, _bucket_wm string"
             )
-            staged = staged.join(F.broadcast(wm_df), "_bucket", "left").withColumn(
+            return staged.join(F.broadcast(wm_df), "_bucket", "left").withColumn(
                 "_survives", F.col("_bucket_wm").isNull() | (F.col("_wm") > F.col("_bucket_wm"))
             ).drop("_bucket_wm")
-        else:
-            staged = staged.withColumn("_survives", F.lit(True))
+        return staged.withColumn("_survives", F.lit(True))
 
-        stats_rows = (
-            staged.groupBy("_dead", "_survives", F.col("_bucket"))
-            .agg(F.max("_wm").alias("wm"), F.count("*").alias("n"))
-            .collect()
-        )
+    def _apply_staged(self, staged: DataFrame, dead_src: str, adopt_name: str, t0: float,
+                      lineage_sink: list | None = None,
+                      wm_map: Mapping | None = None,
+                      stats_rows: list | None = None) -> dict:
+        """Watermark-filter, merge and commit one staged (already
+        validated + bucketed) batch. All plans here are small — a
+        staged-parquet scan, a broadcast anti-join, one window — so the
+        per-batch driver cost is a few hundred ms, not a re-analysis of
+        the validate tree.
+
+        ``wm_map``/``stats_rows``: replay() precomputes the survival
+        watermarks and the per-batch stats in ONE job for all batches
+        (valid because replay batches are ascending disjoint commit
+        ranges: intra-replay watermark advances from batch i can never
+        reach batch j>i's commits, so survival vs the pre-replay
+        snapshot equals survival vs the batch-time snapshot)."""
+        snap = self.table.current()
+        if wm_map is None:
+            wm_map = snap["watermarks"]
+        staged = self._with_survives(staged, wm_map)
+
+        if stats_rows is None:
+            stats_rows = (
+                staged.groupBy("_dead", "_survives", F.col("_bucket"))
+                .agg(F.max("_wm").alias("wm"), F.count("*").alias("n"))
+                .collect()
+            )
         events_in = int(sum(r["n"] for r in stats_rows))
         n_dead = int(sum(r["n"] for r in stats_rows if r["_dead"] and r["_survives"]))
         skipped = int(sum(r["n"] for r in stats_rows if not r["_survives"]))
@@ -269,58 +299,64 @@ class CDCEngine:
                 "snapshot_id": snap["snapshot_id"], "seconds": time.time() - t0,
             }
 
-        # 6. merge: current state of touched buckets + batch events.
-        # ONE shuffle, keyed on _bucket (== the table's physical
-            # partitioning), so the merge is partition-local and the
-        # write needs no further exchange. Within each bucket, rows
-        # are sorted by (key, _wm desc); the first row of each key
-        # group is the last writer — in-batch dedupe and
-        # merge-against-current collapse into the same window pass.
-        current = self.table.read(buckets=touched)
+        # 6. merge. ev_cols carry everything the LWW fold needs; clean
+        # rows always have keys (the 'required' chain on path dead-
+        # letters key-less rows upstream).
         ev_cols = ["repo", "path", "commit", "event_seq", "lang", "content", "op", "_bucket", "_wm"]
         incoming = clean.select(*ev_cols).filter(
             F.col("repo").isNotNull() & F.col("path").isNotNull()
         )
-        if current is not None:
-            cur = current.select(
-                "repo", "path", "commit", "event_seq", "lang", "content",
-                F.lit("K").alias("op"),
-                F.col("_bucket").cast("int").alias("_bucket"),
-                watermark_str(F.col("commit"), F.col("event_seq")).alias("_wm"),
-            )
-            merged_src = cur.unionByName(incoming)
-        else:
-            merged_src = incoming
-
-        mw = Window.partitionBy("_bucket").orderBy(
-            "repo", "path", F.col("_wm").desc()
-        )
-        is_group_head = (
-            F.lag("repo").over(mw).isNull()
-            | (F.lag("repo").over(mw) != F.col("repo"))
-            | (F.lag("path").over(mw) != F.col("path"))
-        )
-        merged = (
-            merged_src
-            .withColumn("_head", F.coalesce(is_group_head, F.lit(True)))
-            .filter(F.col("_head") & (F.col("op") != "D"))
-            .select(
-                "repo", "path", "commit", "event_seq", "lang", "content",
-                F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("content_sha"),
-                "_bucket",
-            )
-        )
-
-        # 7. atomic commit (copy-on-write of touched buckets only)
         stats = {
             "rows_applied": applied_events,
             "batch_dead_lettered": n_dead,
         }
-        new_snap = self.table.commit_buckets(
-            merged, touched, new_wms, stats=stats,
-            schema_version=self.registry.latest,
-            columns=self.registry.canonical_columns,
-        )
+
+        if self.write_mode == "mor":
+            # merge-on-read: in-batch LWW dedupe only (KEEPING delete
+            # tombstones — newest op wins at read time), then append
+            # O(batch) delta files. No current-state read, no rewrite.
+            mw = Window.partitionBy("_bucket").orderBy(
+                "repo", "path", F.col("_wm").desc()
+            )
+            is_head = (
+                F.lag("repo").over(mw).isNull()
+                | (F.lag("repo").over(mw) != F.col("repo"))
+                | (F.lag("path").over(mw) != F.col("path"))
+            )
+            deduped = (
+                incoming.withColumn("_head", F.coalesce(is_head, F.lit(True)))
+                .filter(F.col("_head"))
+                .drop("_head", "_wm")  # _wm re-derives from (commit, event_seq) at read
+            )
+            new_snap = self.table.commit_deltas(deduped, touched, new_wms, stats=stats)
+            ripe = self.table.buckets_needing_compaction(self.compact_after)
+            if ripe:
+                self.table.compact(ripe)
+        else:
+            # copy-on-write: current state of touched buckets + batch
+            # events through ONE shuffle keyed on _bucket (== the
+            # table's physical partitioning) — in-batch dedupe and
+            # merge-against-current collapse into the same window pass
+            # (lake/table.py:lww_merge); the write is exchange-free.
+            current = self.table.read(buckets=touched)
+            if current is not None:
+                cur = current.select(
+                    "repo", "path", "commit", "event_seq", "lang", "content",
+                    F.lit("K").alias("op"),
+                    F.col("_bucket").cast("int").alias("_bucket"),
+                    watermark_str(F.col("commit"), F.col("event_seq")).alias("_wm"),
+                )
+                merged_src = cur.unionByName(incoming)
+            else:
+                merged_src = incoming
+            merged = lww_merge(merged_src)
+
+            # 7. atomic commit (copy-on-write of touched buckets only)
+            new_snap = self.table.commit_buckets(
+                merged, touched, new_wms, stats=stats,
+                schema_version=self.registry.latest,
+                columns=self.registry.canonical_columns,
+            )
 
         # 3b (deferred until after the merge executed, so the clean
         # scan never races the move): adopt the staged _dead=true
@@ -328,7 +364,9 @@ class CDCEngine:
         # another Spark job over the batch.
         self._adopt_dead_letters(dead_src, adopt_name, n_dead)
 
-        # 8. lineage
+        # 8. lineage — metadata-scale rows; inside replay() they buffer
+        # into one write per replay (a per-batch single-task write job
+        # was a measurable slice of the serial fraction)
         lineage_rows = [
             (
                 new_snap["snapshot_id"], int(r["_bucket"]), r["wm"], int(r["n"]),
@@ -336,11 +374,10 @@ class CDCEngine:
             )
             for r in bucket_stats
         ]
-        self.spark.createDataFrame(
-            lineage_rows,
-            "snapshot_id long, bucket int, watermark string, rows_applied long, "
-            "batch_dead_lettered long, ts_ms long",
-        ).coalesce(1).write.mode("append").parquet(self.lineage_dir)
+        if lineage_sink is not None:
+            lineage_sink.extend(lineage_rows)
+        else:
+            self._write_lineage(lineage_rows)
 
         return {
             "events_in": events_in,
@@ -351,6 +388,18 @@ class CDCEngine:
             "snapshot_id": new_snap["snapshot_id"],
             "seconds": time.time() - t0,
         }
+
+    LINEAGE_DDL = (
+        "snapshot_id long, bucket int, watermark string, rows_applied long, "
+        "batch_dead_lettered long, ts_ms long"
+    )
+
+    def _write_lineage(self, rows: list) -> None:
+        if not rows:
+            return
+        self.spark.createDataFrame(rows, self.LINEAGE_DDL).coalesce(1).write.mode(
+            "append"
+        ).parquet(self.lineage_dir)
 
     def _adopt_dead_letters(self, dead_src: str, adopt_name: str, n_dead: int) -> None:
         if n_dead and self.io.isdir(dead_src):
@@ -397,6 +446,7 @@ class CDCEngine:
                         "%012x", F.lit(lo + g_hi * span if g_hi < num_batches else hi + 1)))
                 )
             scratch = self._stage(part, snap0, batch_col=batch_id)
+            lineage_rows: list = []
             try:
                 if not self.io.tree_has_suffix(scratch, ".parquet"):
                     metrics.extend(
@@ -411,10 +461,23 @@ class CDCEngine:
                     self.spark.read.option("basePath", scratch).parquet(scratch)
                     .withColumn("_dead", F.col("_dead").cast("boolean"))
                 )
+                # ONE stats job for the whole group, survival evaluated
+                # against the pre-replay watermarks (valid for every
+                # batch: ranges ascend, see _apply_staged docstring) —
+                # instead of one staged-slice scan per batch.
+                wm0 = snap0["watermarks"]
+                stats_all = (
+                    self._with_survives(staged_all, wm0)
+                    .groupBy("_batch", "_dead", "_survives", F.col("_bucket"))
+                    .agg(F.max("_wm").alias("wm"), F.count("*").alias("n"))
+                    .collect()
+                )
+                stats_by_batch: dict[int, list] = {}
+                for r in stats_all:
+                    stats_by_batch.setdefault(int(r["_batch"]), []).append(r)
                 for i in range(g_lo, g_hi):
                     t0 = time.time()
-                    bdir = os.path.join(scratch, f"_batch={i}")
-                    if not self.io.tree_has_suffix(bdir, ".parquet"):
+                    if i not in stats_by_batch:  # no events staged in range
                         metrics.append(
                             {"events_in": 0, "applied": 0, "dead_lettered": 0,
                              "skipped_replays": 0,
@@ -422,6 +485,7 @@ class CDCEngine:
                              "seconds": time.time() - t0}
                         )
                         continue
+                    bdir = os.path.join(scratch, f"_batch={i}")
                     staged_i = staged_all.filter(F.col("_batch") == i).drop("_batch")
                     metrics.append(
                         self._apply_staged(
@@ -429,9 +493,13 @@ class CDCEngine:
                             os.path.join(bdir, "_dead=true"),
                             f"{os.path.basename(scratch)}-b{i}",
                             t0,
+                            lineage_sink=lineage_rows,
+                            wm_map=wm0,
+                            stats_rows=stats_by_batch[i],
                         )
                     )
             finally:
+                self._write_lineage(lineage_rows)
                 self.io.rmtree(scratch)
         return metrics
 

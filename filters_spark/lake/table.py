@@ -43,7 +43,7 @@ import time
 from typing import Iterable
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from filters_spark.lake.fileio import FileIO, fileio_for
 
@@ -66,6 +66,32 @@ def watermark_str(commit_col, seq_col):
     """Sortable watermark string 'commit:seq' (commit is zero-padded hex,
     seq zero-padded decimal) — lexicographic order == event order."""
     return F.concat_ws(":", commit_col, F.lpad(seq_col.cast("string"), 10, "0"))
+
+
+def lww_merge(df: DataFrame) -> DataFrame:
+    """Last-writer-wins merge of a (base ∪ delta) frame: within each
+    ``_bucket``, rows sort by (repo, path, _wm desc); the first row of
+    each key group is the winner; ``op='D'`` winners are deletes.
+
+    Requires columns: repo, path, commit, event_seq, lang, content,
+    op, _bucket, _wm. ONE shuffle keyed on _bucket (== the physical
+    partitioning). Shared by the engine's copy-on-write commit path and
+    the table's merge-on-read ``read()`` / ``compact()``."""
+    mw = Window.partitionBy("_bucket").orderBy("repo", "path", F.col("_wm").desc())
+    is_group_head = (
+        F.lag("repo").over(mw).isNull()
+        | (F.lag("repo").over(mw) != F.col("repo"))
+        | (F.lag("path").over(mw) != F.col("path"))
+    )
+    return (
+        df.withColumn("_head", F.coalesce(is_group_head, F.lit(True)))
+        .filter(F.col("_head") & (F.col("op") != "D"))
+        .select(
+            "repo", "path", "commit", "event_seq", "lang", "content",
+            F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("content_sha"),
+            "_bucket",
+        )
+    )
 
 
 class LakeTable:
@@ -108,7 +134,8 @@ class LakeTable:
             "path_salt": path_salt,
             "schema_version": schema_version,
             "columns": columns,
-            "buckets": {},      # bucket_id(str) -> [file paths]
+            "buckets": {},      # bucket_id(str) -> [base file paths]
+            "deltas": {},       # bucket_id(str) -> [delta file paths] (merge-on-read)
             "watermarks": {},   # bucket_id(str) -> "commit:seq"
             "stats": {"rows_applied": 0, "rows_deleted": 0},
         }
@@ -166,16 +193,53 @@ class LakeTable:
     ) -> DataFrame | None:
         """Read the table at a snapshot (time travel); optionally only
         the given buckets (bucket pruning — the physical analog of
-        Iceberg partition pruning). Returns None when empty."""
+        Iceberg partition pruning). Returns None when empty.
+
+        Merge-on-read: buckets that carry delta files (commit_deltas)
+        are merged lazily — base ∪ deltas, one last-writer-wins window
+        keyed on the physical ``_bucket`` partitioning, delete
+        tombstones dropped. Buckets without deltas stay a bare scan."""
         snap = self.snapshot(snapshot_id)
         wanted = None if buckets is None else {str(b) for b in buckets}
-        files: list[str] = []
+        base_files: list[str] = []
         for b, fl in snap["buckets"].items():
             if wanted is None or b in wanted:
-                files.extend(fl)
-        if not files:
-            return None
-        return self.spark.read.option("basePath", self.data_dir).parquet(*files)
+                base_files.extend(fl)
+        delta_files: list[str] = []
+        for b, fl in snap.get("deltas", {}).items():
+            if wanted is None or b in wanted:
+                delta_files.extend(fl)
+
+        # _bucket is recomputed from (repo, path) — a pure function of
+        # the key and the table params — instead of directory-based
+        # partition discovery: manifest file lists legitimately span
+        # several snap-*/delta-* parent dirs, which discovery rejects
+        # as conflicting structures.
+        bkt = bucket_expr(
+            F.col("repo"), F.col("path"), snap["num_buckets"], snap["path_salt"]
+        ).alias("_bucket")
+        base = self.spark.read.parquet(*base_files) if base_files else None
+        if base is not None:
+            base = base.select(
+                "repo", "path", "commit", "event_seq", "lang", "content",
+                "content_sha", bkt,
+            )
+        if not delta_files:
+            return base
+        deltas = self.spark.read.parquet(*delta_files).select(
+            "repo", "path", "commit", "event_seq", "lang", "content", "op", bkt,
+            watermark_str(F.col("commit"), F.col("event_seq")).alias("_wm"),
+        )
+        if base is not None:
+            base_ops = base.select(
+                "repo", "path", "commit", "event_seq", "lang", "content",
+                F.lit("K").alias("op"), "_bucket",
+                watermark_str(F.col("commit"), F.col("event_seq")).alias("_wm"),
+            )
+            merged_src = base_ops.unionByName(deltas)
+        else:
+            merged_src = deltas
+        return lww_merge(merged_src)
 
     # -- write --------------------------------------------------------------
 
@@ -215,11 +279,15 @@ class LakeTable:
             )
 
         buckets = dict(prev["buckets"])
+        deltas = dict(prev.get("deltas", {}))
         for b, fl in new_files.items():
             if fl:
                 buckets[b] = fl
             else:
                 buckets.pop(b, None)
+            # the rewrite IS the merged state of base ∪ deltas — any
+            # delta files for this bucket are now folded in
+            deltas.pop(b, None)
         watermarks = dict(prev["watermarks"])
         for b, wm in new_watermarks.items():
             old = watermarks.get(str(b), WATERMARK_ZERO)
@@ -233,11 +301,86 @@ class LakeTable:
             "schema_version": schema_version or prev["schema_version"],
             "columns": columns or prev["columns"],
             "buckets": buckets,
+            "deltas": deltas,
             "watermarks": watermarks,
             "stats": stats or prev["stats"],
         }
         self._write_snapshot(snapshot)
         return snapshot
+
+    def commit_deltas(
+        self,
+        df: DataFrame,
+        touched_buckets: list[int],
+        new_watermarks: dict[int, str],
+        stats: dict | None = None,
+    ) -> dict:
+        """Merge-on-read commit: append ``df`` (the batch's deduped
+        events, including ``op='D'`` tombstones, already keyed by
+        ``_bucket``) as DELTA files of the touched buckets. The write
+        is O(batch), not O(touched table) — the LWW fold happens at
+        ``read()`` / ``compact()`` time.
+
+        At 10^10-event scale this is the ingest path: copy-on-write
+        rewrites every touched bucket per batch (quadratic total IO as
+        the table grows); delta commits keep ingest IO linear and defer
+        the rewrite to compaction, amortized across many batches."""
+        prev = self.current()
+        sid = prev["snapshot_id"] + 1
+        out_dir = os.path.join(self.data_dir, f"delta-{sid:08d}")
+        df.write.mode("error").partitionBy("_bucket").parquet(out_dir)
+
+        deltas = dict(prev.get("deltas", {}))
+        for b in touched_buckets:
+            bdir = os.path.join(out_dir, f"_bucket={b}")
+            files = sorted(
+                os.path.join(bdir, f)
+                for f in self.io.listdir(bdir)
+                if f.endswith(".parquet")
+            )
+            if files:
+                deltas[str(b)] = deltas.get(str(b), []) + files
+        watermarks = dict(prev["watermarks"])
+        for b, wm in new_watermarks.items():
+            old = watermarks.get(str(b), WATERMARK_ZERO)
+            watermarks[str(b)] = max(old, wm)
+
+        snapshot = {
+            **prev,
+            "snapshot_id": sid,
+            "parent_id": prev["snapshot_id"],
+            "timestamp_ms": int(time.time() * 1000),
+            "deltas": deltas,
+            "watermarks": watermarks,
+            "stats": stats or prev["stats"],
+        }
+        self._write_snapshot(snapshot)
+        return snapshot
+
+    def buckets_needing_compaction(self, max_delta_files: int) -> list[int]:
+        """Buckets whose delta-file count reached the threshold."""
+        snap = self.current()
+        return sorted(
+            int(b) for b, fl in snap.get("deltas", {}).items() if len(fl) >= max_delta_files
+        )
+
+    def compact(self, buckets: Iterable[int] | None = None) -> dict | None:
+        """Fold delta files into new base files for the given buckets
+        (default: every bucket that has deltas). One LWW merge + one
+        bucket-partitioned write — identical read() results before and
+        after (pinned by tests). Returns the new snapshot, or None if
+        nothing to compact."""
+        snap = self.current()
+        with_deltas = sorted(int(b) for b in snap.get("deltas", {}))
+        wanted = with_deltas if buckets is None else sorted(set(int(b) for b in buckets) & set(with_deltas))
+        if not wanted:
+            return None
+        merged = self.read(buckets=wanted)  # read() folds base ∪ deltas
+        merged = merged.select(
+            "repo", "path", "commit", "event_seq", "lang", "content", "content_sha",
+            F.col("_bucket").cast("int").alias("_bucket"),
+        ).repartition("_bucket")
+        return self.commit_buckets(merged, wanted, {})
 
     def watermarks(self) -> dict[str, str]:
         return self.current()["watermarks"]

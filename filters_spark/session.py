@@ -56,6 +56,12 @@ def get_spark(
         # work (measured: 4 executors anti-scaled vs 1 purely from
         # locality waits on freshly-written scratch/lake files).
         .config("spark.locality.wait", "0")
+        # v2 commits rename task outputs in the tasks (parallel) instead
+        # of serially in the driver job commit — measurable on the
+        # bucket-partitioned merge writes (hundreds of files/batch).
+        # On HDFS this is the standard choice; S3A deployments should
+        # use the cloud committers instead (see lake/fileio.py notes).
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
     )
     if master.startswith("local-cluster"):

@@ -1,0 +1,99 @@
+"""Merge-on-read write mode: delta commits + lazy LWW fold + compaction
+must be observably identical to copy-on-write."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from filters_spark.engine.cdc import CDCEngine
+from filters_spark.engine.defaults import default_registry
+from filters_spark.lake.table import LakeTable
+from filters_spark.sources.datagen import gen_events
+
+
+def _rows(df):
+    cols = ["repo", "path", "commit", "event_seq", "lang", "content", "content_sha"]
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+@pytest.fixture(scope="module")
+def events(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("mor") / "events.parquet")
+    gen_events(
+        spark, n_events=8000, n_repos=40, n_paths=400,
+        hot_frac=0.25, dirty_frac=0.06, seed=7,
+    ).write.parquet(p)
+    return spark.read.parquet(p)
+
+
+class TestMorEqualsCow:
+    def test_final_state_identical(self, spark, tmp_path, events):
+        cow_t = LakeTable.create(spark, str(tmp_path / "cow"), ["repo", "path"], num_buckets=8)
+        mor_t = LakeTable.create(spark, str(tmp_path / "mor"), ["repo", "path"], num_buckets=8)
+        cow = CDCEngine(spark, cow_t, default_registry())
+        # compact_after high enough that NO compaction triggers: the
+        # equality below exercises the pure read-time fold
+        mor = CDCEngine(spark, mor_t, default_registry(), write_mode="mor", compact_after=99)
+        mc = cow.replay(events, num_batches=3)
+        mm = mor.replay(events, num_batches=3)
+        assert sum(m["applied"] for m in mc) == sum(m["applied"] for m in mm)
+        assert _rows(cow_t.read()) == _rows(mor_t.read())
+        # MoR really did defer the fold: deltas exist, no post-0 base rewrite
+        assert mor_t.current().get("deltas")
+        assert not any(
+            d.startswith("snap-000000") and d != "snap-00000000"
+            for d in os.listdir(os.path.join(str(tmp_path / "mor"), "data"))
+        )
+
+    def test_compaction_preserves_state_and_clears_deltas(self, spark, tmp_path, events):
+        mor_t = LakeTable.create(spark, str(tmp_path / "mor2"), ["repo", "path"], num_buckets=8)
+        mor = CDCEngine(spark, mor_t, default_registry(), write_mode="mor", compact_after=99)
+        mor.replay(events, num_batches=3)
+        before = _rows(mor_t.read())
+        snap = mor_t.compact()
+        assert snap is not None and not snap["deltas"]
+        assert _rows(mor_t.read()) == before
+        # compaction is a no-op when nothing has deltas
+        assert mor_t.compact() is None
+
+    def test_auto_compaction_threshold(self, spark, tmp_path, events):
+        mor_t = LakeTable.create(spark, str(tmp_path / "mor3"), ["repo", "path"], num_buckets=8)
+        # every batch appends ~1 delta file per bucket; threshold 2 =>
+        # compaction fires during the replay
+        mor = CDCEngine(spark, mor_t, default_registry(), write_mode="mor", compact_after=2)
+        mor.replay(events, num_batches=4)
+        snap = mor_t.current()
+        assert all(len(fl) < 2 for fl in snap.get("deltas", {}).values())
+        # still equal to a cow replay of the same stream
+        cow_t = LakeTable.create(spark, str(tmp_path / "cow3"), ["repo", "path"], num_buckets=8)
+        CDCEngine(spark, cow_t, default_registry()).replay(events, num_batches=4)
+        assert _rows(mor_t.read()) == _rows(cow_t.read())
+
+    def test_mor_idempotent_replay(self, spark, tmp_path, events):
+        mor_t = LakeTable.create(spark, str(tmp_path / "mor4"), ["repo", "path"], num_buckets=8)
+        mor = CDCEngine(spark, mor_t, default_registry(), write_mode="mor", compact_after=99)
+        mor.replay(events, num_batches=2)
+        state = _rows(mor_t.read())
+        m = mor.apply_batch(events)  # full re-delivery
+        assert m["applied"] == 0
+        assert m["skipped_replays"] > 0
+        assert _rows(mor_t.read()) == state
+
+    def test_mor_deletes_tombstone_until_compaction(self, spark, tmp_path):
+        mor_t = LakeTable.create(spark, str(tmp_path / "mor5"), ["repo", "path"], num_buckets=4)
+        mor = CDCEngine(spark, mor_t, default_registry(), write_mode="mor", compact_after=99)
+        schema = ("commit string, event_seq long, op string, repo string, path string, "
+                  "lang string, content string, schema_version int")
+        mor.apply_batch(spark.createDataFrame(
+            [("000000000001", 0, "I", "r1", "a.py", "py", "print(1)", 1),
+             ("000000000001", 1, "I", "r1", "b.py", "py", "print(2)", 1)], schema))
+        # deletes in this WAL carry the last payload (datagen.py does
+        # the same); a payload-less delete would dead-letter on the
+        # 'required' content chain by design
+        mor.apply_batch(spark.createDataFrame(
+            [("000000000002", 0, "D", "r1", "a.py", "py", "print(1)", 1)], schema))
+        paths = {r.path for r in mor_t.read().collect()}
+        assert paths == {"b.py"}
+        mor_t.compact()
+        assert {r.path for r in mor_t.read().collect()} == {"b.py"}
