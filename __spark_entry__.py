@@ -544,6 +544,66 @@ def q_text_profile(spark, sf):
 
 
 @_q(
+    "text_profile_core",
+    """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks,
+         list_transform(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0),
+                        x -> regexp_replace(x, '[^\p{L}]', '', 'g')) AS ltoks
+  FROM documents WHERE doc_id < 1000
+), f AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS punct,
+         length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS alpha,
+         len(list_distinct(toks)) AS n_distinct,
+         len(list_filter(list_transform(toks, x -> lower(x)),
+             x -> list_contains(['the','a','and','of','to','in','is','that','it','for',
+                                 'der','die','das','und','ist','nicht','mit','ein','zu','den',
+                                 'el','la','de','que','y','en','un','es','se','no',
+                                 'le','et','est','une','les','des'], x))) AS n_stop,
+         CAST(list_sum(list_transform(toks, w ->
+             greatest(1, CAST(floor(length(w) / 4.0) AS INT)
+                        + length(regexp_replace(w, '[\w]', '', 'g'))))) AS INT) AS bpe_tokens_est,
+         len(list_filter(ltoks, x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x))) AS h_en,
+         len(list_filter(ltoks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','den'], x))) AS h_de,
+         len(list_filter(ltoks, x -> list_contains(['el','la','de','que','y','en','un','es','se','no'], x))) AS h_es,
+         len(list_filter(ltoks, x -> list_contains(['le','la','de','et','est','un','une','les','des','que'], x))) AS h_fr
+  FROM t
+)
+SELECT doc_id, n_tokens, bpe_tokens_est,
+  round(CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END, 4) AS stopword_ratio,
+  round(greatest(0.0,
+      0.4 * least(n_tokens / 50.0, 1.0)
+    + 0.3 * (CASE WHEN n_chars > 0 THEN alpha * 1.0 / n_chars ELSE 0.0 END)
+    + 0.3 * (CASE WHEN n_tokens > 0 THEN n_distinct * 1.0 / n_tokens ELSE 0.0 END)
+    - CASE WHEN n_chars > 0 AND punct * 1.0 / n_chars > 0.3 THEN 0.5 ELSE 0.0 END), 4) AS quality,
+  CASE WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_fr = greatest(h_en, h_de, h_es, h_fr) THEN 'fr'
+       WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
+       WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+       ELSE 'de' END AS lang_guess
+FROM f
+    """,
+)
+def q_text_profile_core(spark, sf):
+    """The full curation profile minus the xxhash fingerprint — token
+    count, BPE estimate, stopword ratio, quality score and language
+    guess all value-checked against a DuckDB reimplementation
+    (operators/textstats.py; the fingerprint column has no DuckDB twin
+    and stays in the rows-only text_profile entry)."""
+    from filters_spark.operators.textstats import text_profile
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 1000)
+    return text_profile(d).select(
+        "doc_id", "n_tokens", "bpe_tokens_est", "stopword_ratio", "quality",
+        "lang_guess",
+    )
+
+
+@_q(
     "ann_cosine_topk",
     """
     WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)
@@ -1029,15 +1089,75 @@ def q_ann_ivf_assign(spark, sf):
     return ivf_assign(vecs, cents).select("vec_id", "cell")
 
 
-# --- multimodal plumbing (stub decode; rows-only) ----------------------------
+# --- multimodal plumbing (stub decode) ---------------------------------------
 
 
-@_q("multimodal_image_features")
+@_q(
+    "multimodal_image_features",
+    # the stub decode is sha256-derived, so DuckDB can mirror it exactly:
+    # phash = first 8 bytes of sha256(payload) as signed big-endian int64,
+    # mean_luma = round(abs(double(phash)) % 255 / 255, 6).
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 1920 + 1 AS INT) AS width,
+             CAST(doc_id % 1080 + 1 AS INT) AS height,
+             octet_length(CAST(text AS BLOB)) AS n_bytes,
+             CAST(concat('0x', substr(sha256(text), 1, 16)) AS UBIGINT) AS u
+      FROM documents WHERE doc_id < 2000
+    )
+    SELECT media_id, width, height, n_bytes,
+           CAST(CASE WHEN u >= 9223372036854775808
+                     THEN CAST(u AS HUGEINT) - 18446744073709551616
+                     ELSE CAST(u AS HUGEINT) END AS BIGINT) AS phash,
+           round(abs(CAST(CAST(CASE WHEN u >= 9223372036854775808
+                     THEN CAST(u AS HUGEINT) - 18446744073709551616
+                     ELSE CAST(u AS HUGEINT) END AS BIGINT) AS DOUBLE)) % 255 / 255,
+                 6) AS mean_luma
+    FROM m
+    """,
+)
 def q_multimodal(spark, sf):
-    from filters_spark.operators.multimodal import decode_images, gen_media
+    """Arrow-batched mapInPandas decode plumbing (stub codecs) over a
+    media frame derived from ``documents`` — payload = UTF-8 bytes of
+    the text — so the whole path (binary column in, typed features out)
+    is value-checked against DuckDB (operators/multimodal.py)."""
+    from filters_spark.operators.multimodal import decode_images
 
-    media = gen_media(spark, 2000).filter(F.col("kind") == "image")
+    media = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000).select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 1920 + 1).cast("int").alias("width"),
+        (F.col("doc_id") % 1080 + 1).cast("int").alias("height"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
     return decode_images(media)
+
+
+@_q(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           CAST(g.i AS INT) AS frame_idx,
+           CAST(g.i AS BIGINT) * 5000 AS ts_ms
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(
+             0, CAST(greatest((doc_id * 131 % 60000 + 1000) // 5000, 1) AS INT) - 1)) AS i) g
+    WHERE doc_id < 2000
+    """,
+)
+def q_multimodal_frames(spark, sf):
+    """Frame-sampling cadence (one row per sampled frame) over video
+    rows whose duration derives from ``doc_id`` — the binary frame
+    column is dropped so the cadence contract is value-checked; frame
+    bytes determinism is pinned in pytest (operators/multimodal.py)."""
+    from filters_spark.operators.multimodal import sample_frames
+
+    media = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000).select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") * 131 % 60000 + 1000).alias("duration_ms"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return sample_frames(media, every_ms=5000).drop("frame")
 
 
 # ---------------------------------------------------------------------------

@@ -39,6 +39,7 @@ import json
 import os
 import time
 import uuid
+from contextlib import contextmanager
 from typing import Mapping
 
 import pyspark.sql.functions as F
@@ -180,6 +181,63 @@ class CDCEngine:
 
     # ------------------------------------------------------------------
 
+    @contextmanager
+    def _scan_splits(self, events: DataFrame):
+        """Scope parquet split sizing to the staging job.
+
+        The WAL compresses hard (measured ~40x on code content), so a
+        fixed byte-based split size packs its files into far fewer scan
+        tasks than the cluster has cores (measured: 64 segments -> 13
+        tasks at 32 MB splits = 1.6 task waves on an 8-core leg, 60%
+        idle on 32) — and the staging scan is narrow (no shuffle), so
+        its task count IS the parallelism of the whole validate phase.
+        Size splits from the actual input bytes to ~3 tasks per core,
+        for THIS job only: a session-wide small split was measured
+        slower (it also shatters the staged-parquet re-reads and every
+        query scan into per-task python-worker setup overhead)."""
+        try:
+            files = events.inputFiles()
+        except Exception:
+            files = []
+        if not files:
+            yield
+            return
+        sc = self.spark.sparkContext
+        try:
+            jvm = sc._jvm
+            hconf = sc._jsc.hadoopConfiguration()
+            total = 0
+            for f in files:
+                p = jvm.org.apache.hadoop.fs.Path(f)
+                total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+        except Exception:
+            yield
+            return
+        # ~3 tasks/core, but never below 4MB/task: Arrow batch + codegen
+        # setup per task needs a few MB of work to amortize (measured:
+        # a 1MB floor at local[32] tripled replay wall — ~100 tiny
+        # tasks AND ~8x the staged file count for every downstream
+        # per-batch read to re-pack).
+        par = max(sc.defaultParallelism, 1)
+        target = min(max(total // (3 * par), 4 << 20), 128 << 20)
+        open_cost = min(max(target // 4, 64 << 10), 4 << 20)
+        conf = self.spark.conf
+        wanted = {
+            "spark.sql.files.maxPartitionBytes": str(target),
+            "spark.sql.files.openCostInBytes": str(open_cost),
+        }
+        old = {k: conf.get(k, None) for k in wanted}
+        for k, v in wanted.items():
+            conf.set(k, v)
+        try:
+            yield
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    conf.unset(k)
+                else:
+                    conf.set(k, v)
+
     def _stage(self, events: DataFrame, snap: dict, batch_col: F.Column | None = None) -> str:
         """Validate + bucket the stream and stage it to scratch parquet,
         partitioned by (_batch?, _dead).
@@ -210,7 +268,8 @@ class CDCEngine:
             staged = staged.withColumn("_batch", batch_col)
             parts = ["_batch", "_dead"]
         scratch = os.path.join(self.table.root, "_staging", f"batch-{uuid.uuid4().hex}")
-        staged.write.partitionBy(*parts).parquet(scratch)
+        with self._scan_splits(events):
+            staged.write.partitionBy(*parts).parquet(scratch)
         return scratch
 
     def apply_batch(self, events: DataFrame) -> dict:
