@@ -571,7 +571,9 @@ class CDCEngine:
         batches re-append their dead letters (watermarks only advance on
         *clean* events in a bucket), so reads dedupe on event identity
         by default."""
-        if not self.io.isdir(self.dead_letter_dir):
+        if not self.io.isdir(self.dead_letter_dir) or not self.io.tree_has_suffix(
+            self.dead_letter_dir, ".parquet"
+        ):  # absent OR fully drained by retry_dead_letters
             return None
         df = self.spark.read.option("recursiveFileLookup", "true").parquet(self.dead_letter_dir)
         raw_cols = [c for c in df.columns if c.startswith("_raw_")]
@@ -588,6 +590,75 @@ class CDCEngine:
         if distinct:
             df = df.dropDuplicates(["commit", "event_seq", "repo", "path"])
         return df
+
+    def retry_dead_letters(self) -> dict:
+        """Re-validate every dead-lettered event against the CURRENT
+        registry and merge the now-clean ones — the operational loop
+        after a spec fix or schema evolution: fix the chain, call this,
+        the backlog drains. Returns the same metrics dict as
+        ``apply_batch``.
+
+        Semantics:
+
+        - The per-bucket watermark gate is BYPASSED (``wm_map={}``):
+          dead letters were never applied, so they are not replays.
+          Per-key last-writer-wins in the merge still guarantees a
+          repaired old event can never overwrite a newer applied row —
+          the safety argument is per-key ordering, not the bucket
+          watermark.
+        - Events that still fail re-adopt as the new dead-letter set and
+          the superseded batch dirs are removed after the commit. A
+          crash between commit and cleanup leaves duplicate dead
+          letters (deduped on read) and a re-run is idempotent:
+          re-applying an already-applied event changes nothing under
+          LWW.
+        - Events re-enter at the LATEST schema version: dead-letter raw
+          columns are stored under canonical names (post
+          version-rename, pre-chain), which is the latest version's
+          shape.
+        """
+        t0 = time.time()
+        dl = self.dead_letters(distinct=True)
+        zeros = {
+            "events_in": 0, "applied": 0, "dead_lettered": 0, "skipped_replays": 0,
+            "snapshot_id": self.table.current()["snapshot_id"], "seconds": 0.0,
+        }
+        if dl is None:
+            return zeros
+        old_batches = [
+            os.path.join(self.dead_letter_dir, d)
+            for d in self.io.listdir(self.dead_letter_dir)
+        ]
+        ver_type = dl.schema["schema_version"].dataType.simpleString()
+        events = dl.select(
+            "commit", "event_seq", "op",
+            F.lit(self.registry.latest).cast(ver_type).alias("schema_version"),
+            *[F.col(c) for c in self.registry.canonical_columns],
+        )
+        # the frame is canonical-shaped; the latest version may expect
+        # renamed INCOMING columns (e.g. v2 ingests 'language' -> 'lang'),
+        # so reverse-apply its rename map or those fields arrive NULL
+        for incoming, canonical in self.registry.get(self.registry.latest).renames.items():
+            if canonical in events.columns:
+                events = events.withColumnRenamed(canonical, incoming)
+        snap = self.table.current()
+        scratch = self._stage(events, snap)
+        try:
+            if not self.io.tree_has_suffix(scratch, ".parquet"):
+                return zeros
+            staged = (
+                self.spark.read.option("basePath", scratch).parquet(scratch)
+                .withColumn("_dead", F.col("_dead").cast("boolean"))
+            )
+            metrics = self._apply_staged(
+                staged, os.path.join(scratch, "_dead=true"),
+                f"retry-{os.path.basename(scratch)}", t0, wm_map={},
+            )
+        finally:
+            self.io.rmtree(scratch)
+        for d in old_batches:  # superseded: applied or re-adopted above
+            self.io.rmtree(d)
+        return metrics
 
     def lineage(self) -> DataFrame | None:
         if not self.io.isdir(self.lineage_dir):

@@ -63,6 +63,10 @@ class FileIO:
     def rmtree(self, path: str) -> None:
         raise NotImplementedError
 
+    def remove(self, path: str) -> None:
+        """Delete a single file; no-op if absent."""
+        raise NotImplementedError
+
     def tree_has_suffix(self, path: str, suffix: str) -> bool:
         """True if any file under ``path`` (recursive) ends in suffix."""
         raise NotImplementedError
@@ -107,6 +111,12 @@ class LocalFileIO(FileIO):
 
     def rmtree(self, path: str) -> None:
         shutil.rmtree(path, ignore_errors=True)
+
+    def remove(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
 
     def tree_has_suffix(self, path: str, suffix: str) -> bool:
         for _, _, files in os.walk(path):
@@ -197,6 +207,11 @@ class HadoopFileIO(FileIO):
         p = self._path(path)
         if self._fs.exists(p):
             self._fs.delete(p, True)
+
+    def remove(self, path: str) -> None:
+        p = self._path(path)
+        if self._fs.exists(p):
+            self._fs.delete(p, False)
 
     def tree_has_suffix(self, path: str, suffix: str) -> bool:
         p = self._path(path)

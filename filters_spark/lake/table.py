@@ -382,5 +382,74 @@ class LakeTable:
         ).repartition("_bucket")
         return self.commit_buckets(merged, wanted, {})
 
+    # -- maintenance ----------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop snapshot manifests older than the newest ``keep_last``
+        (Iceberg ``expire_snapshots`` semantics): time travel to the
+        expired ids stops working, and data files referenced ONLY by
+        them become orphans that :meth:`vacuum` may delete. The current
+        snapshot is always retained. Returns the expired ids.
+
+        Metadata-scale: one listing + one delete per expired manifest;
+        no Spark job, no data IO."""
+        ids = self.snapshots()
+        keep = set(ids[-max(int(keep_last), 1):])
+        keep.add(self.current_snapshot_id())
+        expired = [i for i in ids if i not in keep]
+        for sid in expired:
+            self.io.remove(self._snap_path(sid))
+        return expired
+
+    def live_files(self) -> set[str]:
+        """Every data file referenced by any retained snapshot."""
+        live: set[str] = set()
+        for sid in self.snapshots():
+            snap = self.snapshot(sid)
+            for fl in snap["buckets"].values():
+                live.update(fl)
+            for fl in snap.get("deltas", {}).values():
+                live.update(fl)
+        return live
+
+    def vacuum(self, dry_run: bool = False) -> list[str]:
+        """Delete data files not referenced by any retained snapshot
+        (orphans left by expired snapshots, compaction, CoW rewrites and
+        aborted writes). Returns the orphan paths; ``dry_run`` lists
+        without deleting.
+
+        Safe by construction: reads resolve files through snapshot
+        manifests, never directory listing, so deleting an unreferenced
+        file can't break a retained snapshot — run after
+        :meth:`expire_snapshots`. Listing cost is one level-2 walk of
+        ``data/`` (snap-*/delta-* dirs × bucket dirs); at deploy scale
+        this runs as a background maintenance job, not inline."""
+        live = self.live_files()
+        orphans: list[str] = []
+        empty_dirs: list[str] = []
+        for d in self.io.listdir(self.data_dir):
+            ddir = os.path.join(self.data_dir, d)
+            if not self.io.isdir(ddir):
+                continue
+            live_here = 0
+            for child in self.io.listdir(ddir):
+                sub = os.path.join(ddir, child)
+                if self.io.isdir(sub):
+                    for f in self.io.listdir(sub):
+                        p = os.path.join(sub, f)
+                        if f.endswith(".parquet"):
+                            if p in live:
+                                live_here += 1
+                            else:
+                                orphans.append(p)
+            if live_here == 0:
+                empty_dirs.append(ddir)
+        if not dry_run:
+            for p in orphans:
+                self.io.remove(p)
+            for d in empty_dirs:  # no live files left -> drop the whole dir
+                self.io.rmtree(d)
+        return orphans
+
     def watermarks(self) -> dict[str, str]:
         return self.current()["watermarks"]

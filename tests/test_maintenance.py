@@ -1,0 +1,146 @@
+"""Lake maintenance (expire_snapshots / vacuum) and dead-letter retry.
+
+Reference parity tier: the reference library has no storage layer; these
+pin the engine-side operational loops a real deployment needs — snapshot
+GC (Iceberg expire_snapshots/remove_orphan_files semantics) and
+"fix the spec, drain the dead-letter backlog" reprocessing.
+"""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from filters_spark.engine.cdc import CDCEngine
+from filters_spark.engine.defaults import CANONICAL_COLUMNS, FIELD_SPECS_V1, default_registry
+from filters_spark.engine.evolution import SpecRegistry, VersionSpec
+from filters_spark.lake.table import LakeTable
+from filters_spark.sources.datagen import gen_events
+
+EVENT_DDL = (
+    "commit string, event_seq long, op string, repo string, path string, "
+    "lang string, content string, schema_version int"
+)
+
+
+def _rows(df):
+    if df is None:
+        return []
+    cols = ["repo", "path", "commit", "event_seq", "lang", "content"]
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+class TestExpireVacuum:
+    @pytest.fixture(scope="class")
+    def table(self, spark, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("maint") / "lake")
+        t = LakeTable.create(spark, root, ["repo", "path"], num_buckets=4)
+        eng = CDCEngine(spark, t, default_registry())
+        p = str(tmp_path_factory.mktemp("maint_ev") / "events.parquet")
+        gen_events(spark, n_events=3000, n_repos=10, n_paths=100, seed=3).write.parquet(p)
+        eng.replay(spark.read.parquet(p), num_batches=3)
+        return t
+
+    def test_expire_keeps_current_and_drops_old(self, table):
+        ids = table.snapshots()
+        assert len(ids) >= 4  # create + 3 commits
+        expired = table.expire_snapshots(keep_last=1)
+        assert expired == ids[:-1]
+        assert table.snapshots() == [ids[-1]]
+        # time travel to an expired snapshot is gone
+        with pytest.raises(Exception):
+            table.snapshot(expired[0])
+
+    def test_vacuum_deletes_only_orphans(self, table):
+        before = _rows(table.read())
+        orphans = table.vacuum(dry_run=True)
+        assert orphans, "CoW rewrites must leave orphan files after expiry"
+        live = table.live_files()
+        assert not set(orphans) & live
+        deleted = table.vacuum()
+        assert sorted(deleted) == sorted(orphans)
+        # table unchanged, and a second vacuum finds nothing
+        assert _rows(table.read()) == before
+        assert table.vacuum(dry_run=True) == []
+
+    def test_vacuum_respects_retained_history(self, spark, tmp_path):
+        t = LakeTable.create(spark, str(tmp_path / "lake2"), ["repo", "path"], num_buckets=2)
+        eng = CDCEngine(spark, t, default_registry())
+        ev = spark.createDataFrame(
+            [("%012x" % c, 0, "U", "r1", "a.py", "py", f"v{c}", 1) for c in (1, 2)],
+            EVENT_DDL,
+        )
+        eng.apply_batch(ev.filter(F.col("commit") == "%012x" % 1))
+        eng.apply_batch(ev.filter(F.col("commit") == "%012x" % 2))
+        ids = t.snapshots()
+        t.expire_snapshots(keep_last=2)  # keep the last two commits
+        t.vacuum()
+        old = _rows(t.read(snapshot_id=ids[-2]))  # older RETAINED snapshot
+        assert old and old[0][5] == "v1"
+        assert _rows(t.read())[0][5] == "v2"
+
+
+def _fixed_registry() -> SpecRegistry:
+    """The 'spec fix': lang choice now admits 'klingon'."""
+    fixed = dict(FIELD_SPECS_V1)
+    fixed["lang"] = {"chain": ["strip", "ascii_lower", ("choice", {"choices": [
+        "py", "js", "go", "rs", "java", "c", "cpp", "rb", "klingon"]})]}
+    reg = SpecRegistry(CANONICAL_COLUMNS)
+    reg.register(VersionSpec(1, fixed))
+    return reg
+
+
+class TestRetryDeadLetters:
+    def test_retry_applies_fixed_events_and_respects_lww(self, spark, tmp_path):
+        t = LakeTable.create(spark, str(tmp_path / "lake"), ["repo", "path"], num_buckets=4)
+        eng = CDCEngine(spark, t, default_registry())
+        events = spark.createDataFrame(
+            [
+                # dead (lang not in choices), no later write -> must apply on retry
+                ("%012x" % 1, 1, "U", "r1", "solo.py", "klingon", "repaired wins", 1),
+                # dead, but a NEWER clean write follows -> retry must NOT overwrite
+                ("%012x" % 1, 2, "U", "r1", "raced.py", "klingon", "stale loser", 1),
+                ("%012x" % 2, 1, "U", "r1", "raced.py", "py", "newer applied", 1),
+                # clean control row
+                ("%012x" % 2, 2, "U", "r2", "ok.py", "py", "fine", 1),
+            ],
+            EVENT_DDL,
+        )
+        m = eng.apply_batch(events)
+        assert m["dead_lettered"] == 2 and m["applied"] == 2
+        assert eng.dead_letters().count() == 2
+
+        # retry WITHOUT a fix: everything stays dead, table unchanged
+        state0 = _rows(t.read())
+        m0 = eng.retry_dead_letters()
+        assert m0["applied"] == 0 and m0["dead_lettered"] == 2
+        assert _rows(t.read()) == state0
+
+        # fix the spec, retry again
+        eng2 = CDCEngine(spark, t, _fixed_registry())
+        m1 = eng2.retry_dead_letters()
+        assert m1["applied"] == 2 and m1["dead_lettered"] == 0
+        rows = {(r[0], r[1]): r for r in _rows(t.read())}
+        assert rows[("r1", "solo.py")][5] == "repaired wins"
+        assert rows[("r1", "raced.py")][5] == "newer applied"  # LWW safety
+        # backlog drained; a further retry is a no-op
+        assert eng2.dead_letters() is None or eng2.dead_letters().count() == 0
+        m2 = eng2.retry_dead_letters()
+        assert m2["applied"] == 0 and m2["dead_lettered"] == 0
+
+    def test_retry_is_idempotent_when_rerun(self, spark, tmp_path):
+        t = LakeTable.create(spark, str(tmp_path / "lake"), ["repo", "path"], num_buckets=2)
+        eng = CDCEngine(spark, t, default_registry())
+        ev = spark.createDataFrame(
+            [("%012x" % 1, 1, "U", "r1", "a.py", "klingon", "body", 1)], EVENT_DDL
+        )
+        eng.apply_batch(ev)
+        eng2 = CDCEngine(spark, t, _fixed_registry())
+        assert eng2.retry_dead_letters()["applied"] == 1
+        state = _rows(t.read())
+        # simulate the crash-between-commit-and-cleanup path: re-applying
+        # the same event must change nothing — the retry advanced the
+        # bucket watermark, so the replay is skipped outright
+        m = eng2.apply_batch(ev)
+        assert m["applied"] == 0 and m["skipped_replays"] == 1
+        assert _rows(t.read()) == state

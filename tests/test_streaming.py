@@ -43,3 +43,29 @@ def test_stream_matches_batch(spark, tmp_path):
     q2.awaitTermination(300)
     assert stream_engine.table.current_snapshot_id() == sid
     assert final_state(stream_engine) == expected
+
+
+def test_stream_mor_matches_batch_cow(spark, tmp_path):
+    """The streaming front-end composed with merge-on-read: micro-batch
+    delta commits + read-time LWW fold must land the same final state
+    as the batch copy-on-write reference."""
+    ev = events_df(spark, n_events=1000, dirty_frac=0.05)
+    batch_engine = make_engine(spark, str(tmp_path / "batch"))
+    batch_engine.apply_batch(ev)
+    expected = final_state(batch_engine)
+
+    events_dir = str(tmp_path / "wal")
+    os.makedirs(events_dir)
+    mid = "00000000000" + "5"
+    ev.filter(F.col("commit") <= mid).coalesce(1).write.parquet(os.path.join(events_dir, "f1"))
+    ev.filter(F.col("commit") > mid).coalesce(1).write.parquet(os.path.join(events_dir, "f2"))
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "mor" / "lake"), key_cols=["repo", "path"],
+        num_buckets=8, path_salt=4,
+    )
+    mor_engine = CDCEngine(spark, table, default_registry(), write_mode="mor")
+    q = start_cdc_stream(mor_engine, tail_directory(spark, events_dir + "/*/"),
+                         str(tmp_path / "ckpt"), trigger_once=True)
+    q.awaitTermination(300)
+    assert final_state(mor_engine) == expected
