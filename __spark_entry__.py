@@ -1060,6 +1060,48 @@ def q_dedup_ngram_jaccard(spark, sf):
 
 
 @_q(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE g AS (
+      SELECT doc_id,
+             string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents WHERE doc_id < 1000
+    ), s AS (
+      SELECT doc_id, toks[1] AS blk,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')
+             )) AS grams
+      FROM g
+    ), p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+    ), e AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION SELECT id_b, id_a FROM p
+    ), walk(id, label) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT e.src, w.label FROM e JOIN walk w ON e.dst = w.id
+    )
+    SELECT id, min(label) AS cluster_id FROM walk GROUP BY id
+    """,
+)
+def q_dedup_clusters(spark, sf):
+    """Pairs -> connected components -> (id, min-id representative):
+    the keep-one step after any near-dup pair generator. Iterative
+    hash-min label propagation (operators/dedupe.py:dedupe_clusters) vs
+    an exact recursive-CTE reachability oracle."""
+    from filters_spark.operators.dedupe import dedupe_clusters, ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 1000)
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    return dedupe_clusters(pairs)
+
+
+@_q(
     "ann_ivf_assign",
     """
     WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec

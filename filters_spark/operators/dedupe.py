@@ -288,3 +288,58 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# --- cluster formation (pairs -> components -> keep-one) ----------------------
+
+
+def dedupe_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                    max_iter: int = 25) -> DataFrame:
+    """Fold near-duplicate PAIRS into connected components: returns
+    ``(id, cluster_id)`` where ``cluster_id`` is the minimum id in the
+    component — the canonical "keep the representative, drop the rest"
+    step after any pair generator (minhash/simhash/ngram/embedding).
+
+    Hash-min label propagation: every node repeatedly takes the min
+    label among itself and its neighbors; converges in O(component
+    diameter) rounds (near-dup clusters are shallow — diameter is
+    typically < 5 even for multi-thousand-member boilerplate clusters).
+    Each round is one groupBy-min + one join, both keyed on the node id
+    — no driver-side graph, no quadratic blow-up; ``localCheckpoint``
+    cuts the iterative lineage so plans stay constant-size. Convergence
+    is detected via the (monotonically decreasing) sum of labels, one
+    tiny agg per round instead of an old-vs-new anti-join."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.repartition("src").localCheckpoint()
+
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.select(F.col("id").alias("dst"), F.col("label").alias("dlabel")), "dst")
+            .groupBy("src").agg(F.min("dlabel").alias("nmin"))
+        )
+        labels = (
+            labels.join(nbr_min.withColumnRenamed("src", "id"), "id", "left")
+            .select("id", F.least("label", F.coalesce("nmin", "label")).alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedupe_keep_representative(df: DataFrame, pairs: DataFrame, id_col: str,
+                               id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Drop every near-duplicate except the minimum-id representative of
+    its cluster: rows never named in a pair pass through untouched
+    (broadcast-size anti-join when the dup set is small; plain hash
+    join otherwise — Spark's AQE picks)."""
+    clusters = dedupe_clusters(pairs, id_a, id_b)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
+    return df.join(losers, df[id_col] == losers["id"], "left_anti")

@@ -229,3 +229,47 @@ class TestMultimodal:
         media = gen_media(spark, 5).filter(F.col("kind") == "image")
         with pytest.raises(Exception):
             decode_images(media, decode_stub=False).collect()
+
+
+class TestDedupeClusters:
+    def _pairs(self, spark, rows):
+        return spark.createDataFrame(rows, "id_a long, id_b long")
+
+    def test_components_and_representatives(self, spark):
+        from filters_spark.operators.dedupe import dedupe_clusters
+
+        # two components: a 4-chain {1-2-3-4} (diameter 3, needs real
+        # propagation) and a pair {10,11}
+        pairs = self._pairs(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+        got = {(r.id, r.cluster_id) for r in dedupe_clusters(pairs).collect()}
+        assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+    def test_keep_representative_passes_untouched_rows(self, spark):
+        from filters_spark.operators.dedupe import dedupe_keep_representative
+
+        df = spark.createDataFrame([(i, f"d{i}") for i in range(6)], "doc_id long, t string")
+        pairs = self._pairs(spark, [(0, 1), (1, 2), (4, 5)])
+        kept = sorted(r.doc_id for r in dedupe_keep_representative(df, pairs, "doc_id").collect())
+        assert kept == [0, 3, 4]  # 0 reps {0,1,2}, 4 reps {4,5}, 3 untouched
+
+    def test_matches_exact_cc_on_random_graph(self, spark):
+        import random
+
+        from filters_spark.operators.dedupe import dedupe_clusters
+
+        rng = random.Random(13)
+        edges = sorted({tuple(sorted(rng.sample(range(60), 2))) for _ in range(70)})
+        got = {r.id: r.cluster_id for r in dedupe_clusters(self._pairs(spark, edges)).collect()}
+
+        # exact union-find oracle
+        parent = list(range(60))
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        touched = {v for e in edges for v in e}
+        want = {x: min(y for y in touched if find(y) == find(x)) for x in touched}
+        assert got == want
