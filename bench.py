@@ -138,6 +138,8 @@ def main() -> None:
     ap.add_argument("--events", type=int, default=0, help="CDC replay event count override")
     ap.add_argument("--cores-per-exec", type=int, default=1,
                     help="cores per executor JVM in --scaling legs")
+    ap.add_argument("--write-mode", default="cow", choices=["cow", "mor"],
+                    help="lake write mode for the --scaling replay legs")
     args = ap.parse_args()
 
     sf = _sf_from_dir(args.sf)
@@ -149,21 +151,19 @@ def main() -> None:
         if not args.events:
             n_events *= 4
         # N vs 4N EXECUTORS with real separate executor JVMs
-        # (local-cluster mode): 1x2 vs 4x2 cores. Single-JVM local[k]
-        # is NOT a valid scaling proxy — one shared heap/python worker
-        # pool serializes wide configurations (measured: local[32] 4x
-        # slower than local[8] on identical input).
-        # 2 cores per executor: every task core runs ~2 CPU threads
-        # (JVM task + Arrow python worker). A pure-CPU host probe
-        # (8 sha256 procs) scales at 0.96 up to ~8 active threads and
-        # only 0.70 at 16 — so 4x2 (≈16 active threads) is the widest
-        # configuration where the measurement reflects the ENGINE and
-        # not the hypervisor's effective-core ceiling (4x4 ≈ 32 active
-        # threads measures the host).
-        # hypervisor-shared host: single runs vary ±10% run-to-run
-        # (measured band 0.54-0.67 efficiency on identical code+input);
-        # take the best of 2 trials per leg as the throughput claim and
-        # report both trials.
+        # (local-cluster mode). Single-JVM local[k] is NOT a valid
+        # scaling proxy — one shared heap/python worker pool serializes
+        # wide configurations (measured: local[32] 4x slower than
+        # local[8] on identical input).
+        # Default 1 core/executor: every task core runs ~2 CPU threads
+        # (JVM task + Arrow python worker), and a pure-CPU host probe
+        # scales at 0.96 up to ~8 active threads but only 0.70 at 16 —
+        # 1x1 vs 4x1 (~2 vs ~8 threads) is the widest N-vs-4N pair
+        # inside the host's linear regime, so it measures the ENGINE;
+        # wider pairs measure the hypervisor (see BENCH/ANALYSIS.md).
+        # Hypervisor-shared host: trials vary up to 1.5x run-to-run;
+        # take the best of 2 per leg as the throughput claim and report
+        # both trials.
         results = {}
         cpe = args.cores_per_exec
         for n_exec in (1, 4):
@@ -171,7 +171,10 @@ def main() -> None:
                 f"local-cluster[{n_exec},{cpe},6144]",
                 shuffle_partitions=max(cpe * n_exec, 2),
             )
-            trials = [run_cdc_replay(spark, n_events, batches=2) for _ in range(2)]
+            trials = [
+                run_cdc_replay(spark, n_events, batches=2, write_mode=args.write_mode)
+                for _ in range(2)
+            ]
             spark.stop()
             r = max(trials, key=lambda t: t["events_per_sec"])
             r["trial_seconds"] = [round(t["seconds"], 1) for t in trials]
@@ -182,7 +185,8 @@ def main() -> None:
         md = f"""# BENCH — CDC replay scaling (N vs 4N executors)
 
 Input: {n_events:,} deterministic change events (15% hot-repo skew,
-5% dirty), replayed in 2 batches into a fresh 32-bucket lake table.
+5% dirty), replayed in 2 batches ({args.write_mode} write mode) into a
+fresh 32-bucket lake table.
 Same input both runs; only the executor count changes. Runs use
 `local-cluster` mode — real separate executor JVMs with their own
 heaps and Python worker pools, the faithful single-host stand-in for a
@@ -201,10 +205,20 @@ Final-state check: {results[1]['final_rows']:,} vs
 tests/test_scaling.py via content_sha set comparison).
 """
         os.makedirs("BENCH", exist_ok=True)
-        with open("BENCH/BASELINE.md", "w") as f:
+        # the official (cow) pair owns BASELINE.md; other modes get their
+        # own ledger file so the headline never silently swaps semantics
+        out = "BENCH/BASELINE.md" if args.write_mode == "cow" else (
+            f"BENCH/SCALING_{args.write_mode.upper()}.md"
+        )
+        analysis = os.path.join("BENCH", "ANALYSIS.md")
+        if args.write_mode == "cow" and os.path.exists(analysis):
+            with open(analysis) as f:  # stable ledger survives regeneration
+                md += "\n" + f.read()
+        with open(out, "w") as f:
             f.write(md)
         print(json.dumps({
             "metric": "cdc_replay_events_per_sec",
+            "write_mode": args.write_mode,
             "value": round(results[4]["events_per_sec"], 1),
             "unit": "events/sec",
             "n_exec_events_per_sec": round(results[1]["events_per_sec"], 1),

@@ -78,3 +78,23 @@ def test_merge_path_single_shuffle(spark, tmp_path):
         F.col("_head") & (F.col("op") != "D")
     )
     assert exchange_count(merged) == 1, merged._jdf.queryExecution().executedPlan().toString()
+
+
+def test_mor_read_single_shuffle(spark, tmp_path):
+    """The merge-on-read fold (base ∪ deltas → LWW) must cost exactly
+    ONE hash exchange — the window on _bucket — and stay Python-free."""
+    from filters_spark.engine.cdc import CDCEngine
+    from filters_spark.engine.defaults import default_registry
+    from filters_spark.lake.table import LakeTable
+    from filters_spark.sources.datagen import gen_events
+
+    t = LakeTable.create(spark, str(tmp_path / "lake"), ["repo", "path"], num_buckets=4)
+    eng = CDCEngine(spark, t, default_registry(), write_mode="mor", compact_after=99)
+    p = str(tmp_path / "ev.parquet")
+    gen_events(spark, 2000, n_repos=10, n_paths=80, seed=5).write.parquet(p)
+    eng.replay(spark.read.parquet(p), num_batches=2)
+    assert t.current()["deltas"], "precondition: deltas must exist"
+
+    df = t.read()
+    assert exchange_count(df) == 1, formatted_plan(df)
+    assert not has_python_eval(df)
