@@ -134,6 +134,7 @@ class LakeTable:
             "path_salt": path_salt,
             "schema_version": schema_version,
             "columns": columns,
+            "operation": "create",
             "buckets": {},      # bucket_id(str) -> [base file paths]
             "deltas": {},       # bucket_id(str) -> [delta file paths] (merge-on-read)
             "watermarks": {},   # bucket_id(str) -> "commit:seq"
@@ -251,6 +252,7 @@ class LakeTable:
         stats: dict | None = None,
         schema_version: int | None = None,
         columns: list[str] | None = None,
+        operation: str = "overwrite",
     ) -> dict:
         """Write ``df`` (which must contain ``_bucket`` and exactly the
         rows for ``touched_buckets``) as the new content of those
@@ -298,6 +300,8 @@ class LakeTable:
             "snapshot_id": sid,
             "parent_id": prev["snapshot_id"],
             "timestamp_ms": int(time.time() * 1000),
+            "operation": operation,
+            "added_files": [],
             "schema_version": schema_version or prev["schema_version"],
             "columns": columns or prev["columns"],
             "buckets": buckets,
@@ -331,6 +335,7 @@ class LakeTable:
         df.write.mode("error").partitionBy("_bucket").parquet(out_dir)
 
         deltas = dict(prev.get("deltas", {}))
+        added: list[str] = []
         for b in touched_buckets:
             bdir = os.path.join(out_dir, f"_bucket={b}")
             files = sorted(
@@ -340,6 +345,7 @@ class LakeTable:
             )
             if files:
                 deltas[str(b)] = deltas.get(str(b), []) + files
+                added.extend(files)
         watermarks = dict(prev["watermarks"])
         for b, wm in new_watermarks.items():
             old = watermarks.get(str(b), WATERMARK_ZERO)
@@ -350,6 +356,8 @@ class LakeTable:
             "snapshot_id": sid,
             "parent_id": prev["snapshot_id"],
             "timestamp_ms": int(time.time() * 1000),
+            "operation": "append-deltas",
+            "added_files": added,
             "deltas": deltas,
             "watermarks": watermarks,
             "stats": stats or prev["stats"],
@@ -380,7 +388,54 @@ class LakeTable:
             "repo", "path", "commit", "event_seq", "lang", "content", "content_sha",
             F.col("_bucket").cast("int").alias("_bucket"),
         ).repartition("_bucket")
-        return self.commit_buckets(merged, wanted, {})
+        return self.commit_buckets(merged, wanted, {}, operation="compact")
+
+    def changes(
+        self, since_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> DataFrame | None:
+        """Incremental read (Iceberg incremental-scan semantics): the
+        row-level changes committed AFTER ``since_snapshot_id`` up to
+        ``to_snapshot_id`` (default: current), with columns
+        ``(repo, path, commit, event_seq, lang, content, op,
+        snapshot_id)`` — ``op='D'`` rows are delete tombstones.
+
+        Merge-on-read commits record exactly the files they appended
+        (``added_files``), so the incremental read is a union of those
+        files — O(changed rows), no diffing. ``compact`` / ``create``
+        snapshots carry no logical change and are skipped. A
+        copy-on-write ``overwrite`` snapshot in the range raises: CoW
+        rewrites buckets and retains no row-level change log — ingest
+        with ``write_mode='mor'`` to make the table a change SOURCE for
+        downstream consumers. Returns None when the range is empty."""
+        to_id = self.current_snapshot_id() if to_snapshot_id is None else to_snapshot_id
+        parts: list[DataFrame] = []
+        for sid in self.snapshots():
+            if not (since_snapshot_id < sid <= to_id):
+                continue
+            snap = self.snapshot(sid)
+            op = snap.get("operation", "overwrite")
+            if op in ("create", "compact"):
+                continue
+            if op != "append-deltas":
+                raise ValueError(
+                    f"snapshot {sid} is {op!r} (copy-on-write): no row-level "
+                    "change log; ingest with write_mode='mor' for incremental reads"
+                )
+            files = snap.get("added_files", [])
+            if not files:
+                continue
+            parts.append(
+                self.spark.read.parquet(*files).select(
+                    "repo", "path", "commit", "event_seq", "lang", "content", "op",
+                    F.lit(sid).alias("snapshot_id"),
+                )
+            )
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # -- maintenance ----------------------------------------------------------
 

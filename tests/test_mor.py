@@ -97,3 +97,48 @@ class TestMorEqualsCow:
         assert paths == {"b.py"}
         mor_t.compact()
         assert {r.path for r in mor_t.read().collect()} == {"b.py"}
+
+
+class TestIncrementalChanges:
+    def test_changes_reconstruct_state_and_range(self, spark, tmp_path, events):
+        from pyspark.sql import Window
+
+        t = LakeTable.create(spark, str(tmp_path / "inc"), ["repo", "path"], num_buckets=8)
+        eng = CDCEngine(spark, t, default_registry(), write_mode="mor", compact_after=99)
+        eng.replay(events, num_batches=2)
+        sids = [s for s in t.snapshots() if t.snapshot(s).get("operation") == "append-deltas"]
+        assert len(sids) == 2
+
+        ch = t.changes(0)
+        assert set(r.snapshot_id for r in ch.select("snapshot_id").distinct().collect()) == set(sids)
+        # replaying ONLY the change log must reproduce the table state
+        w = Window.partitionBy("repo", "path").orderBy(
+            F.col("commit").desc(), F.col("event_seq").desc()
+        )
+        state = (
+            ch.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        )
+        assert _rows(state.withColumn("content_sha",
+                     F.sha2(F.coalesce("content", F.lit("")), 256))) == _rows(t.read())
+
+        # a mid-range read returns only the later commit's rows
+        later = t.changes(sids[0])
+        assert set(r.snapshot_id for r in later.select("snapshot_id").distinct().collect()) == {sids[1]}
+        assert later.count() < ch.count()
+        # empty range
+        assert t.changes(t.current_snapshot_id()) is None
+
+    def test_compaction_adds_no_changes_and_cow_raises(self, spark, tmp_path, events):
+        t = LakeTable.create(spark, str(tmp_path / "inc2"), ["repo", "path"], num_buckets=8)
+        eng = CDCEngine(spark, t, default_registry(), write_mode="mor", compact_after=99)
+        eng.replay(events, num_batches=2)
+        n_before = t.changes(0).count()
+        t.compact()
+        assert t.changes(0).count() == n_before  # compact snapshots are skipped
+
+        cow_t = LakeTable.create(spark, str(tmp_path / "cow"), ["repo", "path"], num_buckets=8)
+        cow = CDCEngine(spark, cow_t, default_registry())
+        cow.replay(events, num_batches=1)
+        with pytest.raises(ValueError, match="copy-on-write"):
+            cow_t.changes(0)
