@@ -76,6 +76,8 @@ class CDCEngine:
         self.spark = spark
         self.table = table
         self.io = table.io  # same FS as the table (DFS-safe, lake/fileio.py)
+        if not registry.versions:
+            raise ValueError("registry has no registered schema versions")
         self.registry = registry
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")

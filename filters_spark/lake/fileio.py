@@ -67,6 +67,10 @@ class FileIO:
         """Delete a single file; no-op if absent."""
         raise NotImplementedError
 
+    def mtime(self, path: str) -> float:
+        """Modification time (epoch seconds)."""
+        raise NotImplementedError
+
     def tree_has_suffix(self, path: str, suffix: str) -> bool:
         """True if any file under ``path`` (recursive) ends in suffix."""
         raise NotImplementedError
@@ -117,6 +121,9 @@ class LocalFileIO(FileIO):
             os.remove(path)
         except FileNotFoundError:
             pass
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(path)
 
     def tree_has_suffix(self, path: str, suffix: str) -> bool:
         for _, _, files in os.walk(path):
@@ -213,6 +220,9 @@ class HadoopFileIO(FileIO):
         if self._fs.exists(p):
             self._fs.delete(p, False)
 
+    def mtime(self, path: str) -> float:
+        return self._fs.getFileStatus(self._path(path)).getModificationTime() / 1000.0
+
     def tree_has_suffix(self, path: str, suffix: str) -> bool:
         p = self._path(path)
         if not self._fs.exists(p):
@@ -233,8 +243,12 @@ def _scheme(path: str) -> str | None:
 
 
 def fileio_for(spark, path: str) -> FileIO:
-    """LocalFileIO for bare / file: paths, HadoopFileIO otherwise."""
+    """LocalFileIO for bare paths; HadoopFileIO for ANY URI scheme —
+    including ``file:``, whose URIs would otherwise reach LocalFileIO's
+    raw ``os.*`` calls unstripped and split-brain metadata (written to a
+    literal ``./file:...`` tree) from data (written by Spark to the real
+    local path)."""
     scheme = _scheme(path)
-    if scheme in (None, "file"):
+    if scheme is None:
         return LocalFileIO()
     return HadoopFileIO(spark, path)

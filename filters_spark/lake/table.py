@@ -155,7 +155,18 @@ class LakeTable:
         return os.path.join(self.meta_dir, f"snap-{snapshot_id:08d}.json")
 
     def current_snapshot_id(self) -> int:
-        return int(self.io.read_text(os.path.join(self.meta_dir, "version-hint.text")).strip())
+        try:
+            return int(self.io.read_text(os.path.join(self.meta_dir, "version-hint.text")).strip())
+        except Exception:
+            # self-heal: on object stores the hint overwrite is
+            # delete+rename (not atomic), so a reader racing a commit or
+            # a crash between the two ops can find it missing — the
+            # snapshot manifests themselves are create-exclusive and
+            # monotonic, so the max id IS the current snapshot
+            ids = self.snapshots()
+            if not ids:
+                raise
+            return ids[-1]
 
     def snapshot(self, snapshot_id: int | None = None) -> dict:
         if snapshot_id is None:
@@ -408,8 +419,18 @@ class LakeTable:
         with ``write_mode='mor'`` to make the table a change SOURCE for
         downstream consumers. Returns None when the range is empty."""
         to_id = self.current_snapshot_id() if to_snapshot_id is None else to_snapshot_id
+        present = set(self.snapshots())
+        # snapshot ids are consecutive; a gap means expire_snapshots
+        # removed part of the range — raise rather than silently drop
+        # changes (Iceberg incremental scans do the same)
+        missing = [i for i in range(since_snapshot_id + 1, to_id + 1) if i not in present]
+        if missing:
+            raise ValueError(
+                f"snapshots {missing} in ({since_snapshot_id}, {to_id}] are expired; "
+                "the incremental range is unreadable"
+            )
         parts: list[DataFrame] = []
-        for sid in self.snapshots():
+        for sid in sorted(present):
             if not (since_snapshot_id < sid <= to_id):
                 continue
             snap = self.snapshot(sid)
@@ -467,26 +488,36 @@ class LakeTable:
                 live.update(fl)
         return live
 
-    def vacuum(self, dry_run: bool = False) -> list[str]:
+    def vacuum(self, dry_run: bool = False, min_age_seconds: float = 3600.0) -> list[str]:
         """Delete data files not referenced by any retained snapshot
         (orphans left by expired snapshots, compaction, CoW rewrites and
         aborted writes). Returns the orphan paths; ``dry_run`` lists
         without deleting.
 
-        Safe by construction: reads resolve files through snapshot
-        manifests, never directory listing, so deleting an unreferenced
-        file can't break a retained snapshot — run after
-        :meth:`expire_snapshots`. Listing cost is one level-2 walk of
-        ``data/`` (snap-*/delta-* dirs × bucket dirs); at deploy scale
-        this runs as a background maintenance job, not inline."""
+        ``min_age_seconds``: files younger than this are NEVER deleted —
+        commits write data files BEFORE the snapshot manifest, so a
+        concurrent in-flight commit's files look unreferenced until its
+        manifest lands. The retention window (Iceberg
+        remove_orphan_files' older_than) makes background vacuum safe
+        alongside writers; only set 0 when no writer can be active.
+
+        Beyond that window, deletion is safe by construction: reads
+        resolve files through snapshot manifests, never directory
+        listing, so deleting an unreferenced file can't break a
+        retained snapshot — run after :meth:`expire_snapshots`. Listing
+        cost is one level-2 walk of ``data/`` (snap-*/delta-* dirs ×
+        bucket dirs); at deploy scale this runs as a background
+        maintenance job, not inline."""
         live = self.live_files()
+        now = time.time()
         orphans: list[str] = []
+        kept_young = 0
         empty_dirs: list[str] = []
         for d in self.io.listdir(self.data_dir):
             ddir = os.path.join(self.data_dir, d)
             if not self.io.isdir(ddir):
                 continue
-            live_here = 0
+            keep_here = 0
             for child in self.io.listdir(ddir):
                 sub = os.path.join(ddir, child)
                 if self.io.isdir(sub):
@@ -494,15 +525,18 @@ class LakeTable:
                         p = os.path.join(sub, f)
                         if f.endswith(".parquet"):
                             if p in live:
-                                live_here += 1
+                                keep_here += 1
+                            elif min_age_seconds and now - self.io.mtime(p) < min_age_seconds:
+                                kept_young += 1
+                                keep_here += 1  # possible in-flight commit
                             else:
                                 orphans.append(p)
-            if live_here == 0:
+            if keep_here == 0:
                 empty_dirs.append(ddir)
         if not dry_run:
             for p in orphans:
                 self.io.remove(p)
-            for d in empty_dirs:  # no live files left -> drop the whole dir
+            for d in empty_dirs:  # nothing live or young left -> drop the dir
                 self.io.rmtree(d)
         return orphans
 

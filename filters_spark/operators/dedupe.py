@@ -236,7 +236,9 @@ def simhash_dupes(
                     F.struct(
                         F.lit(i).alias("chunk"),
                         F.shiftrightunsigned("_sh", lo).bitwiseAND(
-                            F.lit((1 << (hi - lo)) - 1).cast("long")
+                            # width 64 (max_hamming=0): all-ones mask is -1
+                            # as a signed long; (1<<64)-1 overflows LongType
+                            F.lit(-1 if hi - lo == 64 else (1 << (hi - lo)) - 1).cast("long")
                         ).alias("val"),
                     )
                     for i, (lo, hi) in enumerate(bounds)
@@ -307,8 +309,9 @@ def dedupe_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     Each round is one groupBy-min + one join, both keyed on the node id
     — no driver-side graph, no quadratic blow-up; ``localCheckpoint``
     cuts the iterative lineage so plans stay constant-size. Convergence
-    is detected via the (monotonically decreasing) sum of labels, one
-    tiny agg per round instead of an old-vs-new anti-join."""
+    is an exact changed-label count carried through the same update
+    join (works for ANY orderable id type — string, long, binary — no
+    numeric aggregation over ids)."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     edges = edges.repartition("src").localCheckpoint()
@@ -316,21 +319,23 @@ def dedupe_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels.select(F.col("id").alias("dst"), F.col("label").alias("dlabel")), "dst")
             .groupBy("src").agg(F.min("dlabel").alias("nmin"))
         )
-        labels = (
+        updated = (
             labels.join(nbr_min.withColumnRenamed("src", "id"), "id", "left")
-            .select("id", F.least("label", F.coalesce("nmin", "label")).alias("label"))
+            .select(
+                "id",
+                F.least("label", F.coalesce("nmin", "label")).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("_chg"),
+            )
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
+        labels = updated.drop("_chg")
+        if updated.filter(F.col("_chg")).limit(1).count() == 0:
             break
-        prev_sum = cur_sum
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

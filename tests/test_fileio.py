@@ -57,7 +57,9 @@ class TestFileIOContract:
 
 def test_fileio_for_scheme_routing(spark):
     assert isinstance(fileio_for(spark, "/tmp/x"), LocalFileIO)
-    assert isinstance(fileio_for(spark, "file:/tmp/x"), LocalFileIO)
+    # file: URIs must go through Hadoop FS: LocalFileIO's raw os.* calls
+    # would treat the URI as a literal relative path (review regression)
+    assert isinstance(fileio_for(spark, "file:/tmp/x"), HadoopFileIO)
     assert isinstance(fileio_for(spark, "hdfs://nn/x"), HadoopFileIO)
 
 

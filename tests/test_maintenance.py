@@ -53,15 +53,18 @@ class TestExpireVacuum:
 
     def test_vacuum_deletes_only_orphans(self, table):
         before = _rows(table.read())
-        orphans = table.vacuum(dry_run=True)
+        # default retention window protects freshly-written files (they
+        # could belong to an in-flight commit) — nothing is deletable yet
+        assert table.vacuum(dry_run=True) == []
+        orphans = table.vacuum(dry_run=True, min_age_seconds=0)
         assert orphans, "CoW rewrites must leave orphan files after expiry"
         live = table.live_files()
         assert not set(orphans) & live
-        deleted = table.vacuum()
+        deleted = table.vacuum(min_age_seconds=0)
         assert sorted(deleted) == sorted(orphans)
         # table unchanged, and a second vacuum finds nothing
         assert _rows(table.read()) == before
-        assert table.vacuum(dry_run=True) == []
+        assert table.vacuum(dry_run=True, min_age_seconds=0) == []
 
     def test_vacuum_respects_retained_history(self, spark, tmp_path):
         t = LakeTable.create(spark, str(tmp_path / "lake2"), ["repo", "path"], num_buckets=2)
@@ -74,7 +77,7 @@ class TestExpireVacuum:
         eng.apply_batch(ev.filter(F.col("commit") == "%012x" % 2))
         ids = t.snapshots()
         t.expire_snapshots(keep_last=2)  # keep the last two commits
-        t.vacuum()
+        t.vacuum(min_age_seconds=0)
         old = _rows(t.read(snapshot_id=ids[-2]))  # older RETAINED snapshot
         assert old and old[0][5] == "v1"
         assert _rows(t.read())[0][5] == "v2"
@@ -144,3 +147,46 @@ class TestRetryDeadLetters:
         m = eng2.apply_batch(ev)
         assert m["applied"] == 0 and m["skipped_replays"] == 1
         assert _rows(t.read()) == state
+
+
+class TestReviewRegressions:
+    """Pins for the round-2 code-review findings."""
+
+    def test_empty_registry_rejected(self, spark, tmp_path):
+        t = LakeTable.create(spark, str(tmp_path / "lk"), ["repo", "path"], num_buckets=2)
+        with pytest.raises(ValueError, match="no registered schema versions"):
+            CDCEngine(spark, t, SpecRegistry(CANONICAL_COLUMNS))
+
+    def test_version_hint_self_heals(self, spark, tmp_path):
+        t = LakeTable.create(spark, str(tmp_path / "lk"), ["repo", "path"], num_buckets=2)
+        eng = CDCEngine(spark, t, default_registry())
+        eng.apply_batch(spark.createDataFrame(
+            [("%012x" % 1, 0, "U", "r", "a.py", "py", "x", 1)], EVENT_DDL))
+        sid = t.current_snapshot_id()
+        os.remove(os.path.join(t.meta_dir, "version-hint.text"))
+        assert t.current_snapshot_id() == sid  # max manifest id wins
+        assert t.read().count() == 1
+
+    def test_changes_raises_on_expired_range(self, spark, tmp_path):
+        t = LakeTable.create(spark, str(tmp_path / "lk"), ["repo", "path"], num_buckets=2)
+        eng = CDCEngine(spark, t, default_registry(), write_mode="mor")
+        for c in (1, 2, 3):
+            eng.apply_batch(spark.createDataFrame(
+                [("%012x" % c, 0, "U", "r", "a.py", "py", f"v{c}", 1)], EVENT_DDL))
+        t.expire_snapshots(keep_last=1)
+        with pytest.raises(ValueError, match="expired"):
+            t.changes(0)
+        assert t.changes(t.current_snapshot_id() - 1).count() == 1  # intact tail
+
+    def test_file_uri_root_routes_to_hadoop_io(self, spark, tmp_path):
+        from filters_spark.lake.fileio import HadoopFileIO
+
+        root = "file://" + str(tmp_path / "lk")
+        t = LakeTable.create(spark, root, ["repo", "path"], num_buckets=2)
+        assert isinstance(t.io, HadoopFileIO)
+        eng = CDCEngine(spark, t, default_registry())
+        m = eng.apply_batch(spark.createDataFrame(
+            [("%012x" % 1, 0, "U", "r", "a.py", "py", "x", 1)], EVENT_DDL))
+        assert m["applied"] == 1 and t.read().count() == 1
+        # and NO stray literal 'file:...' directory appeared under cwd
+        assert not os.path.exists("file:")

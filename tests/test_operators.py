@@ -46,6 +46,15 @@ class TestDedupe:
         found = {(p.id_a, p.id_b): p.hamming for p in pairs}
         assert found.get((0, 1)) == 0  # identical text -> identical simhash
 
+    def test_simhash_exact_dup_mode(self, docs):
+        # review regression: max_hamming=0 means ONE 64-bit-wide chunk,
+        # whose all-ones mask must not overflow LongType
+        from filters_spark.operators.dedupe import simhash_dupes
+
+        pairs = simhash_dupes(docs, "text", "doc_id", max_hamming=0).collect()
+        assert all(p.hamming == 0 for p in pairs)
+        assert any((p.id_a, p.id_b) == (0, 1) for p in pairs)
+
     def test_ngram_jaccard_exact_values(self, docs):
         from filters_spark.operators.dedupe import ngram_jaccard_pairs
 
@@ -273,3 +282,16 @@ class TestDedupeClusters:
         touched = {v for e in edges for v in e}
         want = {x: min(y for y in touched if find(y) == find(x)) for x in touched}
         assert got == want
+
+    def test_string_ids_and_deep_chain(self, spark):
+        # review regression: convergence must not aggregate over the id
+        # TYPE (string ids + diameter-4 chain forces >2 propagation rounds)
+        from filters_spark.operators.dedupe import dedupe_clusters
+
+        pairs = spark.createDataFrame(
+            [("e", "d"), ("d", "c"), ("c", "b"), ("b", "a"), ("x", "y")],
+            "id_a string, id_b string",
+        )
+        got = {(r.id, r.cluster_id) for r in dedupe_clusters(pairs).collect()}
+        assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+                       ("e", "a"), ("x", "x"), ("y", "x")}
