@@ -435,8 +435,8 @@ class LakeTable:
                 continue
             snap = self.snapshot(sid)
             op = snap.get("operation", "overwrite")
-            if op in ("create", "compact"):
-                continue
+            if op in ("create", "compact", "rescale"):
+                continue  # physical reorganizations: no logical change
             if op != "append-deltas":
                 raise ValueError(
                     f"snapshot {sid} is {op!r} (copy-on-write): no row-level "
@@ -457,6 +457,68 @@ class LakeTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def rescale(self, num_buckets: int, path_salt: int | None = None) -> dict:
+        """Re-bucket the table (partition evolution): rewrite every row
+        under a new ``num_buckets`` / ``path_salt`` and commit it as one
+        atomic snapshot. Scale operation for a table that outgrew its
+        layout — bucket count should track cluster width, and a hotter
+        monorepo may need a wider path salt.
+
+        MUST run on QUIESCED ingest (the standard constraint for
+        repartitioning): with the WAL drained through commit C, every
+        committed watermark is <= C and every future event carries a
+        commit > C, so collapsing the per-bucket watermarks to their
+        global max is exactly-once-exact — nothing new is dropped,
+        nothing replayed is admitted. (Mid-ingest, a bucket behind the
+        global max could see genuinely-new events wrongly dropped.)
+
+        One shuffle (repartition on the new bucket key); time travel to
+        pre-rescale snapshots keeps reading the OLD layout — ``read()``
+        derives bucket params per snapshot, not from the table handle.
+        Works identically for CoW and MoR tables (``read()`` folds
+        deltas; the rescale commit clears them)."""
+        snap = self.current()
+        salt = snap["path_salt"] if path_salt is None else path_salt
+        cur = self.read()
+        wm_values = list(snap["watermarks"].values())
+        global_wm = max(wm_values) if wm_values else None
+        new_watermarks = (
+            {b: global_wm for b in range(num_buckets)} if global_wm is not None else {}
+        )
+        sid = snap["snapshot_id"] + 1
+        out_dir = os.path.join(self.data_dir, f"snap-{sid:08d}")
+        new_files: dict[str, list[str]] = {str(b): [] for b in range(num_buckets)}
+        if cur is not None:
+            df = cur.select(
+                "repo", "path", "commit", "event_seq", "lang", "content", "content_sha",
+                bucket_expr(F.col("repo"), F.col("path"), num_buckets, salt).alias("_bucket"),
+            ).repartition("_bucket")
+            df.write.mode("error").partitionBy("_bucket").parquet(out_dir)
+            for b in range(num_buckets):
+                bdir = os.path.join(out_dir, f"_bucket={b}")
+                files = sorted(
+                    os.path.join(bdir, f)
+                    for f in self.io.listdir(bdir)
+                    if f.endswith(".parquet")
+                )
+                if files:
+                    new_files[str(b)] = files
+        snapshot = {
+            **snap,
+            "snapshot_id": sid,
+            "parent_id": snap["snapshot_id"],
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": "rescale",
+            "added_files": [],
+            "num_buckets": num_buckets,
+            "path_salt": salt,
+            "buckets": {b: fl for b, fl in new_files.items() if fl},
+            "deltas": {},
+            "watermarks": {str(b): w for b, w in new_watermarks.items()},
+        }
+        self._write_snapshot(snapshot)
+        return snapshot
 
     # -- maintenance ----------------------------------------------------------
 

@@ -190,3 +190,43 @@ class TestReviewRegressions:
         assert m["applied"] == 1 and t.read().count() == 1
         # and NO stray literal 'file:...' directory appeared under cwd
         assert not os.path.exists("file:")
+
+
+class TestRescale:
+    def test_rescale_preserves_state_and_exactly_once(self, spark, tmp_path):
+        t = LakeTable.create(spark, str(tmp_path / "lk"), ["repo", "path"],
+                             num_buckets=4, path_salt=4)
+        eng = CDCEngine(spark, t, default_registry(), write_mode="mor")
+        p = str(tmp_path / "ev.parquet")
+        gen_events(spark, n_events=2000, n_repos=10, n_paths=80,
+                   delete_frac=0.2, seed=9).write.parquet(p)
+        ev = spark.read.parquet(p)
+        eng.replay(ev, num_batches=2)
+        before = _rows(t.read())
+        pre_sid = t.current_snapshot_id()
+
+        snap = t.rescale(num_buckets=16, path_salt=8)
+        assert snap["num_buckets"] == 16 and snap["path_salt"] == 8
+        assert not snap["deltas"]  # MoR deltas folded into the new layout
+        assert _rows(t.read()) == before                    # state identical
+        assert _rows(t.read(snapshot_id=pre_sid)) == before  # old layout readable
+        assert t.changes(pre_sid) is None  # reorganization: no logical change
+
+        # exactly-once survives the layout change: full replay = all skipped
+        m = eng.replay(ev, num_batches=1)
+        assert sum(x["applied"] for x in m) == 0
+        assert sum(x["skipped_replays"] for x in m) > 0
+        assert _rows(t.read()) == before
+
+        # and genuinely new events (later commits) land in the new layout
+        p2 = str(tmp_path / "ev2.parquet")
+        gen_events(spark, n_events=500, n_repos=10, n_paths=80, seed=9,
+                   start_commit=100).write.parquet(p2)
+        m2 = eng.replay(spark.read.parquet(p2), num_batches=1)
+        assert sum(x["applied"] for x in m2) > 0
+        # every data row hashes into the new bucket space
+        from filters_spark.lake.table import bucket_expr
+        mis = t.read().withColumn(
+            "_b2", bucket_expr(F.col("repo"), F.col("path"), 16, 8)
+        ).filter(F.col("_bucket") != F.col("_b2")).count() if "_bucket" in t.read().columns else 0
+        assert mis == 0
