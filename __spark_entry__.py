@@ -1131,6 +1131,79 @@ def q_ann_ivf_assign(spark, sf):
     return ivf_assign(vecs, cents).select("vec_id", "cell")
 
 
+# --- training-data sampling / packing ----------------------------------------
+
+
+@_q(
+    "sample_hash_split",
+    """
+    SELECT split, lang, count(*) AS n FROM (
+      SELECT lang,
+             CASE WHEN ((doc_id % 2147483648) * 1099087573 % 2147483648)
+                       / 2147483648.0 < 0.98 THEN 'train'
+                  WHEN ((doc_id % 2147483648) * 1099087573 % 2147483648)
+                       / 2147483648.0 < 0.99 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ) GROUP BY split, lang
+    """,
+)
+def q_sample_hash_split(spark, sf):
+    """Deterministic weighted train/val/test split by id hash
+    (operators/sampling.py:hash_split) — bit-identical assignment in
+    any engine with 64-bit integer math; no RNG, no shuffle."""
+    from filters_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf, "documents")
+    return hash_split(d, "doc_id", {"train": 0.98, "val": 0.01, "test": 0.01}).groupBy(
+        "split", "lang"
+    ).agg(F.count("*").alias("n"))
+
+
+@_q(
+    "sample_quota_per_source",
+    """
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 50
+    """,
+)
+def q_sample_quota(spark, sf):
+    """Per-source caps (corpus balancing): keep at most 50 docs per
+    source, deterministically (operators/sampling.py:quota_per_group)."""
+    from filters_spark.operators.sampling import quota_per_group
+
+    d = _t(spark, sf, "documents")
+    return quota_per_group(d, "source", "doc_id", 50).select("source", "doc_id")
+
+
+@_q(
+    "sample_pack_sequences",
+    """
+    SELECT seq_id, count(*) AS n_docs, sum(n_chars) AS sum_tokens FROM (
+      SELECT CAST(floor((sum(n_chars) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_chars) / 4096.0) AS BIGINT) AS seq_id,
+             n_chars
+      FROM documents WHERE doc_id < 2000
+    ) GROUP BY seq_id
+    """,
+)
+def q_sample_pack(spark, sf):
+    """Greedy contiguous packing of documents into 4096-token training
+    sequences (operators/sampling.py:pack_sequences), summarized per
+    sequence; n_chars stands in for the token count column."""
+    from filters_spark.operators.sampling import pack_sequences
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000)
+    packed = pack_sequences(d, "doc_id", "n_chars", 4096)
+    return packed.groupBy("seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_tokens"),
+    )
+
+
 # --- multimodal plumbing (stub decode) ---------------------------------------
 
 

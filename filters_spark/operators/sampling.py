@@ -1,0 +1,93 @@
+"""Deterministic sampling / splitting / packing for training-data
+pipelines — all native Column expressions, no randomness at runtime.
+
+Reproducibility rule: every assignment is a pure function of the row's
+id (multiplicative hashing in 31-bit modular space, exactly computable
+in any engine with 64-bit integer math), so splits are stable across
+runs, engines, partitionings and cluster sizes — the property corpus
+splits actually need (a resampled val set invalidates comparisons).
+
+- :func:`hash_split`: weighted train/val/test assignment by id hash.
+- :func:`quota_per_group`: cap rows per group (per-domain caps — a
+  standard corpus-balancing step), deterministic keep-order.
+- :func:`pack_sequences`: greedy contiguous stream packing of documents
+  into fixed-token-budget sequences (the "pack docs into 4k-token
+  training rows" step), as a window cumsum — one shuffle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+# multiplier < 2^31 so (id % 2^31) * MULT stays under 2^62 (no int64
+# overflow in either Spark or DuckDB); classic LCG constant
+_MULT = 1099087573
+_MOD = 2_147_483_648  # 2^31
+
+
+def _hash01(id_col: Column, salt: int) -> Column:
+    """Deterministic uniform-ish [0,1) from a nonnegative integer id —
+    pure BIGINT arithmetic, bit-identical across engines."""
+    h = F.pmod((F.pmod(id_col.cast("long"), F.lit(_MOD)) + F.lit(salt)) * F.lit(_MULT), F.lit(_MOD))
+    return h / float(_MOD)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split with the given weights (e.g.
+    ``{"train": 0.98, "val": 0.01, "test": 0.01}``), deterministically
+    by id. Map-only: no shuffle, no RNG, stable under re-runs and
+    engine changes."""
+    total = sum(weights.values())
+    frac = _hash01(F.col(id_col), salt)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        expr = F.when(frac < cum, name) if expr is None else expr.when(frac < cum, name)
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, out)
+
+
+def quota_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    quota: int,
+) -> DataFrame:
+    """Keep at most ``quota`` rows per group, deterministically (lowest
+    ``order_col`` first) — per-domain / per-source caps. One shuffle
+    keyed on the group; AQE handles skewed groups."""
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota)
+        .drop("_rn")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    max_tokens: int,
+    seq_col: str = "seq_id",
+) -> DataFrame:
+    """Greedy contiguous stream packing: documents ordered by id fill
+    fixed-budget sequences; a document's sequence is the budget window
+    its START offset falls in (the standard pack-then-truncate layout
+    for LLM training rows). Deterministic, ONE global sort/shuffle —
+    at corpus scale, pre-partition by a corpus shard and pack within
+    shards (pass a composite ``id_col``)."""
+    w = Window.orderBy(F.col(id_col)).rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum(F.col(tokens_col)).over(w)
+    start = cum - F.col(tokens_col)
+    return df.withColumn(seq_col, F.floor(start / F.lit(max_tokens)).cast("long"))

@@ -295,3 +295,43 @@ class TestDedupeClusters:
         got = {(r.id, r.cluster_id) for r in dedupe_clusters(pairs).collect()}
         assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
                        ("e", "a"), ("x", "x"), ("y", "x")}
+
+
+class TestSampling:
+    def test_hash_split_deterministic_and_weighted(self, spark):
+        from filters_spark.operators.sampling import hash_split
+
+        df = spark.range(20000).withColumnRenamed("id", "doc_id")
+        w = {"train": 0.98, "val": 0.01, "test": 0.01}
+        a = {r.doc_id: r.split for r in hash_split(df, "doc_id", w).collect()}
+        b = {r.doc_id: r.split for r in hash_split(df, "doc_id", w).collect()}
+        assert a == b  # no RNG anywhere
+        from collections import Counter
+        c = Counter(a.values())
+        assert 0.97 < c["train"] / 20000 < 0.99
+        assert 0.005 < c["val"] / 20000 < 0.02
+        # a different salt reshuffles assignments
+        s2 = {r.doc_id: r.split for r in hash_split(df, "doc_id", w, salt=7).collect()}
+        assert s2 != a
+
+    def test_quota_per_group(self, spark):
+        from filters_spark.operators.sampling import quota_per_group
+
+        df = spark.createDataFrame(
+            [(g, i) for g in ("a", "b") for i in range(10)], "src string, doc_id long"
+        )
+        kept = quota_per_group(df, "src", "doc_id", 3).collect()
+        by_g = {}
+        for r in kept:
+            by_g.setdefault(r.src, []).append(r.doc_id)
+        assert {g: sorted(v) for g, v in by_g.items()} == {"a": [0, 1, 2], "b": [0, 1, 2]}
+
+    def test_pack_sequences_contiguous(self, spark):
+        from filters_spark.operators.sampling import pack_sequences
+
+        df = spark.createDataFrame(
+            [(0, 3000), (1, 2000), (2, 2000), (3, 100)], "doc_id long, toks long"
+        )
+        got = {r.doc_id: r.seq_id for r in pack_sequences(df, "doc_id", "toks", 4096).collect()}
+        # starts: 0 -> seq 0; 3000 -> seq 0; 5000 -> seq 1; 7000 -> seq 1
+        assert got == {0: 0, 1: 0, 2: 1, 3: 1}
