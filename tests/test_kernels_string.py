@@ -190,6 +190,20 @@ class TestMaxBytes:
         r = run_one([("max_bytes", {"max_bytes": 5})], s)
         assert r.cleaned_data == b"ab"
 
+    def test_normalizes_before_measuring(self):
+        # reference MaxBytes pipes through Unicode(normalize=True)
+        # BEFORE encoding/measuring (string.py:250-356, ADVICE round 1):
+        # CRLF -> LF, so 'a\r\nb' is 3 bytes, not 4
+        r = run_one([("max_bytes", {"max_bytes": 3})], "a\r\nb")
+        assert r.is_valid and r.cleaned_data == b"a\nb"
+        # NFD 'e'+combining-acute (3 bytes) -> NFC 'é' (2 bytes)
+        r = run_one([("max_bytes", {"max_bytes": 2})], "e\u0301")
+        assert r.is_valid and r.cleaned_data == "é".encode("utf-8")
+        # and the truncated REPLACEMENT is of the normalized text
+        r = run_one([("max_bytes", {"max_bytes": 2})], "a\r\nb")
+        assert r.errors == {"": ["too_long"]}
+        assert r.cleaned_data == b"a\n"
+
 
 class TestUuid:
     def test_dashed(self):
