@@ -857,7 +857,7 @@ def q_filter_ip(spark, sf):
     SELECT CASE WHEN k > 49 THEN 'props.k' END AS err_key,
            CASE WHEN k > 49 THEN 'too_big' END AS err_code,
            count(*) AS n,
-           sum(CASE WHEN k <= 49 THEN k END) AS sum_k
+           CAST(sum(CASE WHEN k <= 49 THEN k END) AS BIGINT) AS sum_k
     FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
     GROUP BY 1, 2
     """,
@@ -992,7 +992,7 @@ def q_filter_type_gate(spark, sf):
 @_q(
     "filter_array_gate",
     """
-    SELECT err_code, count(*) AS n, sum(first_elem) AS sum_first FROM (
+    SELECT err_code, count(*) AS n, CAST(sum(first_elem) AS BIGINT) AS sum_first FROM (
       SELECT CASE WHEN event_id % 4 = 0 THEN 'wrong_type' END AS err_code,
              CASE WHEN event_id % 4 != 0
                   THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS first_elem
@@ -1182,9 +1182,10 @@ def q_sample_quota(spark, sf):
 @_q(
     "sample_pack_sequences",
     """
-    SELECT seq_id, count(*) AS n_docs, sum(n_chars) AS sum_tokens FROM (
-      SELECT CAST(floor((sum(n_chars) OVER (ORDER BY doc_id
-                         ROWS UNBOUNDED PRECEDING) - n_chars) / 4096.0) AS BIGINT) AS seq_id,
+    SELECT seq_id, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_tokens FROM (
+      SELECT concat(source, '-', CAST(CAST(floor((sum(n_chars) OVER (PARTITION BY source
+                         ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars) / 4096.0)
+                         AS BIGINT) AS VARCHAR)) AS seq_id,
              n_chars
       FROM documents WHERE doc_id < 2000
     ) GROUP BY seq_id
@@ -1192,12 +1193,16 @@ def q_sample_quota(spark, sf):
 )
 def q_sample_pack(spark, sf):
     """Greedy contiguous packing of documents into 4096-token training
-    sequences (operators/sampling.py:pack_sequences), summarized per
-    sequence; n_chars stands in for the token count column."""
+    sequences (operators/sampling.py:pack_sequences), SHARDED by
+    ``source`` (a partitioned window — no orderBy-only global window),
+    summarized per sequence; n_chars stands in for the token count
+    column. The oracle CASTs its sum to BIGINT: DuckDB sum(BIGINT) is
+    HUGEINT, which pandas renders as float64 and the driver hash would
+    see '4568.0' vs Spark's '4568'."""
     from filters_spark.operators.sampling import pack_sequences
 
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000)
-    packed = pack_sequences(d, "doc_id", "n_chars", 4096)
+    packed = pack_sequences(d, "doc_id", "n_chars", 4096, partition_col="source")
     return packed.groupBy("seq_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("sum_tokens"),

@@ -139,7 +139,18 @@ class CDCEngine:
                     val, errs = masked, empty_errs
                 else:
                     spec = FieldSpec.of(chain_spec)
-                    _, fn = compile_field(field, spec, input_type="string")
+                    # pass the resolved source column's ACTUAL type so
+                    # non-string WAL columns take the kernel path (the
+                    # native chain's string semantics — e.g. required's
+                    # length(cast(string)) emptiness test — only apply
+                    # to string inputs), matching what validate() picks
+                    # from the schema
+                    in_type = (
+                        events.schema[src].dataType.simpleString()
+                        if src is not None and src in events.columns
+                        else "string"
+                    )
+                    _, fn = compile_field(field, spec, input_type=in_type)
                     val, errs = fn(masked)
                 value_expr = F.when(cond, val) if value_expr is None else value_expr.when(cond, val)
                 err_expr = F.when(cond, errs) if err_expr is None else err_expr.when(cond, errs)
@@ -501,10 +512,18 @@ class CDCEngine:
             g_hi = min(g_lo + group, num_batches)
             part = events
             if group < num_batches:  # stage only this group's commit range
+                # compare the NUMERIC commit (same F.conv long as
+                # batch_id), not zero-padded hex strings: a hex upper
+                # bound of hi+1 at/near 0xffffffffffff widens to 13
+                # chars and the lexicographic compare silently drops
+                # most of the last group's events
+                upper = (
+                    commit_long < F.lit(lo + g_hi * span)
+                    if g_hi < num_batches
+                    else commit_long <= F.lit(hi)
+                )
                 part = events.filter(
-                    (F.col("commit") >= F.format_string("%012x", F.lit(lo + g_lo * span)))
-                    & (F.col("commit") < F.format_string(
-                        "%012x", F.lit(lo + g_hi * span if g_hi < num_batches else hi + 1)))
+                    (commit_long >= F.lit(lo + g_lo * span)) & upper
                 )
             scratch = self._stage(part, snap0, batch_col=batch_id)
             lineage_rows: list = []

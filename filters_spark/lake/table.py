@@ -50,6 +50,15 @@ from filters_spark.lake.fileio import FileIO, fileio_for
 WATERMARK_ZERO = "000000000000:-1"
 
 
+def _rel_to_data(path: str) -> str:
+    """Data-file identity independent of how the table root was spelled:
+    the suffix after the LAST ``/data/`` (``snap-N/_bucket=K/part-*``).
+    The relative part never contains a ``data/`` segment (only snap-*/
+    delta-* dirs, bucket dirs and part files), so rsplit is exact even
+    when the root itself contains ``/data/``."""
+    return path.replace(os.sep, "/").rsplit("/data/", 1)[-1]
+
+
 def bucket_expr(repo_col, path_col, num_buckets: int, path_salt: int = 16):
     """Deterministic bucket id for a (repo, path) key.
 
@@ -569,8 +578,16 @@ class LakeTable:
         retained snapshot — run after :meth:`expire_snapshots`. Listing
         cost is one level-2 walk of ``data/`` (snap-*/delta-* dirs ×
         bucket dirs); at deploy scale this runs as a background
-        maintenance job, not inline."""
-        live = self.live_files()
+        maintenance job, not inline.
+
+        Liveness compares paths RELATIVE to the data dir (suffix after
+        the last ``/data/``): manifests record the committing handle's
+        spelling of the table root, so raw string equality against
+        paths built from THIS handle's root (relative vs absolute,
+        './' prefixes, symlinked parents, scheme differences) would
+        make every live file look like an orphan — and a non-dry-run
+        vacuum would delete live table data."""
+        live = {_rel_to_data(p) for p in self.live_files()}
         now = time.time()
         orphans: list[str] = []
         kept_young = 0
@@ -586,7 +603,7 @@ class LakeTable:
                     for f in self.io.listdir(sub):
                         p = os.path.join(sub, f)
                         if f.endswith(".parquet"):
-                            if p in live:
+                            if _rel_to_data(p) in live:
                                 keep_here += 1
                             elif min_age_seconds and now - self.io.mtime(p) < min_age_seconds:
                                 kept_young += 1

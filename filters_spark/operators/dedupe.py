@@ -319,6 +319,7 @@ def dedupe_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     ).localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels.select(F.col("id").alias("dst"), F.col("label").alias("dlabel")), "dst")
@@ -335,7 +336,20 @@ def dedupe_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         )
         labels = updated.drop("_chg")
         if updated.filter(F.col("_chg")).limit(1).count() == 0:
+            converged = True
             break
+    if not converged:
+        # labels were still moving at max_iter: some component's
+        # diameter exceeds the round budget (plausible for long
+        # near-dup chains at corpus scale) and the returned clusters
+        # would be silently WRONG — keep-representative would keep/drop
+        # the wrong rows. Fail loudly; callers with a known-deep graph
+        # raise max_iter.
+        raise RuntimeError(
+            f"dedupe_clusters did not converge in max_iter={max_iter} rounds "
+            "(labels still changing) — component diameter exceeds the round "
+            "budget; raise max_iter"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

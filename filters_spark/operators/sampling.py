@@ -62,11 +62,29 @@ def quota_per_group(
     group_col: str,
     order_col: str,
     quota: int,
+    precap: bool = False,
 ) -> DataFrame:
     """Keep at most ``quota`` rows per group, deterministically (lowest
     ``order_col`` first) — per-domain / per-source caps. One shuffle
-    keyed on the group; AQE handles skewed groups."""
+    keyed on the group.
+
+    Skew: a hot group is a SINGLE window task — AQE skew splitting
+    applies to joins, not to ``row_number`` windows. ``precap=True``
+    adds a pre-pass window partitioned by (input partition id, group):
+    a row in the global per-group top-``quota`` is necessarily in the
+    top-``quota`` of its own input slice, so each slice keeps its local
+    ``quota`` lowest and the hot group's final task sorts at most
+    ``quota × n_input_partitions`` rows instead of the whole group.
+    Costs one extra exchange — use it when one group can hold a large
+    fraction of the corpus (the usual reason a cap exists)."""
     w = Window.partitionBy(group_col).orderBy(F.col(order_col))
+    if precap:
+        pre = Window.partitionBy(F.spark_partition_id(), group_col).orderBy(F.col(order_col))
+        df = (
+            df.withColumn("_prn", F.row_number().over(pre))
+            .filter(F.col("_prn") <= quota)
+            .drop("_prn")
+        )
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= quota)
@@ -80,14 +98,34 @@ def pack_sequences(
     tokens_col: str,
     max_tokens: int,
     seq_col: str = "seq_id",
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Greedy contiguous stream packing: documents ordered by id fill
     fixed-budget sequences; a document's sequence is the budget window
     its START offset falls in (the standard pack-then-truncate layout
-    for LLM training rows). Deterministic, ONE global sort/shuffle —
-    at corpus scale, pre-partition by a corpus shard and pack within
-    shards (pass a composite ``id_col``)."""
-    w = Window.orderBy(F.col(id_col)).rowsBetween(Window.unboundedPreceding, 0)
+    for LLM training rows). Deterministic.
+
+    ``partition_col`` is the scale control: without it the cumulative
+    sum is an ``orderBy``-only window — Spark moves the ENTIRE input
+    through one task (a composite sort key does not help; any global
+    window is global). Pass a corpus shard column and packing runs
+    per shard (``Window.partitionBy(shard).orderBy(id)``), one
+    ordinary keyed shuffle, with the shard key salted into ``seq_id``
+    (string ``"<shard>-<local seq>"``) so ids stay globally unique.
+    Only tiny inputs should omit it."""
+    if partition_col is not None:
+        w = (
+            Window.partitionBy(F.col(partition_col))
+            .orderBy(F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        w = Window.orderBy(F.col(id_col)).rowsBetween(Window.unboundedPreceding, 0)
     cum = F.sum(F.col(tokens_col)).over(w)
     start = cum - F.col(tokens_col)
-    return df.withColumn(seq_col, F.floor(start / F.lit(max_tokens)).cast("long"))
+    local = F.floor(start / F.lit(max_tokens)).cast("long")
+    if partition_col is not None:
+        return df.withColumn(
+            seq_col, F.concat_ws("-", F.col(partition_col).cast("string"), local.cast("string"))
+        )
+    return df.withColumn(seq_col, local)

@@ -120,6 +120,33 @@ def test_batch_boundary_invariance(spark, tmp_path, oracle):
     assert final_state(e1) == final_state(e5) == oracle
 
 
+def test_staged_replay_at_hex_commit_ceiling(spark, tmp_path):
+    # regression (round-2 advice): group-staged replay bounded its last
+    # group with format_string('%012x', hi+1); at commits near
+    # 0xffffffffffff that is a 13-char string and the lexicographic
+    # compare silently dropped the last group's events. The bound is now
+    # numeric (same F.conv long as batch_id).
+    ddl = (
+        "commit string, event_seq long, op string, repo string, path string, "
+        "lang string, content string, schema_version int"
+    )
+    top = (1 << 48) - 1
+    ev = spark.createDataFrame(
+        [
+            ("%012x" % (top - 3), 0, "U", "r1", "a.py", "py", "va", 1),
+            ("%012x" % (top - 1), 0, "U", "r1", "b.py", "py", "vb", 1),
+            ("%012x" % top, 0, "U", "r1", "c.py", "py", "vc", 1),
+        ],
+        ddl,
+    )
+    engine = make_engine(spark, str(tmp_path), num_buckets=2)
+    metrics = engine.replay(ev, num_batches=2, stage_batches=1)
+    assert sum(m["applied"] for m in metrics) == 3
+    assert {(r.repo, r.path) for r in engine.table.read().collect()} == {
+        ("r1", "a.py"), ("r1", "b.py"), ("r1", "c.py")
+    }
+
+
 def test_idempotent_replay(spark, tmp_path, oracle):
     engine = make_engine(spark, str(tmp_path))
     ev = events_df(spark)

@@ -66,6 +66,25 @@ class TestExpireVacuum:
         assert _rows(table.read()) == before
         assert table.vacuum(dry_run=True, min_age_seconds=0) == []
 
+    def test_vacuum_with_respelled_root_sees_live_files(self, spark, tmp_path):
+        # manifests record the committing handle's root spelling; a
+        # handle opened with a different spelling (relative segments,
+        # './', symlinks) must still recognize live files — otherwise
+        # vacuum deletes live table data
+        root = str(tmp_path / "lake3")
+        t = LakeTable.create(spark, root, ["repo", "path"], num_buckets=2)
+        eng = CDCEngine(spark, t, default_registry())
+        ev = spark.createDataFrame(
+            [("%012x" % 1, 0, "U", "r1", "a.py", "py", "v1", 1)], EVENT_DDL
+        )
+        eng.apply_batch(ev)
+        before = _rows(t.read())
+        respelled = os.path.join(str(tmp_path), ".", "lake3", "")
+        t2 = LakeTable(spark, respelled)
+        assert t2.vacuum(dry_run=True, min_age_seconds=0) == []
+        t2.vacuum(min_age_seconds=0)  # must be a no-op
+        assert _rows(t.read()) == before
+
     def test_vacuum_respects_retained_history(self, spark, tmp_path):
         t = LakeTable.create(spark, str(tmp_path / "lake2"), ["repo", "path"], num_buckets=2)
         eng = CDCEngine(spark, t, default_registry())

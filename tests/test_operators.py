@@ -283,6 +283,15 @@ class TestDedupeClusters:
         want = {x: min(y for y in touched if find(y) == find(x)) for x in touched}
         assert got == want
 
+    def test_nonconvergence_raises(self, spark):
+        # a diameter-5 chain cannot settle in 1 round: silent wrong
+        # labels would poison keep-representative, so it must raise
+        from filters_spark.operators.dedupe import dedupe_clusters
+
+        pairs = self._pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedupe_clusters(pairs, max_iter=1)
+
     def test_string_ids_and_deep_chain(self, spark):
         # review regression: convergence must not aggregate over the id
         # TYPE (string ids + diameter-4 chain forces >2 propagation rounds)
@@ -335,3 +344,38 @@ class TestSampling:
         got = {r.doc_id: r.seq_id for r in pack_sequences(df, "doc_id", "toks", 4096).collect()}
         # starts: 0 -> seq 0; 3000 -> seq 0; 5000 -> seq 1; 7000 -> seq 1
         assert got == {0: 0, 1: 0, 2: 1, 3: 1}
+
+    def test_pack_sequences_sharded(self, spark):
+        from filters_spark.operators.sampling import pack_sequences
+
+        df = spark.createDataFrame(
+            [("s1", 0, 3000), ("s1", 1, 2000), ("s2", 2, 3000),
+             ("s2", 3, 2000), ("s2", 4, 2000)],
+            "src string, doc_id long, toks long",
+        )
+        packed = pack_sequences(df, "doc_id", "toks", 4096, partition_col="src")
+        got = {r.doc_id: r.seq_id for r in packed.collect()}
+        # per-shard packing restarts offsets: s2 starts are 0, 3000,
+        # 5000 -> windows 0, 0, 1; seq ids are shard-salted
+        assert got == {0: "s1-0", 1: "s1-0", 2: "s2-0", 3: "s2-0", 4: "s2-1"}
+        # scale pin: the partitioned window must NOT be a global sort —
+        # no SinglePartition exchange in the physical plan
+        plan = packed._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+
+    def test_quota_per_group_precap_equivalence(self, spark):
+        from filters_spark.operators.sampling import quota_per_group
+
+        # one hot group holding ~50% of rows: precap path must return
+        # exactly the plain path's rows
+        rows = [("hot", i) for i in range(200)] + [
+            (f"g{i % 7}", 1000 + i) for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "src string, doc_id long").repartition(8)
+        plain = sorted((r.src, r.doc_id) for r in quota_per_group(df, "src", "doc_id", 5).collect())
+        capped = sorted(
+            (r.src, r.doc_id)
+            for r in quota_per_group(df, "src", "doc_id", 5, precap=True).collect()
+        )
+        assert plain == capped
+        assert len([p for p in plain if p[0] == "hot"]) == 5
