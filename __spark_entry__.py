@@ -19,6 +19,8 @@ from collections.abc import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from filters_spark.operators.hashing import mix31_sql, sha64_sql, sha_planes
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -472,24 +474,120 @@ def q_dedup_exact(spark, sf):
     )
 
 
-@_q("dedup_minhash_lsh")  # rows-only: xxhash64 signatures have no DuckDB twin
+def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8, k: int = 5,
+                        seed: int = 1, threshold: float = 0.4,
+                        max_bucket: int = 200) -> str:
+    """DuckDB twin of minhash_lsh_pairs with the injected sha64 hash
+    family: shingles -> per-salt min-hash signature -> banded pairs ->
+    bucket-size guard -> agreement-estimated jaccard. Band-bucket
+    equality is mirrored as signature-SLICE equality (the xxhash64
+    bucket id is just a compression of the slice)."""
+    r = num_hashes // bands
+    gram = f"array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+{k - 1}], ' ')"
+    # one sha64 per shingle, then the cheap mix31 permutation per salt
+    # — mirrors minhash_signature(base_hash_fn=sha64) exactly
+    sig = (
+        f"list_transform(range({seed}, {seed + num_hashes}), m -> "
+        f"list_min(list_transform(hs, h -> {mix31_sql('h', 'm')})))"
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, sig, {b} AS band, "
+        f"array_to_string(list_transform(sig[{b * r + 1}:{b * r + r}], "
+        f"x -> CAST(x AS VARCHAR)), ',') AS key FROM s"
+        for b in range(bands)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents WHERE doc_id < 2000
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - {k - 1}, 1) + 1), i -> {gram})) AS sh
+      FROM t
+    ), hg AS (
+      SELECT doc_id, list_transform(sh, s -> {sha64_sql('s')}) AS hs FROM g
+    ), s AS (
+      SELECT doc_id, {sig} AS sig FROM hg
+    ), banded AS (
+      {band_rows}
+    ), ok AS (
+      SELECT band, key FROM banded GROUP BY band, key
+      HAVING count(*) <= {max_bucket}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_filter(range(1, {num_hashes} + 1),
+                 i -> a.sig[CAST(i AS INT)] = b.sig[CAST(i AS INT)])) AS agree
+      FROM banded a
+      JOIN ok USING (band, key)
+      JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, round(agree / {num_hashes}.0, 4) AS est_jaccard
+    FROM pairs WHERE agree / {num_hashes}.0 >= {threshold}
+    """
+
+
+@_q("dedup_minhash_lsh", _minhash_oracle_sql())
 def q_dedup_minhash(spark, sf):
+    """Banded minhash-LSH near-dup pairs, driven with the injected
+    DuckDB-mirrorable hash family (operators/hashing.py: one sha64 per
+    shingle + the mix31 permutation per salt) so the whole shingle ->
+    signature -> band -> estimate path is value-checked; the xxhash64
+    default stays the scale-tier choice."""
     from filters_spark.operators.dedupe import minhash_lsh_pairs
+    from filters_spark.operators.hashing import sha64
 
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000)
     return minhash_lsh_pairs(d, "text", "doc_id", num_hashes=32, bands=8,
-                             jaccard_threshold=0.4)
+                             jaccard_threshold=0.4, base_hash_fn=sha64)
 
 
-@_q("dedup_simhash")  # rows-only
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB twin of simhash_dupes with the injected sha64 token hash:
+    per-bit weighted majority over distinct-token hashes, then pairs by
+    exact hamming — brute-force all-pairs (the pigeonhole blocking is
+    recall-complete, so the blocked Spark output equals brute force)."""
+    min_long = "(-9223372036854775807 - 1)"
+    bit_terms = []
+    for i in range(64):
+        mask = str(1 << i) if i < 63 else min_long
+        bit_terms.append(
+            f"(CASE WHEN 2 * len(list_filter(hs, x -> (x & {mask}) != 0)) > len(hs) "
+            f"THEN {mask} ELSE 0 END)"
+        )
+    sh = " | ".join(bit_terms)
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(lower(text), '\\s+')) AS toks
+      FROM documents WHERE doc_id < 2000
+    ), h AS (
+      SELECT doc_id, list_transform(toks, s -> {sha64_sql('s')}) AS hs FROM t
+    ), s AS (
+      SELECT doc_id, ({sh}) AS sh FROM h
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
+@_q("dedup_simhash", _simhash_oracle_sql())
 def q_dedup_simhash(spark, sf):
+    """SimHash near-dup pairs (chunk blocking + exact hamming verify),
+    driven with the injected sha64 token hash so the full majority-vote
+    fingerprint AND the blocking join are value-checked against a
+    brute-force DuckDB all-pairs oracle (valid because pigeonhole
+    blocking is recall-complete)."""
     from filters_spark.operators.dedupe import simhash_dupes
+    from filters_spark.operators.hashing import sha64
 
     # max_hamming=3: recall is guaranteed for any threshold (chunks
     # derive from it), but 3 keeps the near-dup pair set near-dup-sized
     # for the contract ledger (6 admits ~95k loosely-similar pairs)
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000)
-    return simhash_dupes(d, "text", "doc_id", max_hamming=3)
+    return simhash_dupes(d, "text", "doc_id", max_hamming=3, hash_fn=sha64)
 
 
 @_q(
@@ -532,12 +630,76 @@ def q_text_quality(spark, sf):
     )
 
 
-@_q("text_profile")  # rows-only: full profile incl. xxhash fingerprint
+def _fingerprint_sql(window: int = 8) -> str:
+    """DuckDB twin of textstats.fingerprint with the injected sha64
+    gram hash: min over word-window grams of lowercased tokens
+    (``fptoks`` is provided by the surrounding CTE)."""
+    gram = f"array_to_string(fptoks[CAST(i AS INT):CAST(i AS INT)+{window - 1}], ' ')"
+    return (
+        f"list_min(list_transform("
+        f"range(1, greatest(len(fptoks) - {window - 1}, 1) + 1), "
+        f"i -> {sha64_sql(gram)}))"
+    )
+
+
+@_q(
+    "text_profile",
+    """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS fptoks,
+         list_transform(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0),
+                        x -> regexp_replace(x, '[^\p{L}]', '', 'g')) AS ltoks
+  FROM documents WHERE doc_id < 1000
+), f AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS punct,
+         length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS alpha,
+         len(list_distinct(toks)) AS n_distinct,
+         len(list_filter(list_transform(toks, x -> lower(x)),
+             x -> list_contains(['the','a','and','of','to','in','is','that','it','for',
+                                 'der','die','das','und','ist','nicht','mit','ein','zu','den',
+                                 'el','la','de','que','y','en','un','es','se','no',
+                                 'le','et','est','une','les','des'], x))) AS n_stop,
+         CAST(list_sum(list_transform(toks, w ->
+             greatest(1, CAST(floor(length(w) / 4.0) AS INT)
+                        + length(regexp_replace(w, '[\w]', '', 'g'))))) AS INT) AS bpe_tokens_est,
+         len(list_filter(ltoks, x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x))) AS h_en,
+         len(list_filter(ltoks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','den'], x))) AS h_de,
+         len(list_filter(ltoks, x -> list_contains(['el','la','de','que','y','en','un','es','se','no'], x))) AS h_es,
+         len(list_filter(ltoks, x -> list_contains(['le','la','de','et','est','un','une','les','des','que'], x))) AS h_fr,
+         __FP__ AS fingerprint
+  FROM t
+)
+SELECT doc_id, n_tokens, bpe_tokens_est,
+  round(CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END, 4) AS stopword_ratio,
+  round(greatest(0.0,
+      0.4 * least(n_tokens / 50.0, 1.0)
+    + 0.3 * (CASE WHEN n_chars > 0 THEN alpha * 1.0 / n_chars ELSE 0.0 END)
+    + 0.3 * (CASE WHEN n_tokens > 0 THEN n_distinct * 1.0 / n_tokens ELSE 0.0 END)
+    - CASE WHEN n_chars > 0 AND punct * 1.0 / n_chars > 0.3 THEN 0.5 ELSE 0.0 END), 4) AS quality,
+  CASE WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_fr = greatest(h_en, h_de, h_es, h_fr) THEN 'fr'
+       WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
+       WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+       ELSE 'de' END AS lang_guess,
+  fingerprint
+FROM f
+    """.replace("__FP__", _fingerprint_sql()),
+)
 def q_text_profile(spark, sf):
+    """Full curation profile INCLUDING the winnowing fingerprint,
+    driven with the injected sha64 gram hash (operators/hashing.py) so
+    every column — token counts, BPE estimate, stopword ratio, quality,
+    lang-id AND fingerprint — is value-checked against DuckDB."""
+    from filters_spark.operators.hashing import sha64
     from filters_spark.operators.textstats import text_profile
 
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 1000)
-    return text_profile(d).select(
+    return text_profile(d, fingerprint_hash_fn=sha64).select(
         "doc_id", "n_tokens", "bpe_tokens_est", "stopword_ratio", "quality",
         "lang_guess", "fingerprint",
     )
@@ -632,16 +794,78 @@ def q_ann_cosine(spark, sf):
     )
 
 
-@_q("ann_lsh_topk")  # rows-only: xxhash-derived hyperplanes
+_ANN_DIM, _ANN_BITS, _ANN_TABLES, _ANN_SEED, _ANN_K = 64, 8, 4, 7, 5
+
+
+def _ann_lsh_oracle_sql() -> str:
+    """DuckDB twin of lsh_ann_topk with the sha-derived literal ±1
+    hyperplanes (operators/hashing.py:sha_planes): identical plane
+    matrix inlined into both engines, identical left-assoc double sum
+    order (Spark's fold starts 0.0 + x1*p1, exact), so signatures are
+    bit-identical; candidates then get the exact cosine re-rank."""
+    def sig(t: int) -> str:
+        planes = sha_planes(_ANN_DIM, _ANN_BITS, _ANN_SEED + t)
+        bits = []
+        for i in range(_ANN_BITS):
+            chain = " + ".join(
+                f"e[{j + 1}] * {planes[i][j]}" for j in range(_ANN_DIM)
+            )
+            bits.append(f"(CASE WHEN ({chain}) > 0 THEN {1 << i} ELSE 0 END)")
+        return " + ".join(bits)
+
+    bs = "\n      UNION ALL ".join(
+        f"SELECT id, {t} AS t, ({sig(t)}) AS sig FROM base" for t in range(_ANN_TABLES)
+    )
+    qs = "\n      UNION ALL ".join(
+        f"SELECT query_id, {t} AS t, ({sig(t)}) AS sig FROM q" for t in range(_ANN_TABLES)
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id >= 3
+    ), q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id < 3
+    ), bs AS (
+      {bs}
+    ), qs AS (
+      {qs}
+    ), cand AS (
+      SELECT DISTINCT qs.query_id, bs.id
+      FROM bs JOIN qs ON bs.t = qs.t AND bs.sig = qs.sig
+    ), scored AS (
+      SELECT c.query_id, c.id, list_cosine_similarity(b.e, q.e) AS cos
+      FROM cand c JOIN base b ON b.id = c.id JOIN q ON q.query_id = c.query_id
+    )
+    SELECT query_id, id, round(cos, 4) AS cosine, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, id) AS rn
+          FROM scored)
+    WHERE rn <= {_ANN_K}
+    """
+
+
+@_q("ann_lsh_topk", _ann_lsh_oracle_sql())
 def q_ann_lsh(spark, sf):
+    """Random-hyperplane LSH ANN, driven with the sha-derived LITERAL
+    plane matrix (operators/hashing.py:sha_planes) so the single-scan
+    posexplode candidate plan AND the exact re-rank are value-checked
+    against DuckDB; the xxhash-derived planes stay the zero-model
+    production default."""
+    from filters_spark.operators.hashing import sha_planes
     from filters_spark.operators.similarity import lsh_ann_topk
 
-    e = _t(spark, sf, "embeddings")
-    dim = len(e.select("embedding").first()[0])
+    e = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_ann_topk(e.filter(F.col("vec_id") >= 3), q, dim=dim, k=5, bits=8, tables=4)
+    return lsh_ann_topk(
+        e.filter(F.col("vec_id") >= 3), q,
+        dim=_ANN_DIM, k=_ANN_K, bits=_ANN_BITS, tables=_ANN_TABLES, seed=_ANN_SEED,
+        planes_fn=lambda t: sha_planes(_ANN_DIM, _ANN_BITS, _ANN_SEED + t),
+    )
 
 
 @_q(

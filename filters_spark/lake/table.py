@@ -37,6 +37,7 @@ data paths stay distributed (Spark read/write); only manifest JSON
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -115,6 +116,11 @@ class LakeTable:
         self.io = io or fileio_for(spark, root)
         self.meta_dir = os.path.join(root, "metadata")
         self.data_dir = os.path.join(root, "data")
+        # manifest files are content-addressed and immutable, so caching
+        # by name is always safe; the cache makes re-reading the current
+        # snapshot in a long replay loop O(touched manifests), not
+        # O(buckets)
+        self._manifest_cache: dict[str, list[str]] = {}
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -178,6 +184,16 @@ class LakeTable:
             return ids[-1]
 
     def snapshot(self, snapshot_id: int | None = None) -> dict:
+        snap = self._raw_snapshot(snapshot_id)
+        if snap.get("format") == 2:
+            snap["buckets"] = self._resolve_manifests(snap["buckets"])
+            snap["deltas"] = self._resolve_manifests(snap.get("deltas", {}))
+            snap.pop("format", None)
+        return snap
+
+    def _raw_snapshot(self, snapshot_id: int | None = None) -> dict:
+        """The snapshot header as persisted (format-2 headers hold
+        manifest REFS, not file lists)."""
         if snapshot_id is None:
             snapshot_id = self.current_snapshot_id()
         return json.loads(self.io.read_text(self._snap_path(snapshot_id)))
@@ -192,13 +208,55 @@ class LakeTable:
                 out.append(int(name[5:-5]))
         return sorted(out)
 
+    # -- manifest layer (Iceberg manifest-list design) ----------------------
+    #
+    # A snapshot header must stay O(buckets) no matter how many data
+    # files the table accumulates: per-bucket file lists live in
+    # separate, content-addressed manifest files
+    # (``manifest-<sha1(content)>.json``), and the header maps
+    # bucket -> manifest name. A commit therefore writes manifests ONLY
+    # for buckets whose file list changed — untouched buckets re-use
+    # the parent's manifest by name (content addressing makes the reuse
+    # automatic and concurrent same-content writes idempotent). At 10^5+
+    # data files this turns per-commit metadata IO from O(total files)
+    # into O(touched buckets) + one O(buckets) header.
+
+    def _manifest_name(self, files: list[str]) -> str:
+        body = json.dumps(files, sort_keys=True)
+        return f"manifest-{hashlib.sha1(body.encode()).hexdigest()[:20]}.json"
+
+    def _write_manifests(self, mapping: dict[str, list[str]]) -> dict[str, str]:
+        refs: dict[str, str] = {}
+        for b, files in mapping.items():
+            name = self._manifest_name(files)
+            if name not in self._manifest_cache:
+                path = os.path.join(self.meta_dir, name)
+                if not self.io.exists(path):
+                    self.io.write_text_atomic(path, json.dumps({"files": files}))
+                self._manifest_cache[name] = list(files)
+            refs[b] = name
+        return refs
+
+    def _resolve_manifests(self, refs: dict[str, str]) -> dict[str, list[str]]:
+        out: dict[str, list[str]] = {}
+        for b, name in refs.items():
+            if name not in self._manifest_cache:
+                body = json.loads(self.io.read_text(os.path.join(self.meta_dir, name)))
+                self._manifest_cache[name] = body["files"]
+            out[b] = list(self._manifest_cache[name])
+        return out
+
     def _write_snapshot(self, snapshot: dict) -> None:
         sid = snapshot["snapshot_id"]
+        header = dict(snapshot)
+        header["format"] = 2
+        header["buckets"] = self._write_manifests(snapshot["buckets"])
+        header["deltas"] = self._write_manifests(snapshot.get("deltas", {}))
         # optimistic concurrency: the snapshot file is create-exclusive —
         # a concurrent writer that committed sid first wins the rename
         self.io.write_text_atomic(
             self._snap_path(sid),
-            json.dumps(snapshot, indent=1, sort_keys=True),
+            json.dumps(header, indent=1, sort_keys=True),
             fail_if_exists=True,
         )
         self.io.write_text_atomic(
@@ -538,14 +596,32 @@ class LakeTable:
         them become orphans that :meth:`vacuum` may delete. The current
         snapshot is always retained. Returns the expired ids.
 
-        Metadata-scale: one listing + one delete per expired manifest;
-        no Spark job, no data IO."""
+        Metadata-scale: one listing + one delete per expired snapshot
+        header, plus GC of bucket-manifest files referenced ONLY by
+        expired snapshots (content-addressed manifests are shared
+        across snapshots, so a manifest dies only when its last
+        referencing header does); no Spark job, no data IO."""
         ids = self.snapshots()
         keep = set(ids[-max(int(keep_last), 1):])
         keep.add(self.current_snapshot_id())
         expired = [i for i in ids if i not in keep]
+
+        def refs(sid: int) -> set[str]:
+            snap = self._raw_snapshot(sid)
+            if snap.get("format") != 2:
+                return set()
+            return set(snap["buckets"].values()) | set(snap.get("deltas", {}).values())
+
+        dead_refs = set()
+        for sid in expired:
+            dead_refs |= refs(sid)
+        for sid in keep & set(ids):
+            dead_refs -= refs(sid)
         for sid in expired:
             self.io.remove(self._snap_path(sid))
+        for name in dead_refs:
+            self.io.remove(os.path.join(self.meta_dir, name))
+            self._manifest_cache.pop(name, None)
         return expired
 
     def live_files(self) -> set[str]:

@@ -66,19 +66,44 @@ def shingles(text_col: Column, k: int = 5) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 64, seed: int = 1) -> Column:
+def minhash_signature(
+    shingle_col: Column, num_hashes: int = 64, seed: int = 1,
+    hash_fn=None, base_hash_fn=None,
+) -> Column:
     """num_hashes minhash values (array<bigint>) in ONE pass over the
     shingle set: fold with an array of running minima, so the shingle
     expression is evaluated once (not per hash function) — higher-order
     functions are interpreted (no codegen CSE), so expression reuse is
-    on us."""
+    on us.
+
+    ``hash_fn(shingle, salt) -> Column``: the 64-bit hash family.
+    Default xxhash64 (fast, JVM-native).
+
+    ``base_hash_fn(shingle) -> Column``: alternative family — hash each
+    shingle ONCE, then derive the per-salt values with the cheap
+    ``hashing.mix31`` permutation (O(1) arithmetic per salt instead of
+    one full hash per (shingle, salt)). This is the DuckDB-mirrorable
+    path (``base_hash_fn=hashing.sha64``) for driver-verified contract
+    queries: a naive sha-per-(shingle,salt) injection measured ~7x
+    slower than xxhash64; pre-hash + mix31 is within noise of it."""
     max_long = (1 << 63) - 1
     init = F.array_repeat(F.lit(max_long).cast("long"), num_hashes)
     salts = F.sequence(F.lit(seed), F.lit(seed + num_hashes - 1))
+    if base_hash_fn is not None:
+        from filters_spark.operators.hashing import mix31
+
+        hashes = F.transform(shingle_col, lambda s: base_hash_fn(s))
+        return F.aggregate(
+            hashes,
+            init,
+            lambda acc, h: F.zip_with(acc, salts, lambda a, salt: F.least(a, mix31(h, salt))),
+        )
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     return F.aggregate(
         shingle_col,
         init,
-        lambda acc, s: F.zip_with(acc, salts, lambda a, salt: F.least(a, F.xxhash64(s, salt))),
+        lambda acc, s: F.zip_with(acc, salts, lambda a, salt: F.least(a, hash_fn(s, salt))),
     )
 
 
@@ -92,17 +117,28 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     max_bucket: int = 200,
     seed: int = 1,
+    hash_fn=None,
+    base_hash_fn=None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs above ``jaccard_threshold``
     (estimated from signature agreement), via banded LSH.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated
-    across bands.
+    across bands. ``hash_fn``/``base_hash_fn`` are forwarded to
+    :func:`minhash_signature` (band buckets hash the signature slice
+    with xxhash64 either way — bucket equality is slice equality, so
+    the bucket hash choice is invisible in the output).
     """
     rows_per_band = num_hashes // bands
     sig = (
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-        .withColumn("_sig", minhash_signature(shingles(F.col("_text"), shingle_k), num_hashes, seed))
+        .withColumn(
+            "_sig",
+            minhash_signature(
+                shingles(F.col("_text"), shingle_k), num_hashes, seed,
+                hash_fn=hash_fn, base_hash_fn=base_hash_fn,
+            ),
+        )
         .drop("_text")
         # materialize signatures through ONE narrow exchange of
         # (_id, num_hashes longs). Without it Catalyst inlines the
@@ -162,16 +198,22 @@ def minhash_lsh_pairs(
 # --- SimHash ------------------------------------------------------------------
 
 
-def simhash(text_col: Column, bits: int = 64) -> Column:
+def simhash(text_col: Column, bits: int = 64, hash_fn=None) -> Column:
     """64-bit SimHash of the token set, fully native: per-bit weighted
     majority over token hashes. Bit i of the result = sign of
     sum_t (+1 if bit i of hash(t) else -1).
 
     The per-bit loop is unrolled in Python (``bits`` is a compile-time
     constant) because the DataFrame DSL's ``shiftleft`` only takes
-    literal shift amounts."""
+    literal shift amounts.
+
+    ``hash_fn(token) -> Column``: the 64-bit token hash. Default
+    xxhash64; inject ``operators.hashing.sha64`` for a
+    DuckDB-mirrorable simhash (driver-verified contract queries)."""
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     toks = F.array_distinct(F.split(F.lower(text_col), r"\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, lambda t: hash_fn(t))
     return _simhash_expr(hashes, bits)
 
 
@@ -203,6 +245,7 @@ def simhash_dupes(
     id_col: str,
     max_hamming: int = 3,
     hash_col: str | None = None,
+    hash_fn=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on bit chunks, then verify
     hamming distance exactly — no cross join.
@@ -216,14 +259,15 @@ def simhash_dupes(
     ``hash_col``: use a precomputed 64-bit simhash column instead of
     hashing ``text_col`` — at corpus scale the simhash is computed once
     at ingest and stored, so re-runs with different thresholds only pay
-    the blocking join."""
+    the blocking join. ``hash_fn``: token-hash family forwarded to
+    :func:`simhash` (ignored with ``hash_col``)."""
     if not 0 <= max_hamming <= 63:
         raise ValueError("max_hamming must be in [0, 63]")
     n_chunks = max_hamming + 1
     # chunk i covers bits [i*64//n, (i+1)*64//n) — widths differ by at
     # most 1 bit; disjoint and covering => pigeonhole holds.
     bounds = [(i * 64 // n_chunks, (i + 1) * 64 // n_chunks) for i in range(n_chunks)]
-    hash_expr = F.col(hash_col) if hash_col else simhash(F.col(text_col))
+    hash_expr = F.col(hash_col) if hash_col else simhash(F.col(text_col), hash_fn=hash_fn)
     # same materialization rationale as minhash_lsh_pairs: one narrow
     # exchange so the 64-bit-unrolled simhash expression is computed
     # once per doc (ReuseExchange) instead of once per derivation

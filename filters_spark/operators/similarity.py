@@ -58,17 +58,33 @@ def cosine_topk(
     )
 
 
-def rh_signature(vec: Column, dim: int, bits: int = 16, seed: int = 7) -> Column:
+def rh_signature(
+    vec: Column, dim: int, bits: int = 16, seed: int = 7,
+    planes: list[list[float]] | None = None,
+) -> Column:
     """Random-hyperplane signature: bit i = sign(<v, h_i>) where h_i is
     a deterministic pseudo-random ±1 hyperplane derived from
     xxhash64(i, j, seed) — no stored model, executors recompute the
-    planes from the seed (cheap, fully parallel)."""
+    planes from the seed (cheap, fully parallel).
+
+    ``planes``: explicit ``bits × dim`` ±1 matrix (e.g.
+    ``operators.hashing.sha_planes``) inlined as literals — the
+    DuckDB-mirrorable path for driver-verified contract queries (the
+    plane never depends on the data, so literal inlining is also the
+    cheapest evaluation: zero hash calls per row)."""
     def bit(i: int) -> Column:
-        comps = F.zip_with(
-            vec,
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda x, j: x * F.when(F.pmod(F.xxhash64(F.lit(i), j, F.lit(seed)), 2) == 0, 1.0).otherwise(-1.0),
-        )
+        if planes is not None:
+            comps = F.zip_with(
+                vec,
+                F.array(*[F.lit(p) for p in planes[i]]),
+                lambda x, p: x * p,
+            )
+        else:
+            comps = F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, j: x * F.when(F.pmod(F.xxhash64(F.lit(i), j, F.lit(seed)), 2) == 0, 1.0).otherwise(-1.0),
+            )
         s = F.aggregate(comps, F.lit(0.0), lambda acc, v: acc + v)
         return F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
 
@@ -89,21 +105,46 @@ def lsh_ann_topk(
     bits: int = 12,
     tables: int = 4,
     seed: int = 7,
+    planes_fn=None,
 ) -> DataFrame:
     """Approximate top-k: ``tables`` independent LSH tables; candidates
     = bucket collisions in any table; exact cosine re-rank of
-    candidates. Recall grows with ``tables``, cost stays ~collisions."""
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_vec"))
-    q = query_df.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    candidates. Recall grows with ``tables``, cost stays ~collisions.
 
-    cand = None
-    for t in range(tables):
-        b = base.select("id", "_vec", rh_signature(F.col("_vec"), dim, bits, seed + t).alias("_sig"))
-        qq = q.select("query_id", "_qvec", rh_signature(F.col("_qvec"), dim, bits, seed + t).alias("_sig"))
-        c = b.join(F.broadcast(qq), "_sig").select("query_id", "id", "_vec", "_qvec")
-        cand = c if cand is None else cand.unionByName(c)
-    cand = cand.dropDuplicates(["query_id", "id"])
-    scored = cand.withColumn("cosine", cosine(F.col("_vec"), F.col("_qvec")))
+    Plan shape (the round-2 per-table union rescanned and re-hashed the
+    base side ``tables`` times): ONE projection emits every table's
+    signature as an array, ``posexplode`` yields (table, sig) rows, and
+    the candidate join is a single broadcast hash join on (table, sig)
+    — one scan of the base side, no shuffle of it. The exact re-rank
+    cosine is computed map-side BEFORE the cross-table dedupe so the
+    dropDuplicates exchange carries (query_id, id, cosine) scalars,
+    not two vectors (cosine is a pure pair function — identical in
+    every table a pair collides in).
+
+    ``planes_fn(t) -> bits × dim ±1 matrix``: explicit per-table
+    hyperplanes (see :func:`rh_signature` ``planes``)."""
+    def sig_array(vec: Column) -> Column:
+        return F.array(*[
+            rh_signature(
+                vec, dim, bits, seed + t,
+                planes=planes_fn(t) if planes_fn is not None else None,
+            )
+            for t in range(tables)
+        ])
+
+    b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_vec")).select(
+        "id", "_vec", F.posexplode(sig_array(F.col("_vec"))).alias("_table", "_sig")
+    )
+    qq = query_df.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    ).select(
+        "query_id", "_qvec", F.posexplode(sig_array(F.col("_qvec"))).alias("_table", "_sig")
+    )
+    scored = (
+        b.join(F.broadcast(qq), ["_table", "_sig"])
+        .select("query_id", "id", cosine(F.col("_vec"), F.col("_qvec")).alias("cosine"))
+        .dropDuplicates(["query_id", "id"])
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("id"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))

@@ -105,20 +105,27 @@ def lang_id(text: Column, langs: list[str] | None = None) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
-def fingerprint(text: Column, window: int = 8) -> Column:
+def fingerprint(text: Column, window: int = 8, hash_fn=None) -> Column:
     """Document fingerprint: min rolling hash over word windows
-    (winnowing-style): robust to small edits, native end to end."""
+    (winnowing-style): robust to small edits, native end to end.
+
+    ``hash_fn(gram) -> Column``: 64-bit gram hash, default xxhash64;
+    inject ``operators.hashing.sha64`` for a DuckDB-mirrorable
+    fingerprint (driver-verified contract queries)."""
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     toks = tokens(F.lower(text))
     n = F.greatest(F.size(toks) - F.lit(window - 1), F.lit(1))
     hashes = F.transform(
         F.sequence(F.lit(0), n - 1),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+        lambda i: hash_fn(F.concat_ws(" ", F.slice(toks, i + 1, window))),
     )
     return F.array_min(hashes)
 
 
-def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One call adding all curation columns."""
+def text_profile(df: DataFrame, text_col: str = "text", fingerprint_hash_fn=None) -> DataFrame:
+    """One call adding all curation columns. ``fingerprint_hash_fn``
+    is forwarded to :func:`fingerprint`."""
     t = F.col(text_col)
     feats = quality_features(t)
     return df.select(
@@ -128,5 +135,5 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(feats["stopword_ratio"], 4).alias("stopword_ratio"),
         quality_score(t).alias("quality"),
         lang_id(t).alias("lang_guess"),
-        fingerprint(t).alias("fingerprint"),
+        fingerprint(t, hash_fn=fingerprint_hash_fn).alias("fingerprint"),
     )

@@ -102,6 +102,76 @@ class TestExpireVacuum:
         assert _rows(t.read())[0][5] == "v2"
 
 
+class TestManifestScaling:
+    """Format-2 metadata: snapshot header = O(buckets) refs; per-bucket
+    file lists live in content-addressed manifest files, written only
+    for buckets a commit touches (Iceberg manifest-list design)."""
+
+    DDL = (
+        "repo string, path string, commit string, event_seq long, "
+        "lang string, content string, content_sha string, _bucket int"
+    )
+
+    def _row(self, b, c, content="c"):
+        return (f"r{b}", "a.py", "%012x" % c, 0, "py", content, f"sha{content}", b)
+
+    def test_commit_metadata_is_o_touched_buckets(self, spark, tmp_path):
+        import json as js
+
+        t = LakeTable.create(spark, str(tmp_path / "lakeM"), ["repo", "path"], num_buckets=8)
+        seed = spark.createDataFrame([self._row(b, 1) for b in range(8)], self.DDL)
+        t.commit_buckets(seed, list(range(8)), {b: "000000000001:0" for b in range(8)})
+        before = {f for f in t.io.listdir(t.meta_dir) if f.startswith("manifest-")}
+        one = spark.createDataFrame([self._row(0, 2, "c2")], self.DDL)
+        t.commit_buckets(one, [0], {0: "000000000002:0"})
+        after = {f for f in t.io.listdir(t.meta_dir) if f.startswith("manifest-")}
+        # exactly ONE new manifest: the touched bucket's
+        assert len(after - before) == 1
+        # the header carries refs only — no data-file path ever again
+        raw = t._raw_snapshot()
+        assert ".parquet" not in js.dumps(raw)
+        # untouched buckets reference the parent's manifests BY NAME
+        parent = t._raw_snapshot(raw["parent_id"])
+        assert all(raw["buckets"][str(b)] == parent["buckets"][str(b)] for b in range(1, 8))
+        assert raw["buckets"]["0"] != parent["buckets"]["0"]
+        # reconstituted reads unchanged
+        assert t.read().count() == 8
+        # a fresh handle (cold manifest cache) resolves identically
+        t2 = LakeTable.load(spark, t.root)
+        assert t2.current()["buckets"] == t.current()["buckets"]
+
+    def test_delta_commit_writes_one_manifest(self, spark, tmp_path):
+        t = LakeTable.create(spark, str(tmp_path / "lakeD"), ["repo", "path"], num_buckets=8)
+        seed = spark.createDataFrame([self._row(b, 1) for b in range(8)], self.DDL)
+        t.commit_buckets(seed, list(range(8)), {b: "000000000001:0" for b in range(8)})
+        before = {f for f in t.io.listdir(t.meta_dir) if f.startswith("manifest-")}
+        delta = spark.createDataFrame(
+            [("r3", "a.py", "%012x" % 2, 0, "py", "c2", "U", 3)],
+            "repo string, path string, commit string, event_seq long, "
+            "lang string, content string, op string, _bucket int",
+        )
+        t.commit_deltas(delta, [3], {3: "000000000002:0"})
+        after = {f for f in t.io.listdir(t.meta_dir) if f.startswith("manifest-")}
+        assert len(after - before) == 1  # only bucket 3's delta manifest
+
+    def test_expire_gc_drops_only_unreferenced_manifests(self, spark, tmp_path):
+        t = LakeTable.create(spark, str(tmp_path / "lakeG"), ["repo", "path"], num_buckets=4)
+        seed = spark.createDataFrame([self._row(b, 1) for b in range(4)], self.DDL)
+        t.commit_buckets(seed, list(range(4)), {b: "000000000001:0" for b in range(4)})
+        for c in (2, 3):
+            one = spark.createDataFrame([self._row(0, c, f"c{c}")], self.DDL)
+            t.commit_buckets(one, [0], {0: "%012x:0" % c})
+        rows_before = sorted(tuple(r) for r in t.read().collect())
+        t.expire_snapshots(keep_last=1)
+        # shared manifests (buckets 1-3, referenced by the retained
+        # snapshot) survive; only bucket 0's superseded manifests die
+        assert sorted(tuple(r) for r in t.read().collect()) == rows_before
+        live_refs = set(t._raw_snapshot()["buckets"].values())
+        on_disk = {f for f in t.io.listdir(t.meta_dir) if f.startswith("manifest-")}
+        assert live_refs <= on_disk
+        assert on_disk == live_refs  # nothing unreferenced left
+
+
 def _fixed_registry() -> SpecRegistry:
     """The 'spec fix': lang choice now admits 'klingon'."""
     fixed = dict(FIELD_SPECS_V1)

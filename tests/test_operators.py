@@ -103,9 +103,16 @@ class TestSimilarity:
             [(0, [math.cos(0.0), math.sin(0.0), 0.1])], "query_id long, embedding array<double>"
         )
         exact = {r.id for r in cosine_topk(vecs, q, k=10).collect()}
-        approx = {r.id for r in lsh_ann_topk(vecs, q, dim=3, k=10, bits=6, tables=6).collect()}
+        approx_df = lsh_ann_topk(vecs, q, dim=3, k=10, bits=6, tables=6)
+        approx = {r.id for r in approx_df.collect()}
         # recall@10 >= 0.5 with 6 tables on a smooth manifold
         assert len(exact & approx) >= 5
+        # scale pin (round-2 verdict): ONE scan of the base side — the
+        # per-table union used to rescan and re-hash it `tables` times
+        from filters_spark.plans.audit import executed_plan
+
+        plan = executed_plan(approx_df).split("== Initial Plan ==")[0]
+        assert plan.count("ExistingRDD") + plan.count("Scan parquet") <= 2  # base + query
 
     def test_ivf_assign_nearest_cell(self, spark):
         from filters_spark.operators.similarity import ivf_assign
@@ -304,6 +311,38 @@ class TestDedupeClusters:
         got = {(r.id, r.cluster_id) for r in dedupe_clusters(pairs).collect()}
         assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
                        ("e", "a"), ("x", "x"), ("y", "x")}
+
+
+class TestHashing:
+    def test_sha64_matches_python_and_duckdb(self, spark):
+        import hashlib
+
+        import duckdb
+        import pyspark.sql.functions as F
+
+        from filters_spark.operators.hashing import sha64, sha64_sql
+
+        vals = ["", "a", "hello world", "x" * 300, "0", "salt:gram one two"]
+        df = spark.createDataFrame([(v,) for v in vals], "s string")
+        got = [r.h for r in df.select(sha64(F.col("s")).alias("h")).collect()]
+        want = [
+            int.from_bytes(hashlib.sha256(v.encode()).digest()[:8], "big", signed=True)
+            for v in vals
+        ]
+        assert got == want
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(s VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+        duck = [r[0] for r in con.execute(f"SELECT {sha64_sql('s')} FROM t").fetchall()]
+        assert duck == want
+
+    def test_sha_planes_deterministic(self):
+        from filters_spark.operators.hashing import sha_planes
+
+        a = sha_planes(8, 4, 7)
+        assert a == sha_planes(8, 4, 7)
+        assert a != sha_planes(8, 4, 8)
+        assert all(v in (1.0, -1.0) for row in a for v in row)
 
 
 class TestSampling:
