@@ -78,7 +78,22 @@ def decode_images(df: DataFrame, decode_stub: bool = True) -> DataFrame:
 
 def sample_frames(df: DataFrame, every_ms: int = 1000, decode_stub: bool = True) -> DataFrame:
     """video payload -> sampled frames (one row per frame). Stub emits
-    hash-derived 16-byte pseudo-frames at the real cadence."""
+    hash-derived 16-byte pseudo-frames at the real cadence.
+
+    The cadence expansion (one row per sampled timestamp) is NATIVE —
+    ``explode(sequence(...))`` on the Spark side, so row multiplication
+    happens JVM-side with codegen and only the per-frame codec decode
+    crosses into Python (a real decoder is inherently per-frame; the
+    stub mirrors that shape)."""
+    n = F.greatest(
+        F.floor(F.coalesce(F.col("duration_ms"), F.lit(0)) / F.lit(every_ms)).cast("int"),
+        F.lit(1),
+    )
+    cadence = df.select(
+        "media_id",
+        "payload",
+        F.explode(F.sequence(F.lit(0), n - F.lit(1))).alias("frame_idx"),
+    ).withColumn("ts_ms", F.col("frame_idx").cast("long") * F.lit(every_ms))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -86,17 +101,20 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, decode_stub: bool = True)
         for pdf in batches:
             if not decode_stub:
                 _real_decode_guard()
-            out = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
-            for mid, dur, payload in zip(pdf["media_id"], pdf["duration_ms"], pdf["payload"]):
-                n = max(int((dur or 0) // every_ms), 1)
-                for i in range(n):
-                    out["media_id"].append(mid)
-                    out["frame_idx"].append(i)
-                    out["ts_ms"].append(i * every_ms)
-                    out["frame"].append(hashlib.sha256((payload or b"") + i.to_bytes(4, "big")).digest()[:16])
-            yield pd.DataFrame(out)
+            frames = [
+                hashlib.sha256((p or b"") + int(i).to_bytes(4, "big")).digest()[:16]
+                for p, i in zip(pdf["payload"], pdf["frame_idx"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "ts_ms": pdf["ts_ms"],
+                    "frame": frames,
+                }
+            )
 
-    return df.mapInPandas(gen, FRAME_SAMPLE_DDL)
+    return cadence.mapInPandas(gen, FRAME_SAMPLE_DDL)
 
 
 def gen_media(spark, n_rows: int, seed: int = 5) -> DataFrame:

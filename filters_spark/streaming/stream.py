@@ -28,10 +28,28 @@ EVENT_DDL = (
 )
 
 
-def tail_directory(spark: SparkSession, events_dir: str, schema: str = EVENT_DDL) -> DataFrame:
+def tail_directory(
+    spark: SparkSession,
+    events_dir: str,
+    schema: str = EVENT_DDL,
+    max_files_per_trigger: int | None = None,
+    max_file_age: str | None = None,
+) -> DataFrame:
     """File-source stand-in for a binlog tail: new parquet files appearing
-    under ``events_dir`` are consumed in arrival order."""
-    return spark.readStream.schema(schema).parquet(events_dir)
+    under ``events_dir`` are consumed in arrival order.
+
+    ``max_files_per_trigger`` is the back-pressure knob: it caps each
+    micro-batch's input so one burst of WAL segments cannot produce an
+    unbounded batch (the engine's merge cost is O(batch ∪ touched
+    buckets) — bounded batches keep latency and executor memory flat).
+    ``max_file_age`` (e.g. ``"7d"``) bounds the source's file-tracking
+    state on long-lived tails."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    if max_file_age is not None:
+        reader = reader.option("maxFileAge", max_file_age)
+    return reader.parquet(events_dir)
 
 
 def start_cdc_stream(
@@ -40,13 +58,22 @@ def start_cdc_stream(
     checkpoint_dir: str,
     trigger_once: bool = False,
     processing_time: str = "10 seconds",
+    query_name: str | None = None,
 ) -> StreamingQuery:
     """Run the CDC engine under Structured Streaming.
 
     ``checkpoint_dir`` is Spark's source-offset checkpoint (which files
     were read); the engine's lake-table watermarks are the sink-side
-    checkpoint — the two together give exactly-once end to end.
-    """
+    checkpoint — the two together give exactly-once end to end:
+    a re-run micro-batch (restart after a crash between the engine
+    commit and the offset commit) replays events at-or-below the
+    committed per-bucket watermarks and is dropped by the merge.
+
+    Trigger surface: ``trigger_once=True`` -> ``availableNow`` (drain
+    the backlog in rate-limited micro-batches, then stop — the batch
+    catch-up mode); otherwise a ``processingTime`` cadence
+    (micro-batch latency floor; pair with ``tail_directory``'s
+    ``max_files_per_trigger`` for back-pressure)."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         engine.apply_batch(batch_df)
@@ -54,6 +81,8 @@ def start_cdc_stream(
     writer = events.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir
     )
+    if query_name:
+        writer = writer.queryName(query_name)
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     else:

@@ -45,6 +45,48 @@ def test_stream_matches_batch(spark, tmp_path):
     assert final_state(stream_engine) == expected
 
 
+def test_kill_resume_with_redelivery_is_exactly_once(spark, tmp_path):
+    """Checkpointed restart: a stream is stopped, new WAL segments land
+    — INCLUDING a re-delivered copy of already-applied events (the
+    at-least-once failure mode of a real binlog tail) — and a NEW query
+    over the same checkpoint must (a) skip files the source checkpoint
+    already consumed, (b) drop re-delivered events via the engine
+    watermarks, and (c) land exactly the full-replay state."""
+    ev = events_df(spark, n_events=1000, dirty_frac=0.05)
+    batch_engine = make_engine(spark, str(tmp_path / "batch"))
+    batch_engine.apply_batch(ev)
+    expected = final_state(batch_engine)
+
+    events_dir = str(tmp_path / "wal")
+    os.makedirs(events_dir)
+    mid = "00000000000" + "5"
+    first = ev.filter(F.col("commit") <= mid)
+    second = ev.filter(F.col("commit") > mid)
+    first.coalesce(1).write.parquet(os.path.join(events_dir, "f1"))
+
+    engine = make_engine(spark, str(tmp_path / "stream"))
+    ckpt = str(tmp_path / "ckpt")
+    # rate-limited: one file per micro-batch (back-pressure surface)
+    q = start_cdc_stream(
+        engine, tail_directory(spark, events_dir + "/*/", max_files_per_trigger=1),
+        ckpt, trigger_once=True, query_name="cdc_tail",
+    )
+    q.awaitTermination(300)
+    partial = final_state(engine)
+    assert partial  # something applied before the "crash"
+
+    # stream is down; the tail redelivers the first half AND ships the rest
+    first.coalesce(1).write.parquet(os.path.join(events_dir, "f1_redelivered"))
+    second.coalesce(1).write.parquet(os.path.join(events_dir, "f2"))
+
+    q2 = start_cdc_stream(
+        engine, tail_directory(spark, events_dir + "/*/", max_files_per_trigger=1),
+        ckpt, trigger_once=True, query_name="cdc_tail",
+    )
+    q2.awaitTermination(300)
+    assert final_state(engine) == expected
+
+
 def test_stream_mor_matches_batch_cow(spark, tmp_path):
     """The streaming front-end composed with merge-on-read: micro-batch
     delta commits + read-time LWW fold must land the same final state
