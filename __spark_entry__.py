@@ -644,7 +644,7 @@ def _fingerprint_sql(window: int = 8) -> str:
 
 @_q(
     "text_profile",
-    """
+    r"""
 WITH t AS (
   SELECT doc_id, text,
          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks,
@@ -707,7 +707,7 @@ def q_text_profile(spark, sf):
 
 @_q(
     "text_profile_core",
-    """
+    r"""
 WITH t AS (
   SELECT doc_id, text,
          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks,
@@ -893,6 +893,64 @@ def q_dedup_embedding(spark, sf):
         .withColumn("cos_raw", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos_raw") > 0.2)
         .select("id_a", "id_b", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+_EMB_BITS, _EMB_TABLES, _EMB_SEED, _EMB_TH = 6, 8, 11, 0.3
+
+
+def _emb_lsh_oracle_sql() -> str:
+    """DuckDB twin of lsh_near_pairs (self-join hyperplane LSH) with
+    the sha-derived literal planes: identical signatures, identical
+    candidate set (bucket guard mirrored), exact cosine verify."""
+    def sig(t: int) -> str:
+        planes = sha_planes(_ANN_DIM, _EMB_BITS, _EMB_SEED + t)
+        bits = []
+        for i in range(_EMB_BITS):
+            chain = " + ".join(f"e[{j + 1}] * {planes[i][j]}" for j in range(_ANN_DIM))
+            bits.append(f"(CASE WHEN ({chain}) > 0 THEN {1 << i} ELSE 0 END)")
+        return " + ".join(bits)
+
+    sigs = "\n      UNION ALL ".join(
+        f"SELECT id, {t} AS t, ({sig(t)}) AS sig FROM v" for t in range(_EMB_TABLES)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), sigs AS (
+      {sigs}
+    ), ok AS (
+      SELECT t, sig FROM sigs GROUP BY t, sig HAVING count(*) <= 1000
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM sigs a
+      JOIN ok USING (t, sig)
+      JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.id < b.id
+    ), scored AS (
+      SELECT c.id_a, c.id_b, list_cosine_similarity(x.e, y.e) AS cos
+      FROM cand c JOIN v x ON x.id = c.id_a JOIN v y ON y.id = c.id_b
+    )
+    SELECT id_a, id_b, round(cos, 4) AS cosine FROM scored WHERE cos >= {_EMB_TH}
+    """
+
+
+@_q("dedup_embedding_lsh", _emb_lsh_oracle_sql())
+def q_dedup_embedding_lsh(spark, sf):
+    """The SCALE path for embedding near-dup detection
+    (operators/similarity.py:lsh_near_pairs): hyperplane-LSH self-join
+    candidates + exact cosine verify — replaces the label-blocked
+    quadratic tier at corpus scale; driven with sha-derived literal
+    planes so candidates AND scores are value-checked."""
+    from filters_spark.operators.hashing import sha_planes
+    from filters_spark.operators.similarity import lsh_near_pairs
+
+    e = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return lsh_near_pairs(
+        e, dim=_ANN_DIM, cosine_threshold=_EMB_TH,
+        bits=_EMB_BITS, tables=_EMB_TABLES, seed=_EMB_SEED, max_bucket=1000,
+        planes_fn=lambda t: sha_planes(_ANN_DIM, _EMB_BITS, _EMB_SEED + t),
     )
 
 

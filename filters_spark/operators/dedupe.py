@@ -140,15 +140,19 @@ def minhash_lsh_pairs(
             ),
         )
         .drop("_text")
-        # materialize signatures through ONE narrow exchange of
-        # (_id, num_hashes longs). Without it Catalyst inlines the
-        # interpreted shingle->minhash expression into every downstream
-        # derivation — this self-join has four (a, b, both bucket-size
-        # guards) — and an all-broadcast plan collapses to a single
-        # task recomputing signatures 4x (measured: 10min vs 10s at
-        # 2k docs). With it, ReuseExchange computes signatures once,
-        # in parallel, and every consumer reads materialized arrays.
-        .repartition("_id")
+        # materialize signatures ONCE as (_id, num_hashes longs).
+        # Without a barrier Catalyst inlines the interpreted
+        # shingle->minhash expression into every downstream derivation
+        # — this self-join has four (a, b, both bucket-size guards) —
+        # and an all-broadcast plan collapses to a single task
+        # recomputing signatures 4x (measured: 10min vs 10s at 2k
+        # docs). A bare .repartition barrier is NOT enough: column
+        # pruning gives the bucket-guard branch a narrower exchange
+        # than the join sides, ReuseExchange misses it, and the plan
+        # still scans + re-hashes the input twice (verified on the
+        # executed plan). localCheckpoint computes the signature job
+        # once; every consumer reads the stored rows.
+        .localCheckpoint()
     )
     banded = sig.select(
         "_id",

@@ -153,6 +153,86 @@ def lsh_ann_topk(
     )
 
 
+def lsh_near_pairs(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cosine_threshold: float = 0.9,
+    bits: int = 6,
+    tables: int = 8,
+    seed: int = 7,
+    max_bucket: int = 1000,
+    planes_fn=None,
+) -> DataFrame:
+    """Embedding near-duplicate PAIRS at corpus scale: the self-join
+    analog of :func:`lsh_ann_topk` and the scale path that replaces the
+    label-blocked quadratic embedding dedupe — candidates come from
+    signature collisions in any of ``tables`` hyperplane tables (hash
+    join, never a cross product), then the EXACT cosine verifies each
+    candidate, so precision is 1.0 and only recall is approximate
+    (tune ``bits`` down / ``tables`` up for tighter recall; defaults
+    give ~0.98 expected recall at cosine 0.9).
+
+    Returns (id_a, id_b, cosine) with id_a < id_b. Feed into
+    ``dedupe.dedupe_clusters`` / ``dedupe_keep_representative`` exactly
+    like the text-based pair generators.
+
+    Plan shape: ONE projection emits all table signatures
+    (posexplode), materialized through a narrow exchange keyed on the
+    id (the round-2 lesson: expression-heavy frames feeding self-joins
+    must be materialized or Catalyst inlines the signature expression
+    into every join side); a ``max_bucket`` guard drops degenerate
+    buckets (all-zero vectors / boilerplate embeddings); cosine is
+    computed map-side before the cross-table dedupe so the exchange
+    carries scalars."""
+    def sig_array(vec: Column) -> Column:
+        return F.array(*[
+            rh_signature(
+                vec, dim, bits, seed + t,
+                planes=planes_fn(t) if planes_fn is not None else None,
+            )
+            for t in range(tables)
+        ])
+
+    # materialize (id, vec, sig array) ONCE: three consumers follow (the
+    # bucket guard and both self-join sides), and ReuseExchange cannot
+    # cover them — column pruning gives the guard branch a narrower
+    # subtree than the join sides, so a lazy plan recomputes every
+    # signature per branch (verified on the executed plan). After the
+    # checkpoint the signature expression is gone from the plan
+    # entirely; consumers re-explode the stored array, which is cheap.
+    packed = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .filter(F.col("_id").isNotNull())
+        .select("_id", "_vec", sig_array(F.col("_vec")).alias("_sigs"))
+        .localCheckpoint()
+    )
+    sigs = packed.select(
+        "_id", "_vec", F.posexplode("_sigs").alias("_table", "_sig")
+    )
+    # degenerate-bucket guard: groupBy (NOT a window) so the count has a
+    # map-side partial aggregate and a pathological all-same-sig bucket
+    # never lands on one task; distinct buckets <= tables * 2^bits, so
+    # AQE broadcasts this side at sane bit widths on its own (no hint:
+    # at bits ~24 the guard outgrows broadcast and must hash-join)
+    bucket_sizes = sigs.groupBy("_table", "_sig").agg(F.count("*").alias("bn"))
+    sigs = sigs.join(
+        bucket_sizes.filter(F.col("bn") <= max_bucket).select("_table", "_sig"),
+        ["_table", "_sig"],
+    )
+    a = sigs.select("_table", "_sig", F.col("_id").alias("id_a"), F.col("_vec").alias("_va"))
+    b = sigs.select("_table", "_sig", F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"))
+    return (
+        a.join(b, ["_table", "_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("_cos"))
+        .filter(F.col("_cos") >= cosine_threshold)
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", F.round("_cos", 4).alias("cosine"))
+    )
+
+
 def _nearest_cells(vec: Column, cents: Column, nprobe: int) -> Column:
     """Top-``nprobe`` cell ids for ``vec`` against a (small, broadcast)
     array<struct<cell,cvec>> of centroids — a pure per-row expression:

@@ -114,6 +114,33 @@ class TestSimilarity:
         plan = executed_plan(approx_df).split("== Initial Plan ==")[0]
         assert plan.count("ExistingRDD") + plan.count("Scan parquet") <= 2  # base + query
 
+    def test_lsh_near_pairs_planted_dups(self, spark):
+        import random
+
+        from filters_spark.operators.similarity import lsh_near_pairs
+
+        rng = random.Random(5)
+        base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(50)]
+        rows = [(i, v) for i, v in enumerate(base)]
+        # plant near-dups: 100+i is a tiny perturbation of i
+        for i in range(10):
+            rows.append((100 + i, [x + 0.01 * rng.gauss(0, 1) for x in base[i]]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        pairs = lsh_near_pairs(df, dim=16, cosine_threshold=0.95, bits=4, tables=8, seed=3)
+        got = pairs.collect()
+        # recall: every planted pair found (near-identical vectors agree
+        # on every hyperplane with overwhelming probability)
+        assert {(100 * 0 + i, 100 + i) for i in range(10)} <= {(r.id_a, r.id_b) for r in got}
+        # precision is exact by construction (cosine verify)
+        assert all(r.cosine >= 0.95 for r in got)
+        # scale pin: signatures are computed ONCE (checkpointed) — the
+        # executed plan must not contain the signature expression
+        # (rh_signature's shiftleft) in any branch
+        from filters_spark.plans.audit import executed_plan
+
+        plan = executed_plan(pairs).split("== Initial Plan ==")[0]
+        assert "shiftleft" not in plan
+
     def test_ivf_assign_nearest_cell(self, spark):
         from filters_spark.operators.similarity import ivf_assign
 
