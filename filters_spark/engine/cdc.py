@@ -132,25 +132,36 @@ class CDCEngine:
             for vs in groups.values():
                 chain_spec = self.registry.get(vs[0]).field_specs.get(field)
                 src = src_name(field, vs[0])
-                in_col = F.col(src) if src is not None else F.lit(None).cast("string")
+                # WAL payload contract: field chains consume STRING
+                # payloads (binlog/WAL values arrive serialized). A
+                # non-string source column is therefore cast to string
+                # at the source — the native chain then sees a genuine
+                # string input, so its string semantics (required's
+                # emptiness test, etc.) are correct BY CONSTRUCTION,
+                # closing the round-2 advice gap without routing the
+                # column through the Arrow kernel path. That routing is
+                # correctness-neutral here but catastrophic for the hot
+                # loop: kernel-path validation of one long column put
+                # ArrowEvalPython into every staged batch and measured
+                # 10x slower CoW replay at sf0.1 (2.2k vs 23k
+                # events/s). Parser kernels (Int etc.) re-cast the
+                # cleaned value to its target dtype, so outputs are
+                # unchanged (pinned byte-exact vs the pandas oracle).
+                if src is not None and src in events.columns and (
+                    events.schema[src].dataType.simpleString() != "string"
+                ):
+                    in_col = F.col(src).cast("string")
+                elif src is not None:
+                    in_col = F.col(src)
+                else:
+                    in_col = F.lit(None).cast("string")
                 cond = sv.isin(vs)
                 masked = F.when(cond, in_col)  # NULL outside this group
                 if chain_spec is None:  # field not validated in these versions
                     val, errs = masked, empty_errs
                 else:
                     spec = FieldSpec.of(chain_spec)
-                    # pass the resolved source column's ACTUAL type so
-                    # non-string WAL columns take the kernel path (the
-                    # native chain's string semantics — e.g. required's
-                    # length(cast(string)) emptiness test — only apply
-                    # to string inputs), matching what validate() picks
-                    # from the schema
-                    in_type = (
-                        events.schema[src].dataType.simpleString()
-                        if src is not None and src in events.columns
-                        else "string"
-                    )
-                    _, fn = compile_field(field, spec, input_type=in_type)
+                    _, fn = compile_field(field, spec, input_type="string")
                     val, errs = fn(masked)
                 value_expr = F.when(cond, val) if value_expr is None else value_expr.when(cond, val)
                 err_expr = F.when(cond, errs) if err_expr is None else err_expr.when(cond, errs)

@@ -40,6 +40,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import time
 from typing import Iterable
 
@@ -496,7 +497,7 @@ class LakeTable:
                 f"snapshots {missing} in ({since_snapshot_id}, {to_id}] are expired; "
                 "the incremental range is unreadable"
             )
-        parts: list[DataFrame] = []
+        file_sids: list[tuple[str, int]] = []
         for sid in sorted(present):
             if not (since_snapshot_id < sid <= to_id):
                 continue
@@ -509,21 +510,32 @@ class LakeTable:
                     f"snapshot {sid} is {op!r} (copy-on-write): no row-level "
                     "change log; ingest with write_mode='mor' for incremental reads"
                 )
-            files = snap.get("added_files", [])
-            if not files:
-                continue
-            parts.append(
-                self.spark.read.parquet(*files).select(
-                    "repo", "path", "commit", "event_seq", "lang", "content", "op",
-                    F.lit(sid).alias("snapshot_id"),
-                )
-            )
-        if not parts:
+            file_sids.extend((f, sid) for f in snap.get("added_files", []))
+        if not file_sids:
             return None
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        # ONE scan of every added file + a broadcast file->snapshot map
+        # (a union of one relation per snapshot makes the plan O(range
+        # length) — a long-lived MoR table accumulates thousands of
+        # snapshots and the per-snapshot union stops analyzing).
+        # input_file_name() spells the path as a URI; canonicalize the
+        # scheme prefix on both sides before joining.
+        norm = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:/+")
+        fmap = self.spark.createDataFrame(
+            [(norm.sub("/", f), sid) for f, sid in file_sids],
+            "_path string, snapshot_id int",
+        )
+        return (
+            self.spark.read.parquet(*[f for f, _ in file_sids])
+            .withColumn(
+                "_path",
+                F.regexp_replace(F.input_file_name(), r"^[A-Za-z][A-Za-z0-9+.-]*:/+", "/"),
+            )
+            .join(F.broadcast(fmap), "_path")
+            .select(
+                "repo", "path", "commit", "event_seq", "lang", "content", "op",
+                "snapshot_id",
+            )
+        )
 
     def rescale(self, num_buckets: int, path_salt: int | None = None) -> dict:
         """Re-bucket the table (partition evolution): rewrite every row

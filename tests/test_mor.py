@@ -111,6 +111,11 @@ class TestIncrementalChanges:
 
         ch = t.changes(0)
         assert set(r.snapshot_id for r in ch.select("snapshot_id").distinct().collect()) == set(sids)
+        # scale pin: the incremental read is ONE scan + a broadcast
+        # file->snapshot map, not one relation per snapshot (a long
+        # range would stop analyzing)
+        plan = ch._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+        assert plan.count("Scan parquet") == 1
         # replaying ONLY the change log must reproduce the table state
         w = Window.partitionBy("repo", "path").orderBy(
             F.col("commit").desc(), F.col("event_seq").desc()
