@@ -154,6 +154,21 @@ class TestManifestScaling:
         after = {f for f in t.io.listdir(t.meta_dir) if f.startswith("manifest-")}
         assert len(after - before) == 1  # only bucket 3's delta manifest
 
+    def test_optimistic_commit_conflict_loser_raises(self, spark, tmp_path):
+        # Iceberg-style optimistic concurrency: the snapshot header is
+        # create-exclusive, so of two writers racing to commit the same
+        # snapshot id, exactly one wins and the loser RAISES (its data
+        # files become vacuum-able orphans; no torn metadata)
+        t = LakeTable.create(spark, str(tmp_path / "lakeC"), ["repo", "path"], num_buckets=2)
+        seed = spark.createDataFrame([self._row(b, 1) for b in range(2)], self.DDL)
+        t.commit_buckets(seed, [0, 1], {b: "000000000001:0" for b in range(2)})
+        winner = t.current()
+        with pytest.raises(Exception):
+            t._write_snapshot(dict(winner))  # same snapshot_id -> loser
+        # table metadata unchanged by the failed commit
+        assert t.current()["snapshot_id"] == winner["snapshot_id"]
+        assert _rows(t.read()) == _rows(t.read(winner["snapshot_id"]))
+
     def test_expire_gc_drops_only_unreferenced_manifests(self, spark, tmp_path):
         t = LakeTable.create(spark, str(tmp_path / "lakeG"), ["repo", "path"], num_buckets=4)
         seed = spark.createDataFrame([self._row(b, 1) for b in range(4)], self.DDL)
