@@ -89,6 +89,13 @@ class CDCEngine:
 
     # ------------------------------------------------------------------
 
+    def _payload_cols(self) -> list[str]:
+        """Non-key canonical payload columns, derived from the registry
+        at CALL time — registering a VersionSpec that adds a column
+        widens the set mid-stream (the next commit records the union;
+        older files read the new columns as NULL)."""
+        return [c for c in self.registry.canonical_columns if c not in ("repo", "path")]
+
     def _validated(self, events: DataFrame) -> DataFrame:
         """Single-scan, version-dispatched validation.
 
@@ -138,15 +145,13 @@ class CDCEngine:
                 # at the source — the native chain then sees a genuine
                 # string input, so its string semantics (required's
                 # emptiness test, etc.) are correct BY CONSTRUCTION,
-                # closing the round-2 advice gap without routing the
-                # column through the Arrow kernel path. That routing is
-                # correctness-neutral here but catastrophic for the hot
-                # loop: kernel-path validation of one long column put
-                # ArrowEvalPython into every staged batch and measured
-                # 10x slower CoW replay at sf0.1 (2.2k vs 23k
-                # events/s). Parser kernels (Int etc.) re-cast the
-                # cleaned value to its target dtype, so outputs are
-                # unchanged (pinned byte-exact vs the pandas oracle).
+                # closing the round-2 advice gap without diverting the
+                # column to an additional Arrow kernel stage in the hot
+                # loop (each kernel stage is an extra Arrow
+                # serialization round trip per staged batch). Parser
+                # kernels (Int etc.) re-cast the cleaned value to its
+                # target dtype, so outputs are unchanged (pinned
+                # byte-exact vs the pandas oracle).
                 if src is not None and src in events.columns and (
                     events.schema[src].dataType.simpleString() != "string"
                 ):
@@ -384,8 +389,11 @@ class CDCEngine:
 
         # 6. merge. ev_cols carry everything the LWW fold needs; clean
         # rows always have keys (the 'required' chain on path dead-
-        # letters key-less rows upstream).
-        ev_cols = ["repo", "path", "commit", "event_seq", "lang", "content", "op", "_bucket", "_wm"]
+        # letters key-less rows upstream). The payload set derives from
+        # the registry — a VersionSpec that ADDS a canonical column
+        # widens it mid-stream.
+        payload = self._payload_cols()
+        ev_cols = ["repo", "path", "commit", "event_seq", *payload, "op", "_bucket", "_wm"]
         incoming = clean.select(*ev_cols).filter(
             F.col("repo").isNotNull() & F.col("path").isNotNull()
         )
@@ -411,7 +419,11 @@ class CDCEngine:
                 .filter(F.col("_head"))
                 .drop("_head", "_wm")  # _wm re-derives from (commit, event_seq) at read
             )
-            new_snap = self.table.commit_deltas(deduped, touched, new_wms, stats=stats)
+            new_snap = self.table.commit_deltas(
+                deduped, touched, new_wms, stats=stats,
+                schema_version=self.registry.latest,
+                columns=self.registry.canonical_columns,
+            )
             ripe = self.table.buckets_needing_compaction(self.compact_after)
             if ripe:
                 self.table.compact(ripe)
@@ -423,8 +435,15 @@ class CDCEngine:
             # (lake/table.py:lww_merge); the write is exchange-free.
             current = self.table.read(buckets=touched)
             if current is not None:
+                # schema evolution: the current table may predate a
+                # column ADD — fill the missing payload columns with
+                # NULL so the union aligns on the registry's set
                 cur = current.select(
-                    "repo", "path", "commit", "event_seq", "lang", "content",
+                    "repo", "path", "commit", "event_seq",
+                    *[
+                        (F.col(c) if c in current.columns else F.lit(None).cast("string")).alias(c)
+                        for c in payload
+                    ],
                     F.lit("K").alias("op"),
                     F.col("_bucket").cast("int").alias("_bucket"),
                     watermark_str(F.col("commit"), F.col("event_seq")).alias("_wm"),
@@ -432,7 +451,7 @@ class CDCEngine:
                 merged_src = cur.unionByName(incoming)
             else:
                 merged_src = incoming
-            merged = lww_merge(merged_src)
+            merged = lww_merge(merged_src, payload)
 
             # 7. atomic commit (copy-on-write of touched buckets only)
             new_snap = self.table.commit_buckets(
@@ -613,7 +632,13 @@ class CDCEngine:
             orig = rc[len("_raw_"):]
             df = df.drop(orig).withColumnRenamed(rc, orig)
         df = df.select(
-            "commit", "event_seq", "op", "schema_version", "repo", "path", "lang", "content",
+            "commit", "event_seq", "op", "schema_version",
+            *[
+                # dead-letter batches staged before a column ADD lack
+                # the new canonical columns
+                (F.col(c) if c in df.columns else F.lit(None).cast("string")).alias(c)
+                for c in self.registry.canonical_columns
+            ],
             F.col("_errors").alias("errors"),
             F.to_json(F.col("_errors")).alias("errors_json"),
             F.element_at(F.col("_errors"), 1)["code"].alias("first_code"),

@@ -55,6 +55,15 @@ class SpecRegistry:
 
     def register(self, spec: VersionSpec) -> "SpecRegistry":
         self.versions[spec.version] = spec
+        # schema evolution, column ADD: a version validating a field
+        # outside the current canonical set WIDENS the set (appended in
+        # spec order, so existing column positions never move). Earlier
+        # versions simply have no chain for it -> NULL through
+        # validation; table files written before the widening read the
+        # column as NULL (lake/table.py read schemas).
+        for field in spec.field_specs:
+            if field not in self.canonical_columns:
+                self.canonical_columns.append(field)
         return self
 
     @property

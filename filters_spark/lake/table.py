@@ -79,15 +79,23 @@ def watermark_str(commit_col, seq_col):
     return F.concat_ws(":", commit_col, F.lpad(seq_col.cast("string"), 10, "0"))
 
 
-def lww_merge(df: DataFrame) -> DataFrame:
+DEFAULT_PAYLOAD_COLS = ["lang", "content"]
+
+
+def lww_merge(df: DataFrame, payload_cols: list[str] | None = None) -> DataFrame:
     """Last-writer-wins merge of a (base ∪ delta) frame: within each
     ``_bucket``, rows sort by (repo, path, _wm desc); the first row of
     each key group is the winner; ``op='D'`` winners are deletes.
 
-    Requires columns: repo, path, commit, event_seq, lang, content,
-    op, _bucket, _wm. ONE shuffle keyed on _bucket (== the physical
-    partitioning). Shared by the engine's copy-on-write commit path and
-    the table's merge-on-read ``read()`` / ``compact()``."""
+    Requires columns: repo, path, commit, event_seq, the payload
+    columns, op, _bucket, _wm. ONE shuffle keyed on _bucket (== the
+    physical partitioning). Shared by the engine's copy-on-write commit
+    path and the table's merge-on-read ``read()`` / ``compact()``.
+
+    ``payload_cols``: the table's non-key payload columns (schema
+    evolution can widen this set mid-stream; callers derive it from the
+    snapshot's ``columns`` or the registry's canonical set)."""
+    payload = payload_cols or DEFAULT_PAYLOAD_COLS
     mw = Window.partitionBy("_bucket").orderBy("repo", "path", F.col("_wm").desc())
     is_group_head = (
         F.lag("repo").over(mw).isNull()
@@ -98,7 +106,7 @@ def lww_merge(df: DataFrame) -> DataFrame:
         df.withColumn("_head", F.coalesce(is_group_head, F.lit(True)))
         .filter(F.col("_head") & (F.col("op") != "D"))
         .select(
-            "repo", "path", "commit", "event_seq", "lang", "content",
+            "repo", "path", "commit", "event_seq", *payload,
             F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("content_sha"),
             "_bucket",
         )
@@ -264,6 +272,34 @@ class LakeTable:
             os.path.join(self.meta_dir, "version-hint.text"), str(sid)
         )
 
+    # -- schema (evolution-aware) -------------------------------------------
+
+    def payload_cols(self, snap: dict) -> list[str]:
+        """The snapshot's non-key payload columns. ``columns`` is the
+        canonical column set recorded at commit time (the registry's
+        view); absent on legacy/fresh tables -> the default payload.
+        Schema evolution APPENDS here — a commit under a widened
+        registry records the union, and files written before the
+        widening are read with the missing columns as NULL."""
+        cols = snap.get("columns") or ["repo", "path", *DEFAULT_PAYLOAD_COLS]
+        return [c for c in cols if c not in ("repo", "path")]
+
+    @staticmethod
+    def _base_ddl(payload: list[str]) -> str:
+        pay = ", ".join(f"`{c}` string" for c in payload)
+        return (
+            "repo string, path string, commit string, event_seq long, "
+            f"{pay}, content_sha string"
+        )
+
+    @staticmethod
+    def _delta_ddl(payload: list[str]) -> str:
+        pay = ", ".join(f"`{c}` string" for c in payload)
+        return (
+            "repo string, path string, commit string, event_seq long, "
+            f"{pay}, op string"
+        )
+
     # -- read ---------------------------------------------------------------
 
     def read(
@@ -295,31 +331,43 @@ class LakeTable:
         # partition discovery: manifest file lists legitimately span
         # several snap-*/delta-* parent dirs, which discovery rejects
         # as conflicting structures.
+        #
+        # Reads declare the snapshot's EXPLICIT schema: files written
+        # before a mid-stream column ADD lack the new columns, and the
+        # declared schema makes the parquet reader fill them with NULL
+        # (Iceberg schema-evolution read semantics) — schema inference
+        # would instead fail or silently drop the column depending on
+        # which file got sampled. Time travel keeps each snapshot's own
+        # column set.
+        payload = self.payload_cols(snap)
         bkt = bucket_expr(
             F.col("repo"), F.col("path"), snap["num_buckets"], snap["path_salt"]
         ).alias("_bucket")
-        base = self.spark.read.parquet(*base_files) if base_files else None
+        base = (
+            self.spark.read.schema(self._base_ddl(payload)).parquet(*base_files)
+            if base_files else None
+        )
         if base is not None:
             base = base.select(
-                "repo", "path", "commit", "event_seq", "lang", "content",
+                "repo", "path", "commit", "event_seq", *payload,
                 "content_sha", bkt,
             )
         if not delta_files:
             return base
-        deltas = self.spark.read.parquet(*delta_files).select(
-            "repo", "path", "commit", "event_seq", "lang", "content", "op", bkt,
+        deltas = self.spark.read.schema(self._delta_ddl(payload)).parquet(*delta_files).select(
+            "repo", "path", "commit", "event_seq", *payload, "op", bkt,
             watermark_str(F.col("commit"), F.col("event_seq")).alias("_wm"),
         )
         if base is not None:
             base_ops = base.select(
-                "repo", "path", "commit", "event_seq", "lang", "content",
+                "repo", "path", "commit", "event_seq", *payload,
                 F.lit("K").alias("op"), "_bucket",
                 watermark_str(F.col("commit"), F.col("event_seq")).alias("_wm"),
             )
             merged_src = base_ops.unionByName(deltas)
         else:
             merged_src = deltas
-        return lww_merge(merged_src)
+        return lww_merge(merged_src, payload)
 
     # -- write --------------------------------------------------------------
 
@@ -397,6 +445,8 @@ class LakeTable:
         touched_buckets: list[int],
         new_watermarks: dict[int, str],
         stats: dict | None = None,
+        schema_version: int | None = None,
+        columns: list[str] | None = None,
     ) -> dict:
         """Merge-on-read commit: append ``df`` (the batch's deduped
         events, including ``op='D'`` tombstones, already keyed by
@@ -437,6 +487,8 @@ class LakeTable:
             "timestamp_ms": int(time.time() * 1000),
             "operation": "append-deltas",
             "added_files": added,
+            "schema_version": schema_version or prev["schema_version"],
+            "columns": columns or prev["columns"],
             "deltas": deltas,
             "watermarks": watermarks,
             "stats": stats or prev["stats"],
@@ -463,8 +515,9 @@ class LakeTable:
         if not wanted:
             return None
         merged = self.read(buckets=wanted)  # read() folds base ∪ deltas
+        payload = self.payload_cols(snap)
         merged = merged.select(
-            "repo", "path", "commit", "event_seq", "lang", "content", "content_sha",
+            "repo", "path", "commit", "event_seq", *payload, "content_sha",
             F.col("_bucket").cast("int").alias("_bucket"),
         ).repartition("_bucket")
         return self.commit_buckets(merged, wanted, {}, operation="compact")
@@ -524,15 +577,17 @@ class LakeTable:
             [(norm.sub("/", f), sid) for f, sid in file_sids],
             "_path string, snapshot_id int",
         )
+        payload = self.payload_cols(self.snapshot(to_id))
         return (
-            self.spark.read.parquet(*[f for f, _ in file_sids])
+            self.spark.read.schema(self._delta_ddl(payload))
+            .parquet(*[f for f, _ in file_sids])
             .withColumn(
                 "_path",
                 F.regexp_replace(F.input_file_name(), r"^[A-Za-z][A-Za-z0-9+.-]*:/+", "/"),
             )
             .join(F.broadcast(fmap), "_path")
             .select(
-                "repo", "path", "commit", "event_seq", "lang", "content", "op",
+                "repo", "path", "commit", "event_seq", *payload, "op",
                 "snapshot_id",
             )
         )
@@ -569,8 +624,9 @@ class LakeTable:
         out_dir = os.path.join(self.data_dir, f"snap-{sid:08d}")
         new_files: dict[str, list[str]] = {str(b): [] for b in range(num_buckets)}
         if cur is not None:
+            payload = self.payload_cols(snap)
             df = cur.select(
-                "repo", "path", "commit", "event_seq", "lang", "content", "content_sha",
+                "repo", "path", "commit", "event_seq", *payload, "content_sha",
                 bucket_expr(F.col("repo"), F.col("path"), num_buckets, salt).alias("_bucket"),
             ).repartition("_bucket")
             df.write.mode("error").partitionBy("_bucket").parquet(out_dir)

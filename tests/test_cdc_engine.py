@@ -211,6 +211,78 @@ def test_schema_evolution_rename(spark, tmp_path):
     assert state.filter(F.col("lang").isin(LANGS)).count() > 0
 
 
+V1_DDL = (
+    "commit string, event_seq long, op string, repo string, path string, "
+    "lang string, content string, schema_version int"
+)
+V3_DDL = (
+    "commit string, event_seq long, op string, repo string, path string, "
+    "lang string, content string, license string, schema_version int"
+)
+
+
+def _schema_add_run(spark, tmp_path, write_mode):
+    """Mid-stream column ADD (Iceberg schema evolution): batch 1 under
+    v1 (no 'license'), registry widened, batch 2 under v3 carrying it —
+    old rows read NULL, new rows validated, time travel keeps the old
+    schema."""
+    from filters_spark.engine.defaults import CANONICAL_COLUMNS, FIELD_SPECS_V1
+    from filters_spark.engine.evolution import SpecRegistry, VersionSpec
+
+    reg = SpecRegistry(CANONICAL_COLUMNS)
+    reg.register(VersionSpec(1, FIELD_SPECS_V1))
+    table = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "lake"), key_cols=["repo", "path"], num_buckets=4
+    )
+    engine = CDCEngine(spark, table, reg, write_mode=write_mode, compact_after=99)
+
+    ev1 = spark.createDataFrame(
+        [("%012x" % 1, 0, "U", "r1", "a.py", "py", "v1-a", 1),
+         ("%012x" % 1, 1, "U", "r1", "b.py", "py", "v1-b", 1)],
+        V1_DDL,
+    )
+    engine.apply_batch(ev1)
+    sid_narrow = table.current_snapshot_id()
+    assert "license" not in table.read().columns  # pre-widening schema
+
+    # WIDEN mid-stream: v3 adds 'license' to the canonical set
+    reg.register(VersionSpec(3, {**FIELD_SPECS_V1, "license": {"chain": ["strip", "ascii_lower"]}}))
+    ev3 = spark.createDataFrame(
+        [("%012x" % 2, 0, "U", "r1", "a.py", "py", "v3-a", "  MIT ", 3),
+         ("%012x" % 2, 1, "U", "r2", "c.py", "py", "v3-c", "Apache-2.0", 3)],
+        V3_DDL,
+    )
+    engine.apply_batch(ev3)
+
+    got = {(r.repo, r.path): r for r in table.read().collect()}
+    assert set(got) == {("r1", "a.py"), ("r1", "b.py"), ("r2", "c.py")}
+    assert got[("r1", "a.py")].license == "mit"          # validated via the v3 chain
+    assert got[("r2", "c.py")].license == "apache-2.0"
+    assert got[("r1", "b.py")].license is None           # pre-widening row -> NULL
+    assert got[("r1", "a.py")].content == "v3-a"         # LWW still wins
+
+    # time travel: the pre-widening snapshot keeps its own column set
+    old = table.read(snapshot_id=sid_narrow)
+    assert "license" not in old.columns
+    assert {r.path for r in old.collect()} == {"a.py", "b.py"}
+    return table
+
+
+def test_schema_evolution_added_column_cow(spark, tmp_path):
+    _schema_add_run(spark, tmp_path, "cow")
+
+
+def test_schema_evolution_added_column_mor(spark, tmp_path):
+    t = _schema_add_run(spark, tmp_path, "mor")
+    # the incremental change log carries the added column too
+    ch = {(r.repo, r.path): r for r in t.changes(0).collect()}
+    assert ch[("r2", "c.py")].license == "apache-2.0"
+    # and compaction folds the mixed-schema deltas losslessly
+    before = sorted(tuple(r) for r in t.read().collect())
+    t.compact()
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+
+
 def test_unknown_schema_version_dead_letters(spark, tmp_path):
     """An unregistered schema_version must not stall the stream: those
     events route to the dead-letter table with a dedicated code."""

@@ -29,6 +29,29 @@ def test_column_pruning(spark):
     assert cols and set(cols[0]) == {"l_orderkey", "l_quantity"}, cols
 
 
+def test_engine_validate_python_is_arrow_batched_only(spark, tmp_path):
+    """The ENGINE's staged validation: the only Python in the plan is
+    the Arrow-batched kernel stage (content's Unicode NFC has no native
+    twin); row-at-a-time Python (BatchEvalPython) must never appear,
+    and WAL columns outside the kernel-needing chains stay JVM-native
+    (non-string sources are CAST to string — the WAL payload contract —
+    not diverted to an extra kernel stage)."""
+    from filters_spark.engine.cdc import CDCEngine
+    from filters_spark.engine.defaults import default_registry
+    from filters_spark.lake.table import LakeTable
+    from filters_spark.plans.audit import executed_plan
+    from filters_spark.sources.datagen import gen_events
+
+    t = LakeTable.create(spark, str(tmp_path / "lakeP"), ["repo", "path"], num_buckets=4)
+    eng = CDCEngine(spark, t, default_registry())
+    ev = gen_events(spark, 500, n_repos=5, n_paths=40, seed=9)
+    plan = executed_plan(eng._validated(ev))
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python, ever
+    # exactly one fused Arrow stage (per-field kernel stages would
+    # multiply the Arrow serialization round trips)
+    assert plan.count("ArrowEvalPython") <= 1
+
+
 def test_native_validation_has_no_python(spark):
     from filters_spark.operators.validate import validate
 
