@@ -283,6 +283,55 @@ def test_schema_evolution_added_column_mor(spark, tmp_path):
     assert sorted(tuple(r) for r in t.read().collect()) == before
 
 
+def test_schema_add_composes_with_rescale_and_retry(spark, tmp_path):
+    """Column ADD composed with the other lifecycle ops: dead letters
+    staged BEFORE the widening retry cleanly after it (NULL license),
+    and a post-widening rescale carries the added column through the
+    re-bucketing."""
+    from filters_spark.engine.defaults import CANONICAL_COLUMNS, FIELD_SPECS_V1
+    from filters_spark.engine.evolution import SpecRegistry, VersionSpec
+
+    reg = SpecRegistry(CANONICAL_COLUMNS)
+    reg.register(VersionSpec(1, FIELD_SPECS_V1))
+    table = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "lake"), key_cols=["repo", "path"], num_buckets=4
+    )
+    engine = CDCEngine(spark, table, reg)
+
+    # batch 1 under v1: one clean row, one dead letter (bad lang)
+    ev1 = spark.createDataFrame(
+        [("%012x" % 1, 0, "U", "r1", "a.py", "py", "v1-a", 1),
+         ("%012x" % 1, 1, "U", "r1", "bad.py", "klingon", "v1-bad", 1)],
+        V1_DDL,
+    )
+    m1 = engine.apply_batch(ev1)
+    assert m1["dead_lettered"] == 1
+
+    # widen: v3 adds 'license' AND fixes the lang choice
+    fixed = dict(FIELD_SPECS_V1)
+    fixed["lang"] = {"chain": ["strip", "ascii_lower", ("choice", {"choices": [
+        "py", "js", "go", "rs", "java", "c", "cpp", "rb", "klingon"]})]}
+    reg.register(VersionSpec(3, {**fixed, "license": {"chain": ["strip", "ascii_lower"]}}))
+
+    # pre-widening dead letters drain through the widened registry
+    m = engine.retry_dead_letters()
+    assert m["applied"] == 1
+    got = {(r.repo, r.path): r for r in table.read().collect()}
+    assert got[("r1", "bad.py")].lang == "klingon"
+    assert got[("r1", "bad.py")].license is None
+
+    # batch under v3 with the new column, then rescale the widened table
+    ev3 = spark.createDataFrame(
+        [("%012x" % 2, 0, "U", "r2", "c.py", "py", "v3-c", "MIT", 3)], V3_DDL
+    )
+    engine.apply_batch(ev3)
+    before = sorted(tuple(r) for r in table.read().drop("_bucket").collect())
+    table.rescale(num_buckets=8)
+    after = sorted(tuple(r) for r in table.read().drop("_bucket").collect())
+    assert after == before  # license column survives re-bucketing
+    assert {r.license for r in table.read().collect()} == {None, "mit"}
+
+
 def test_unknown_schema_version_dead_letters(spark, tmp_path):
     """An unregistered schema_version must not stall the stream: those
     events route to the dead-letter table with a dedicated code."""
