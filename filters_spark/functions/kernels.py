@@ -489,7 +489,14 @@ class RoundK(Kernel):
 # Non-printable class: everything in Unicode category C except whitespace
 # (double negative keeps \n etc.), string.py:687-697.
 _NPR = _regex.compile(r"[^\P{C}\s]+", _regex.UNICODE)
-_NPR_RE2 = r"[^\P{C}\s]+"  # same dialect works in RE2 (pyarrow) & Java (Spark)
+# RE2 twin for the ASCII fast path. NOT the same deletion set in
+# general: RE2's \s is [\t\n\f\r ] (no \x0b, no \x85) and its \p{C}
+# misses unassigned codepoints (Cn) — hypothesis-found divergences vs
+# the reference's Python-regex semantics. Within ASCII the only gap is
+# \x0b (vertical tab: White_Space in Python regex, plain Cc in RE2),
+# excluded here explicitly; non-ASCII strings bypass RE2 entirely
+# (see UnicodeK._normalize_vec).
+_NPR_RE2 = r"[^\P{C}\s\x0b]+"
 
 
 def _is_all_strings(sub: pd.Series) -> bool:
@@ -535,15 +542,24 @@ class UnicodeK(Kernel):
         arr = pc.replace_substring_regex(arr, pattern=_NPR_RE2, replacement="")
         arr = pc.replace_substring(arr, pattern="\r\n", replacement="\n")
         arr = pc.replace_substring(arr, pattern="\r", replacement="\n")
-        # NFC: pyarrow's utf8_normalize is a no-op when Arrow is built
-        # without utf8proc (this sandbox), so compose via unicodedata.
-        # is_normalized is a cheap C quick-check; real text is almost
-        # always already NFC, so the normalize call is rare.
-        out = [
-            s if s is None or unicodedata.is_normalized("NFC", s)
-            else unicodedata.normalize("NFC", s)
-            for s in arr.to_pylist()
-        ]
+        # ASCII strings: the RE2 pass above IS the reference semantics
+        # (with \x0b excluded from the deletion class, see _NPR_RE2)
+        # and ASCII is NFC by construction — zero per-element Python on
+        # the code-corpus hot path (str.isascii is a cheap C flag
+        # check). Non-ASCII strings are recomputed from the ORIGINAL
+        # via the scalar reference path: RE2's deletion set diverges
+        # from Python regex outside ASCII in BOTH directions (keeps
+        # unassigned Cn like U+18DF3, deletes NEL U+0085 that the
+        # reference keeps as whitespace), so neither the RE2 output nor
+        # a composed sweep over it is trustworthy there.
+        out = []
+        for orig, fast in zip(texts.tolist(), arr.to_pylist()):
+            if orig is None:
+                out.append(None)
+            elif orig.isascii():
+                out.append(fast)
+            else:
+                out.append(self._normalize_one(orig))
         return _obj(out, texts.index)
 
     def _normalize_one(self, s: str) -> str:
@@ -664,12 +680,31 @@ class StripK(Kernel):
         self.trailing = _regex.compile(f"{trailing}$", _regex.UNICODE) if trailing else None
 
     def _strip_vec(self, texts: pd.Series) -> pd.Series:
-        arr = pa.array(texts.tolist(), type=pa.string())
+        vals = texts.tolist()
+        arr = pa.array(vals, type=pa.string())
         if self.leading_pat:
             arr = pc.replace_substring_regex(arr, pattern=f"^{self.leading_pat}", replacement="", max_replacements=1)
         if self.trailing_pat:
             arr = pc.replace_substring_regex(arr, pattern=f"{self.trailing_pat}$", replacement="", max_replacements=1)
-        return _obj(arr.to_pylist(), texts.index)
+        # RE2's \s is ASCII-only and its \p{C} misses unassigned (Cn),
+        # so the vectorized pass under-strips non-ASCII edges (NBSP,
+        # U+3000, Cn) vs the reference's Python-regex semantics.
+        # ASCII strings are bit-identical under both engines — keep the
+        # RE2 result for them (the code-corpus hot path) and recompute
+        # the non-ASCII minority from the ORIGINAL with the compiled
+        # reference patterns.
+        out = []
+        for orig, stripped in zip(vals, arr.to_pylist()):
+            if orig is not None and not orig.isascii():
+                s = orig
+                if self.leading:
+                    s = self.leading.sub("", s)
+                if self.trailing:
+                    s = self.trailing.sub("", s)
+                out.append(s)
+            else:
+                out.append(stripped)
+        return _obj(out, texts.index)
 
     def _apply(self, sub):
         if _is_all_strings(sub):

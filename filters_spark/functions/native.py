@@ -88,11 +88,19 @@ def _b_optional(default=None, **kw) -> NativeStep:
 
 
 def _b_strip(leading: str | None = r"[\p{C}\s]+", trailing: str | None = r"[\p{C}\s]+", **kw) -> NativeStep:
+    # (?U) = Java UNICODE_CHARACTER_CLASS: without it Java's \s is
+    # ASCII-only, so the native strip kept U+00A0/U+3000/... that the
+    # reference (Python `regex` with re.UNICODE) removes — a
+    # hypothesis-found kernel/native divergence. With (?U), Java
+    # matches the reference on NBSP, Unicode spaces, ZWSP and
+    # unassigned (Cn) codepoints (verified case-by-case); the
+    # reference compiles its patterns with regex.UNICODE, so Unicode
+    # classes are the contract for custom patterns too.
     def tr(c: Column) -> Column:
         if leading:
-            c = F.regexp_replace(c, f"^{leading}", "")
+            c = F.regexp_replace(c, f"(?U)^{leading}", "")
         if trailing:
-            c = F.regexp_replace(c, f"{trailing}$", "")
+            c = F.regexp_replace(c, f"(?U){trailing}$", "")
         return c
 
     return NativeStep(transform=tr)
