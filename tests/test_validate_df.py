@@ -103,6 +103,32 @@ def test_native_kernel_parity(spark):
         assert [(e.key, e.code) for e in ra._errors] == [(e.key, e.code) for e in rb._errors]
 
 
+def test_native_kernel_parity_unicode_edges(spark):
+    """Native (Java regex) and kernel (pyarrow/Python regex) paths must
+    agree on the Unicode edges where the THREE regex dialects diverge —
+    NBSP/ideographic space/ZWSP (Java+RE2 \\s is ASCII-only), vertical
+    tab and NEL (in Python regex's \\s but RE2's Cc), unassigned
+    codepoints (missing from RE2's \\p{C}), combining chars and astral
+    text — plus a seeded random soup of those alphabets."""
+    import random
+
+    edges = [
+        "\xa0x\xa0", "　y　", "​q", "\x0bv\x0b", "\x85n\x85",
+        "͸u", "x\U00018df3", "écombining", "a\r\nb\rc",
+        " mixed\xa0 \t", "\U0001f600emoji ", "", None, "plain",
+    ]
+    rng = random.Random(11)
+    pool = " \t\xa0　​\x0b\x85͸abé\U00018df3\r\n"
+    soup = ["".join(rng.choice(pool) for _ in range(rng.randrange(0, 12))) for _ in range(60)]
+    df = spark.createDataFrame([(s,) for s in edges + soup], "v string")
+    chain = ["strip", ("max_length", {"max_length": 8})]
+    a = validate(df, {"v": FieldSpec(chain, mode="native")}).collect()
+    b = validate(df, {"v": FieldSpec(chain, mode="kernel")}).collect()
+    for ra, rb in zip(a, b):
+        assert ra.v == rb.v, (repr(ra.v), repr(rb.v))
+        assert [(e.key, e.code) for e in ra._errors] == [(e.key, e.code) for e in rb._errors]
+
+
 def test_kernel_int_parity(spark):
     chain = ["int", ("max", {"max_value": 100})]
     df = spark.createDataFrame(
