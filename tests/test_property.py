@@ -110,6 +110,39 @@ class TestStringKernelProperties:
         assert u._normalize_vec(pd.Series([s]))[0] == u._normalize_one(s)
 
 
+class TestIdentifierKernelProperties:
+    @given(st.uuids())
+    @settings(max_examples=150, deadline=None)
+    def test_uuid_canonicalization(self, u):
+        # any spelling (hex, braces, upper) canonicalizes to the same UUID
+        for spelling in (str(u), str(u).upper(), u.hex, "{%s}" % u):
+            r = run_one(["uuid"], spelling)
+            assert r.is_valid, (spelling, r.errors)
+            assert r.cleaned_data == u
+
+    @given(st.ip_addresses(v=4))
+    @settings(max_examples=150, deadline=None)
+    def test_ipv4_roundtrip(self, ip):
+        r = run_one([("ip_address", {"ipv4": True})], str(ip))
+        assert r.is_valid, r.errors
+        assert r.cleaned_data == str(ip)
+
+    @given(st.ip_addresses(v=6))
+    @settings(max_examples=150, deadline=None)
+    def test_ipv6_canonicalization_semantic_and_idempotent(self, ip):
+        # exploded spelling -> the kernel's canonical spelling (the
+        # reference keeps IPv4-MAPPED addresses in dotted-quad form,
+        # e.g. '::ffff:0.0.0.0', where Python's str() compresses) —
+        # assert semantic equality + fixed-point instead of a spelling
+        import ipaddress
+
+        r = run_one([("ip_address", {"ipv6": True})], ip.exploded)
+        assert r.is_valid, r.errors
+        assert ipaddress.ip_address(r.cleaned_data) == ip
+        r2 = run_one([("ip_address", {"ipv6": True})], r.cleaned_data)
+        assert r2.is_valid and r2.cleaned_data == r.cleaned_data
+
+
 class TestNumericKernelProperties:
     @given(
         st.decimals(allow_nan=False, allow_infinity=False,
