@@ -198,12 +198,19 @@ def _b_int(**kw) -> NativeStep:
 # spellings), lookbehind width rules ((?<...), named groups ((?P< py-only),
 # \g/\k group refs, numeric backrefs, \A/\Z/\z end anchors (py \Z == java
 # \z), \uXXXX escapes, conditionals ((?(, and POSIX [[:alpha:]] classes.
-# A pattern using any of these compiles ONLY on the kernel path, so both
-# strategies always agree.
+# ALSO the class shorthands \s \S \w \W \b \B \d \D: Java's are
+# ASCII-only by default while the reference's (regex module, str
+# patterns) are Unicode — 'é' matches \w in the reference but not in
+# Java (the same divergence family the hypothesis suite caught in
+# strip). And inline flag groups (?i...: Java's case folding is
+# ASCII-only without UNICODE_CASE, Python's is Unicode. A pattern
+# using any of these compiles ONLY on the kernel path, so both
+# strategies always agree; explicit classes ([0-9a-f], [ \t]) keep the
+# native fast path.
 import re as _stdre
 
 _DIALECT_UNSAFE = _stdre.compile(
-    r"\\[pPgkAZzuN]|\(\?P|\(\?<|\(\?\(|\\[1-9]|\[\[:"
+    r"\\[pPgkAZzuNsSwWbBdD]|\(\?[a-zA-Z]|\(\?<|\(\?\(|\\[1-9]|\[\[:"
 )
 
 

@@ -141,6 +141,18 @@ def test_kernel_int_parity(spark):
         assert [(e.key, e.code) for e in ra._errors] == [(e.key, e.code) for e in rb._errors], (ra, rb)
 
 
+def test_regex_dialect_guard_routes_shorthand_classes_to_kernel():
+    """Java's \\s/\\w/\\b/\\d are ASCII-only while the reference's are
+    Unicode (regex module): shorthand-class and inline-flag patterns
+    must compile kernel-side only; explicit classes stay native."""
+    from filters_spark.functions.native import _dialect_safe
+
+    for p in (r"^[0-9a-f]{7,40}$", "abc", "(?:x)+", "(?=y)x"):
+        assert _dialect_safe(p), p
+    for p in (r"\w+", r"\d{3}", r"a\sb", r"x\b", "(?i)abc", r"\p{L}+"):
+        assert not _dialect_safe(p), p
+
+
 def test_plan_has_no_python_for_native_fields(spark):
     df = spark.createDataFrame([("x",)], "v string")
     out = validate(df, {"v": ["required", "strip"]}, keep_raw=False)
