@@ -100,6 +100,7 @@ def gen_events(
     seed: int = 42,
     schema_version: int = 1,
     start_commit: int = 1,
+    unicode_hazards: bool = False,
 ) -> DataFrame:
     """Change-event stream: (commit, event_seq, op, repo, path, lang,
     content, schema_version).
@@ -153,6 +154,30 @@ def gen_events(
             F.lit("\u0000  "),
         ),
     ).otherwise(content)
+
+    # opt-in second hazard class: the codepoints where the THREE regex
+    # dialects (Java, RE2, Python regex) historically diverge -- NBSP
+    # (U+00A0), ideographic space (U+3000), ZWSP (U+200B), NEL
+    # (U+0085), VT (U+000B), unassigned (Cn) BMP (U+0378) and astral
+    # (U+18DF3). Off by default so bench/scaling inputs stay
+    # bit-identical across rounds; engine E2E sha-equality under these
+    # is pinned in tests/test_cdc_engine.py.
+    if unicode_hazards:
+        hz = F.pmod(_h(seed + 33, "id"), F.lit(4)) == 0
+        content = F.when(
+            hz & content.isNotNull(),
+            F.concat(
+                F.lit(
+                    "\u00a0\u3000lead\u200bmid\u000bnel\u0085"
+                    "\u0378bmp\U00018df3astral "
+                ),
+                content,
+            ),
+        ).otherwise(content)
+        path = F.when(
+            hz & path.isNotNull(),
+            F.concat(F.lit("\u00a0"), path, F.lit("\u3000")),
+        ).otherwise(path)
 
     return df.select(
         F.format_string("%012x", commit_idx).alias("commit"),

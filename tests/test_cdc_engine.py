@@ -112,6 +112,18 @@ def test_replay_matches_oracle(spark, tmp_path, oracle):
     assert codes & {"empty", "not_valid_choice", "too_long"}
 
 
+def test_replay_sha_equality_under_unicode_hazards(spark, tmp_path):
+    """End-to-end content-sha equality on the codepoints where the
+    three regex dialects diverge (NBSP, ideographic space, ZWSP, NEL,
+    VT, unassigned BMP + astral) — the class of bug the property suite
+    caught in the vectorized normalize/strip paths. The oracle is the
+    independent pandas replay (Python regex = reference semantics)."""
+    ev = events_df(spark, n_events=1500, dirty_frac=0.05, unicode_hazards=True)
+    engine = make_engine(spark, str(tmp_path))
+    engine.replay(ev, num_batches=2)
+    assert final_state(engine) == oracle_replay(ev.toPandas())
+
+
 def test_batch_boundary_invariance(spark, tmp_path, oracle):
     e1 = make_engine(spark, str(tmp_path / "a"))
     e1.replay(events_df(spark), num_batches=1)
