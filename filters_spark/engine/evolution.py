@@ -53,14 +53,27 @@ class SpecRegistry:
         self.canonical_columns = list(canonical_columns)
         self.versions: dict[int, VersionSpec] = {}
 
+    # names owned by the engine/table row layout — a field spec may not
+    # claim them (ev_cols / read DDLs would emit duplicate columns and
+    # fail far from the register() call that caused it)
+    RESERVED = frozenset(
+        {"commit", "event_seq", "op", "schema_version", "content_sha"}
+    )
+
     def register(self, spec: VersionSpec) -> "SpecRegistry":
-        self.versions[spec.version] = spec
         # schema evolution, column ADD: a version validating a field
         # outside the current canonical set WIDENS the set (appended in
         # spec order, so existing column positions never move). Earlier
         # versions simply have no chain for it -> NULL through
         # validation; table files written before the widening read the
         # column as NULL (lake/table.py read schemas).
+        for field in spec.field_specs:
+            if field in self.RESERVED or field.startswith("_"):
+                raise ValueError(
+                    f"field name {field!r} is reserved by the engine row "
+                    "layout and cannot be a canonical payload column"
+                )
+        self.versions[spec.version] = spec
         for field in spec.field_specs:
             if field not in self.canonical_columns:
                 self.canonical_columns.append(field)

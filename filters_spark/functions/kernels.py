@@ -679,29 +679,39 @@ class StripK(Kernel):
         self.leading = _regex.compile(f"^{leading}", _regex.UNICODE) if leading else None
         self.trailing = _regex.compile(f"{trailing}$", _regex.UNICODE) if trailing else None
 
+    def _py_strip(self, s: str) -> str:
+        if self.leading:
+            s = self.leading.sub("", s)
+        if self.trailing:
+            s = self.trailing.sub("", s)
+        return s
+
     def _strip_vec(self, texts: pd.Series) -> pd.Series:
+        # RE2's \s is ASCII-only and its \p{C} misses unassigned (Cn),
+        # so a RE2 pass under-strips vs the reference's Python-regex
+        # semantics (NBSP, U+3000, Cn — and within ASCII, \x0b for a
+        # bare \s). For the DEFAULT pattern the two engines are
+        # bit-identical on ASCII strings ([\p{C}\s] covers \x0b via Cc
+        # either way), so ASCII rows keep the vectorized result and
+        # only the non-ASCII minority recomputes from the ORIGINAL with
+        # the compiled reference patterns. CUSTOM patterns get no such
+        # proof — they take the reference path for every row (a rare
+        # configuration; the hot default stays vectorized).
         vals = texts.tolist()
+        is_default = self.leading_pat == self.DEFAULT and self.trailing_pat == self.DEFAULT
+        if not is_default:
+            return _obj(
+                [None if s is None else self._py_strip(s) for s in vals], texts.index
+            )
         arr = pa.array(vals, type=pa.string())
         if self.leading_pat:
             arr = pc.replace_substring_regex(arr, pattern=f"^{self.leading_pat}", replacement="", max_replacements=1)
         if self.trailing_pat:
             arr = pc.replace_substring_regex(arr, pattern=f"{self.trailing_pat}$", replacement="", max_replacements=1)
-        # RE2's \s is ASCII-only and its \p{C} misses unassigned (Cn),
-        # so the vectorized pass under-strips non-ASCII edges (NBSP,
-        # U+3000, Cn) vs the reference's Python-regex semantics.
-        # ASCII strings are bit-identical under both engines — keep the
-        # RE2 result for them (the code-corpus hot path) and recompute
-        # the non-ASCII minority from the ORIGINAL with the compiled
-        # reference patterns.
         out = []
         for orig, stripped in zip(vals, arr.to_pylist()):
             if orig is not None and not orig.isascii():
-                s = orig
-                if self.leading:
-                    s = self.leading.sub("", s)
-                if self.trailing:
-                    s = self.trailing.sub("", s)
-                out.append(s)
+                out.append(self._py_strip(orig))
             else:
                 out.append(stripped)
         return _obj(out, texts.index)

@@ -40,7 +40,6 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import re
 import time
 from typing import Iterable
 
@@ -130,6 +129,14 @@ class LakeTable:
         # snapshot in a long replay loop O(touched manifests), not
         # O(buckets)
         self._manifest_cache: dict[str, list[str]] = {}
+        # reverse memo: list OBJECT -> its manifest name. Untouched
+        # buckets flow commit-to-commit by reference (``dict(prev[...])``
+        # shallow-copies the resolved lists), so an identity hit skips
+        # re-serializing + re-hashing their full file lists — without it
+        # every commit's metadata CPU is O(total data files), not
+        # O(touched buckets). Values keep the list alive so ``id()``
+        # can never be recycled onto a different object.
+        self._name_by_list: dict[int, tuple[list[str], str]] = {}
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -237,12 +244,17 @@ class LakeTable:
     def _write_manifests(self, mapping: dict[str, list[str]]) -> dict[str, str]:
         refs: dict[str, str] = {}
         for b, files in mapping.items():
+            memo = self._name_by_list.get(id(files))
+            if memo is not None and memo[0] is files:
+                refs[b] = memo[1]  # untouched bucket: O(1), no re-hash
+                continue
             name = self._manifest_name(files)
             if name not in self._manifest_cache:
                 path = os.path.join(self.meta_dir, name)
                 if not self.io.exists(path):
                     self.io.write_text_atomic(path, json.dumps({"files": files}))
                 self._manifest_cache[name] = list(files)
+            self._name_by_list[id(files)] = (files, name)
             refs[b] = name
         return refs
 
@@ -252,7 +264,9 @@ class LakeTable:
             if name not in self._manifest_cache:
                 body = json.loads(self.io.read_text(os.path.join(self.meta_dir, name)))
                 self._manifest_cache[name] = body["files"]
-            out[b] = list(self._manifest_cache[name])
+            lst = list(self._manifest_cache[name])
+            self._name_by_list[id(lst)] = (lst, name)
+            out[b] = lst
         return out
 
     def _write_snapshot(self, snapshot: dict) -> None:
@@ -271,6 +285,10 @@ class LakeTable:
         self.io.write_text_atomic(
             os.path.join(self.meta_dir, "version-hint.text"), str(sid)
         )
+        # the identity memo served this commit (resolve -> carry-over ->
+        # write); drop it so a long replay doesn't keep every resolved
+        # list alive across thousands of commits
+        self._name_by_list.clear()
 
     # -- schema (evolution-aware) -------------------------------------------
 
@@ -570,22 +588,23 @@ class LakeTable:
         # (a union of one relation per snapshot makes the plan O(range
         # length) — a long-lived MoR table accumulates thousands of
         # snapshots and the per-snapshot union stops analyzing).
-        # input_file_name() spells the path as a URI; canonicalize the
-        # scheme prefix on both sides before joining.
-        norm = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:/+")
+        # Join key = the path RELATIVE to the data dir (suffix after
+        # the last '/data/'), the same spelling-independent identity
+        # vacuum() uses: input_file_name() spells an absolute URI
+        # (scheme, resolved '.'/symlinks) that raw string equality
+        # against the manifest-recorded spelling (possibly a relative
+        # root) would never match — the inner join would silently
+        # return an EMPTY changefeed.
         fmap = self.spark.createDataFrame(
-            [(norm.sub("/", f), sid) for f, sid in file_sids],
-            "_path string, snapshot_id int",
+            [(_rel_to_data(f), sid) for f, sid in file_sids],
+            "_relpath string, snapshot_id int",
         )
         payload = self.payload_cols(self.snapshot(to_id))
         return (
             self.spark.read.schema(self._delta_ddl(payload))
             .parquet(*[f for f, _ in file_sids])
-            .withColumn(
-                "_path",
-                F.regexp_replace(F.input_file_name(), r"^[A-Za-z][A-Za-z0-9+.-]*:/+", "/"),
-            )
-            .join(F.broadcast(fmap), "_path")
+            .withColumn("_relpath", F.substring_index(F.input_file_name(), "/data/", -1))
+            .join(F.broadcast(fmap), "_relpath")
             .select(
                 "repo", "path", "commit", "event_seq", *payload, "op",
                 "snapshot_id",

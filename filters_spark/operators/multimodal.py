@@ -84,7 +84,17 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, decode_stub: bool = True)
     ``explode(sequence(...))`` on the Spark side, so row multiplication
     happens JVM-side with codegen and only the per-frame codec decode
     crosses into Python (a real decoder is inherently per-frame; the
-    stub mirrors that shape)."""
+    stub mirrors that shape).
+
+    Arrow-transfer shape: the video payload is shipped into Python
+    ONCE per media, not once per frame — a naive explode would
+    replicate a 50 MB payload across every cadence row (600 frames ->
+    ~30 GB over the Arrow boundary). The same whole-stage projection
+    that explodes the cadence nulls the payload on every row but
+    ``frame_idx == 0``; explode output is partition-local and ordered,
+    so the decoder carries the current payload across a media's
+    contiguous frame rows (Arrow batch boundaries included — one
+    generator instance streams a whole partition in order)."""
     n = F.greatest(
         F.floor(F.coalesce(F.col("duration_ms"), F.lit(0)) / F.lit(every_ms)).cast("int"),
         F.lit(1),
@@ -93,18 +103,27 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, decode_stub: bool = True)
         "media_id",
         "payload",
         F.explode(F.sequence(F.lit(0), n - F.lit(1))).alias("frame_idx"),
-    ).withColumn("ts_ms", F.col("frame_idx").cast("long") * F.lit(every_ms))
+    ).select(
+        "media_id",
+        "frame_idx",
+        (F.col("frame_idx").cast("long") * F.lit(every_ms)).alias("ts_ms"),
+        F.when(F.col("frame_idx") == 0, F.col("payload")).alias("payload"),
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        cur = b""  # current media's payload (frames arrive contiguous, in order)
         for pdf in batches:
             if not decode_stub:
                 _real_decode_guard()
-            frames = [
-                hashlib.sha256((p or b"") + int(i).to_bytes(4, "big")).digest()[:16]
-                for p, i in zip(pdf["payload"], pdf["frame_idx"])
-            ]
+            frames = []
+            for i, p in zip(pdf["frame_idx"], pdf["payload"]):
+                if int(i) == 0:
+                    cur = p or b""  # frame 0 CARRIES the payload (may be null media)
+                frames.append(
+                    hashlib.sha256(cur + int(i).to_bytes(4, "big")).digest()[:16]
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

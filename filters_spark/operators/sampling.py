@@ -76,7 +76,13 @@ def quota_per_group(
     ``quota`` lowest and the hot group's final task sorts at most
     ``quota × n_input_partitions`` rows instead of the whole group.
     Costs one extra exchange — use it when one group can hold a large
-    fraction of the corpus (the usual reason a cap exists)."""
+    fraction of the corpus (the usual reason a cap exists).
+
+    Determinism requires ``order_col`` to be UNIQUE within each group
+    (a doc id, not a score): with ties at the quota boundary,
+    ``row_number`` breaks them arbitrarily in EITHER mode, and with
+    ``precap`` the surviving tie-subset additionally depends on the
+    input partitioning."""
     w = Window.partitionBy(group_col).orderBy(F.col(order_col))
     if precap:
         pre = Window.partitionBy(F.spark_partition_id(), group_col).orderBy(F.col(order_col))

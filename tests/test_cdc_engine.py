@@ -295,6 +295,16 @@ def test_schema_evolution_added_column_mor(spark, tmp_path):
     assert sorted(tuple(r) for r in t.read().collect()) == before
 
 
+def test_register_rejects_reserved_field_names():
+    from filters_spark.engine.defaults import CANONICAL_COLUMNS, FIELD_SPECS_V1
+    from filters_spark.engine.evolution import SpecRegistry, VersionSpec
+
+    reg = SpecRegistry(CANONICAL_COLUMNS)
+    for bad in ("commit", "event_seq", "op", "schema_version", "content_sha", "_bucket"):
+        with pytest.raises(ValueError, match="reserved"):
+            reg.register(VersionSpec(9, {**FIELD_SPECS_V1, bad: {"chain": ["strip"]}}))
+
+
 def test_schema_add_composes_with_rescale_and_retry(spark, tmp_path):
     """Column ADD composed with the other lifecycle ops: dead letters
     staged BEFORE the widening retry cleanly after it (NULL license),

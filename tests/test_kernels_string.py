@@ -8,6 +8,16 @@ from filters_spark.functions.spec import run_one
 from tests.test_kernels_number import errors, passes
 
 
+class TestStripCustomPattern:
+    def test_custom_pattern_uses_reference_dialect_on_ascii(self):
+        # custom patterns take the Python-regex path for EVERY row:
+        # RE2's \s excludes \x0b, so the vectorized engine would keep
+        # it even on pure-ASCII input (review finding)
+        passes([("strip", {"leading": r"\s+", "trailing": r"\s+"})], "\x0bhello\x0b", "hello")
+        # default pattern still strips it (via \p{C}) on the fast path
+        passes(["strip"], "\x0bhello\x0b", "hello")
+
+
 class TestUnicode:
     def test_decode_bytes(self):
         import unicodedata

@@ -134,6 +134,22 @@ class TestIncrementalChanges:
         # empty range
         assert t.changes(t.current_snapshot_id()) is None
 
+    def test_changes_survive_respelled_root(self, spark, tmp_path):
+        # manifests record one spelling of the root; input_file_name()
+        # yields a normalized absolute URI — the file->snapshot join
+        # must match on the data-dir-relative identity or the
+        # changefeed silently comes back EMPTY
+        root = os.path.join(str(tmp_path), ".", "lake_rel")
+        t = LakeTable.create(spark, root, ["repo", "path"], num_buckets=2)
+        eng = CDCEngine(spark, t, default_registry(), write_mode="mor", compact_after=99)
+        schema = ("commit string, event_seq long, op string, repo string, path string, "
+                  "lang string, content string, schema_version int")
+        eng.apply_batch(spark.createDataFrame(
+            [("000000000001", 0, "I", "r1", "a.py", "py", "v1", 1)], schema))
+        ch = t.changes(0)
+        assert ch is not None and ch.count() == 1
+        assert {r.path for r in ch.collect()} == {"a.py"}
+
     def test_compaction_adds_no_changes_and_cow_raises(self, spark, tmp_path, events):
         t = LakeTable.create(spark, str(tmp_path / "inc2"), ["repo", "path"], num_buckets=8)
         eng = CDCEngine(spark, t, default_registry(), write_mode="mor", compact_after=99)

@@ -266,6 +266,37 @@ class TestMultimodal:
         for r in per:
             assert r.n == max(durs[r.media_id] // 5000, 1)
 
+    def test_frame_payload_ships_once_and_survives_batch_splits(self, spark):
+        # payload crosses the Arrow boundary only on frame 0 of each
+        # media; the decoder carries it across contiguous frame rows —
+        # including across Arrow batch boundaries (forced tiny batches)
+        import hashlib
+
+        from filters_spark.operators.multimodal import sample_frames
+
+        media = spark.createDataFrame(
+            [(1, 17_000, b"vid-one"), (2, 9_000, b"vid-two"), (3, 4_000, None)],
+            "media_id long, duration_ms long, payload binary",
+        ).coalesce(1)  # contiguous stream through ONE partition/generator
+        key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        old = spark.conf.get(key, None)
+        spark.conf.set(key, "2")  # split every media's frames across batches
+        try:
+            rows = sample_frames(media, every_ms=1000).collect()
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+        payloads = {1: b"vid-one", 2: b"vid-two", 3: b""}
+        counts = {1: 17, 2: 9, 3: 4}
+        assert len(rows) == sum(counts.values())
+        for r in rows:
+            want = hashlib.sha256(
+                payloads[r.media_id] + int(r.frame_idx).to_bytes(4, "big")
+            ).digest()[:16]
+            assert bytes(r.frame) == want, (r.media_id, r.frame_idx)
+
     def test_real_decode_is_guarded(self, spark):
         from filters_spark.operators.multimodal import decode_images, gen_media
 
