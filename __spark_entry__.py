@@ -542,11 +542,14 @@ def q_dedup_minhash(spark, sf):
                              jaccard_threshold=0.4, base_hash_fn=sha64)
 
 
-def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+def _simhash_oracle_sql(max_hamming: int = 3, max_bucket: int = 1000) -> str:
     """DuckDB twin of simhash_dupes with the injected sha64 token hash:
-    per-bit weighted majority over distinct-token hashes, then pairs by
-    exact hamming — brute-force all-pairs (the pigeonhole blocking is
-    recall-complete, so the blocked Spark output equals brute force)."""
+    per-bit weighted majority over distinct-token hashes, then the SAME
+    chunk blocking + degenerate-bucket guard the Spark operator applies
+    (pigeonhole blocking is recall-complete, so absent guarded-out
+    buckets the candidate set equals brute force; the guard is mirrored
+    so equality holds on the guarded set too, exactly as
+    ``_minhash_oracle_sql`` mirrors minhash's guard)."""
     min_long = "(-9223372036854775807 - 1)"
     bit_terms = []
     for i in range(64):
@@ -556,6 +559,20 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
             f"THEN {mask} ELSE 0 END)"
         )
     sh = " | ".join(bit_terms)
+    # same chunk bounds formula as simhash_dupes. Spark does
+    # shiftrightunsigned; DuckDB's >> on signed BIGINT sign-extends,
+    # but (x >> lo) & mask is identical either way: the two shifts
+    # differ only in bits >= 64-lo, and mask width hi-lo <= 64-lo
+    # (DuckDB refuses CAST(negative AS UBIGINT), so the signed route
+    # is the only portable one)
+    n_chunks = max_hamming + 1
+    bounds = [(i * 64 // n_chunks, (i + 1) * 64 // n_chunks) for i in range(n_chunks)]
+    chunk_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, sh, {i} AS chunk, "
+        + ("sh AS val FROM s" if hi - lo == 64 else
+           f"(sh >> {lo}) & {(1 << (hi - lo)) - 1} AS val FROM s")
+        for i, (lo, hi) in enumerate(bounds)
+    )
     return f"""
     WITH t AS (
       SELECT doc_id,
@@ -565,11 +582,21 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
       SELECT doc_id, list_transform(toks, s -> {sha64_sql('s')}) AS hs FROM t
     ), s AS (
       SELECT doc_id, ({sh}) AS sh FROM h
+    ), chunks AS (
+      {chunk_rows}
+    ), ok AS (
+      SELECT chunk, val FROM chunks GROUP BY chunk, val
+      HAVING count(*) <= {max_bucket}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sh AS sh_a, b.sh AS sh_b
+      FROM chunks a
+      JOIN ok USING (chunk, val)
+      JOIN chunks b ON a.chunk = b.chunk AND a.val = b.val
+                    AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
-    FROM s a JOIN s b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
     """
 
 

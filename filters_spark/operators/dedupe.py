@@ -21,18 +21,34 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from filters_spark.operators.materialize import materialize
 
-def exact_dupes(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+
+def exact_dupes(df: DataFrame, cols: list[str], id_col: str,
+                max_members: int = 100) -> DataFrame:
     """Groups of byte-identical rows: returns (content_key, n_copies,
-    keep_id, dup_ids) for groups with >1 member."""
+    keep_id, member_ids) for groups with >1 member.
+
+    ``member_ids`` is CAPPED at the ``max_members`` smallest ids — a
+    boilerplate group at corpus scale can have 10^8 members, and an
+    unbounded ``collect_list`` would build that as one row. The cap is
+    enforced BEFORE aggregation (rank window + conditional collect), so
+    the aggregation buffer itself is bounded, not just the output;
+    ``n_copies``/``keep_id`` still count every member. The window and
+    the groupBy share the same hash partitioning on ``content_key``, so
+    this is still a single exchange."""
     key = F.sha2(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]), 256)
+    w = Window.partitionBy("content_key").orderBy("_id")
     return (
         df.select(key.alias("content_key"), F.col(id_col).alias("_id"))
+        .withColumn("_rn", F.row_number().over(w))
         .groupBy("content_key")
         .agg(
             F.count("*").alias("n_copies"),
             F.min("_id").alias("keep_id"),
-            F.sort_array(F.collect_list("_id")).alias("member_ids"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("_rn") <= max_members, F.col("_id")))
+            ).alias("member_ids"),
         )
         .filter(F.col("n_copies") > 1)
     )
@@ -119,6 +135,7 @@ def minhash_lsh_pairs(
     seed: int = 1,
     hash_fn=None,
     base_hash_fn=None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs above ``jaccard_threshold``
     (estimated from signature agreement), via banded LSH.
@@ -128,6 +145,11 @@ def minhash_lsh_pairs(
     :func:`minhash_signature` (band buckets hash the signature slice
     with xxhash64 either way — bucket equality is slice equality, so
     the bucket hash choice is invisible in the output).
+
+    ``checkpoint_dir``: fault-tolerant directory for the signature
+    materialization barrier (see :mod:`materialize` — default
+    localCheckpoint is executor-local and lost on executor failure;
+    pass a DFS path for long-running cluster jobs).
     """
     rows_per_band = num_hashes // bands
     sig = (
@@ -150,10 +172,10 @@ def minhash_lsh_pairs(
         # pruning gives the bucket-guard branch a narrower exchange
         # than the join sides, ReuseExchange misses it, and the plan
         # still scans + re-hashes the input twice (verified on the
-        # executed plan). localCheckpoint computes the signature job
-        # once; every consumer reads the stored rows.
-        .localCheckpoint()
+        # executed plan). The materialize barrier computes the
+        # signature job once; every consumer reads the stored rows.
     )
+    sig = materialize(sig, checkpoint_dir)
     banded = sig.select(
         "_id",
         "_sig",
@@ -250,6 +272,8 @@ def simhash_dupes(
     max_hamming: int = 3,
     hash_col: str | None = None,
     hash_fn=None,
+    max_bucket: int = 1000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on bit chunks, then verify
     hamming distance exactly — no cross join.
@@ -260,11 +284,21 @@ def simhash_dupes(
     More chunks = narrower chunks = more candidates verified; the exact
     hamming filter keeps the output identical for any chunking.
 
+    ``max_bucket``: degenerate-bucket guard — empty/near-empty docs all
+    collapse to simhash 0 and boilerplate shares fingerprints, so one
+    hot (chunk, val) bucket can make the blocking self-join quadratic
+    on it at corpus scale. Buckets larger than ``max_bucket`` are
+    dropped BEFORE the join (same guard as ``minhash_lsh_pairs``); the
+    cost is recall on pairs whose only agreeing chunk is degenerate —
+    the standard LSH trade (boilerplate buckets are near-duplicates of
+    everything and are better handled by exact dedupe first).
+
     ``hash_col``: use a precomputed 64-bit simhash column instead of
     hashing ``text_col`` — at corpus scale the simhash is computed once
     at ingest and stored, so re-runs with different thresholds only pay
     the blocking join. ``hash_fn``: token-hash family forwarded to
-    :func:`simhash` (ignored with ``hash_col``)."""
+    :func:`simhash` (ignored with ``hash_col``). ``checkpoint_dir``:
+    see :mod:`materialize`."""
     if not 0 <= max_hamming <= 63:
         raise ValueError("max_hamming must be in [0, 63]")
     n_chunks = max_hamming + 1
@@ -272,10 +306,15 @@ def simhash_dupes(
     # most 1 bit; disjoint and covering => pigeonhole holds.
     bounds = [(i * 64 // n_chunks, (i + 1) * 64 // n_chunks) for i in range(n_chunks)]
     hash_expr = F.col(hash_col) if hash_col else simhash(F.col(text_col), hash_fn=hash_fn)
-    # same materialization rationale as minhash_lsh_pairs: one narrow
-    # exchange so the 64-bit-unrolled simhash expression is computed
-    # once per doc (ReuseExchange) instead of once per derivation
-    sh = df.select(F.col(id_col).alias("_id"), hash_expr.alias("_sh")).repartition("_id")
+    # same materialization rationale as minhash_lsh_pairs: the bucket
+    # guard + both join sides are three differently-pruned consumers,
+    # so the 64-bit-unrolled simhash expression must be computed once
+    # per doc behind a hard barrier (a bare repartition lets pruning
+    # defeat ReuseExchange on the guard branch)
+    sh = materialize(
+        df.select(F.col(id_col).alias("_id"), hash_expr.alias("_sh")),
+        checkpoint_dir,
+    )
     chunks = sh.select(
         "_id", "_sh",
         F.explode(
@@ -294,6 +333,14 @@ def simhash_dupes(
             )
         ).alias("c"),
     ).select("_id", "_sh", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    # degenerate-bucket guard (see docstring): groupBy (map-side partial
+    # aggregate, so a pathological all-same-val bucket never lands on
+    # one task), then keep only sane buckets
+    bucket_sizes = chunks.groupBy("chunk", "val").agg(F.count("*").alias("bn"))
+    chunks = chunks.join(
+        bucket_sizes.filter(F.col("bn") <= max_bucket).select("chunk", "val"),
+        ["chunk", "val"],
+    )
     a = chunks.select("chunk", "val", F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = chunks.select("chunk", "val", F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
@@ -344,7 +391,8 @@ def ngram_jaccard_pairs(
 
 
 def dedupe_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                    max_iter: int = 25) -> DataFrame:
+                    max_iter: int = 25,
+                    checkpoint_dir: str | None = None) -> DataFrame:
     """Fold near-duplicate PAIRS into connected components: returns
     ``(id, cluster_id)`` where ``cluster_id`` is the minimum id in the
     component — the canonical "keep the representative, drop the rest"
@@ -355,18 +403,22 @@ def dedupe_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     diameter) rounds (near-dup clusters are shallow — diameter is
     typically < 5 even for multi-thousand-member boilerplate clusters).
     Each round is one groupBy-min + one join, both keyed on the node id
-    — no driver-side graph, no quadratic blow-up; ``localCheckpoint``
-    cuts the iterative lineage so plans stay constant-size. Convergence
-    is an exact changed-label count carried through the same update
-    join (works for ANY orderable id type — string, long, binary — no
-    numeric aggregation over ids)."""
+    — no driver-side graph, no quadratic blow-up; the materialization
+    barrier cuts the iterative lineage so plans stay constant-size
+    (``checkpoint_dir``: see :mod:`materialize` — a reliable checkpoint
+    matters most HERE, since an executor loss late in round k would
+    otherwise discard every earlier round). Convergence is an exact
+    changed-label count carried through the same update join (works for
+    ANY orderable id type — string, long, binary — no numeric
+    aggregation over ids)."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    edges = edges.repartition("src").localCheckpoint()
+    edges = materialize(edges.repartition("src"), checkpoint_dir)
 
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
-        "label", F.col("id")
-    ).localCheckpoint()
+    labels = materialize(
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id")),
+        checkpoint_dir,
+    )
     converged = False
     for _ in range(max_iter):
         nbr_min = (
@@ -380,8 +432,8 @@ def dedupe_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                 F.least("label", F.coalesce("nmin", "label")).alias("label"),
                 (F.col("nmin") < F.col("label")).alias("_chg"),
             )
-            .localCheckpoint()
         )
+        updated = materialize(updated, checkpoint_dir)
         labels = updated.drop("_chg")
         if updated.filter(F.col("_chg")).limit(1).count() == 0:
             converged = True
@@ -402,11 +454,12 @@ def dedupe_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
 
 
 def dedupe_keep_representative(df: DataFrame, pairs: DataFrame, id_col: str,
-                               id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+                               id_a: str = "id_a", id_b: str = "id_b",
+                               checkpoint_dir: str | None = None) -> DataFrame:
     """Drop every near-duplicate except the minimum-id representative of
     its cluster: rows never named in a pair pass through untouched
     (broadcast-size anti-join when the dup set is small; plain hash
     join otherwise — Spark's AQE picks)."""
-    clusters = dedupe_clusters(pairs, id_a, id_b)
+    clusters = dedupe_clusters(pairs, id_a, id_b, checkpoint_dir=checkpoint_dir)
     losers = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
     return df.join(losers, df[id_col] == losers["id"], "left_anti")

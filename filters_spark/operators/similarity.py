@@ -19,6 +19,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from filters_spark.operators.materialize import materialize
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
@@ -164,6 +166,7 @@ def lsh_near_pairs(
     seed: int = 7,
     max_bucket: int = 1000,
     planes_fn=None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate PAIRS at corpus scale: the self-join
     analog of :func:`lsh_ann_topk` and the scale path that replaces the
@@ -202,11 +205,11 @@ def lsh_near_pairs(
     # signature per branch (verified on the executed plan). After the
     # checkpoint the signature expression is gone from the plan
     # entirely; consumers re-explode the stored array, which is cheap.
-    packed = (
+    packed = materialize(
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
         .filter(F.col("_id").isNotNull())
-        .select("_id", "_vec", sig_array(F.col("_vec")).alias("_sigs"))
-        .localCheckpoint()
+        .select("_id", "_vec", sig_array(F.col("_vec")).alias("_sigs")),
+        checkpoint_dir,
     )
     sigs = packed.select(
         "_id", "_vec", F.posexplode("_sigs").alias("_table", "_sig")

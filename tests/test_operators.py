@@ -55,6 +55,60 @@ class TestDedupe:
         assert all(p.hamming == 0 for p in pairs)
         assert any((p.id_a, p.id_b) == (0, 1) for p in pairs)
 
+    def test_exact_dupes_member_cap(self, spark):
+        from filters_spark.operators.dedupe import exact_dupes
+
+        df = spark.createDataFrame(
+            [(i, "same text") for i in range(50)] + [(99, "other")],
+            "doc_id long, text string",
+        )
+        g = exact_dupes(df, ["text"], "doc_id", max_members=5).collect()
+        assert len(g) == 1
+        assert g[0].n_copies == 50 and g[0].keep_id == 0
+        assert g[0].member_ids == [0, 1, 2, 3, 4]  # capped at 5 smallest
+
+    def test_simhash_degenerate_bucket_guard(self, spark):
+        # 5k near-empty docs all collapse to simhash 0: without the
+        # max_bucket guard the blocking self-join is quadratic (25M
+        # candidate pairs); with it the degenerate bucket is dropped
+        # and the job finishes in seconds with zero pairs
+        import time
+
+        from filters_spark.operators.dedupe import simhash_dupes
+
+        df = spark.range(5000).select(
+            F.col("id").alias("doc_id"), F.lit("x").alias("text")
+        )
+        t0 = time.time()
+        n = simhash_dupes(df, "text", "doc_id", max_hamming=3,
+                          max_bucket=1000).count()
+        assert n == 0
+        assert time.time() - t0 < 60
+        # a bucket under the cap still yields its pairs
+        small = spark.range(4).select(
+            F.col("id").alias("doc_id"), F.lit("x").alias("text")
+        )
+        assert simhash_dupes(small, "text", "doc_id", max_hamming=3).count() == 6
+
+    def test_reliable_checkpoint_dir(self, spark, docs, tmp_path):
+        # checkpoint_dir switches localCheckpoint -> reliable checkpoint:
+        # same results, checkpoint files land in the given directory
+        import os
+
+        from filters_spark.operators.dedupe import dedupe_clusters, minhash_lsh_pairs
+
+        ckpt = str(tmp_path / "ckpt")
+        pairs = minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=64, bands=16, shingle_k=3,
+            jaccard_threshold=0.3, checkpoint_dir=ckpt,
+        )
+        clusters = {
+            (r.id, r.cluster_id)
+            for r in dedupe_clusters(pairs, checkpoint_dir=ckpt).collect()
+        }
+        assert (1, 0) in clusters and (2, 0) in clusters
+        assert os.path.isdir(ckpt) and len(os.listdir(ckpt)) > 0
+
     def test_ngram_jaccard_exact_values(self, docs):
         from filters_spark.operators.dedupe import ngram_jaccard_pairs
 
