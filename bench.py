@@ -15,14 +15,101 @@ two-cluster-size requirement (no real cluster here).
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
 import shutil
 import sys
 import tempfile
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# --- host-health sentinel ----------------------------------------------------
+# This benchmark runs on a hypervisor-shared VM whose CPU delivery varies
+# wildly: a round-3 artifact showed a uniform 6.4x "regression" that an
+# idle-host A/B proved was pure throttling (OS view during the event: 1%
+# user time, 76% idle with 9 runnable processes, 5-6% steal). A wall-clock
+# number is only meaningful relative to how much CPU the host actually
+# delivered, so every bench artifact now carries a before/after probe and
+# REFUSES (non-zero exit, "throttled": true) when delivery is >1.5x below
+# the reference recorded with the official BASELINE numbers.
+#
+# Gate metrics (chosen for stability, measured +-8% run-to-run on an idle
+# host): single-thread sha256 ops/sec and 4-thread aggregate (hashlib
+# releases the GIL, so threads scale). The 8/16-thread aggregates are
+# recorded as observables but NOT gated: this hypervisor burst-caps wide
+# bursts (16 threads measure LESS total than 1), with 2x run-to-run noise.
+
+SENTINEL_REF = {"st_ops": 17000.0, "mt4_ops": 58000.0}  # idle-host, 2026-08-17
+SENTINEL_FACTOR = 1.5
+
+_SENTINEL_BUF = b"\xa5" * 65536
+
+
+def _hash_loop(dur: float) -> float:
+    n = 0
+    h = hashlib.sha256
+    end = time.perf_counter() + dur
+    while time.perf_counter() < end:
+        h(_SENTINEL_BUF).digest()
+        n += 1
+    return n / dur
+
+
+def _steal_pct(gap: float = 0.3) -> float:
+    def read():
+        try:
+            with open("/proc/stat") as f:
+                return list(map(int, f.readline().split()[1:]))
+        except OSError:
+            return None
+
+    a = read()
+    if a is None:
+        return 0.0
+    time.sleep(gap)
+    b = read()
+    d = [y - x for x, y in zip(a, b)]
+    tot = sum(d)
+    return round(d[7] / tot * 100, 2) if tot and len(d) > 7 else 0.0
+
+
+def host_sentinel(dur: float = 0.4) -> dict:
+    """CPU-delivery probe: sha256 ops/sec at 1 and 4 threads (gated) and
+    8 threads (observable), plus a /proc/stat steal sample."""
+    st = _hash_loop(dur)
+    out = {"st_ops": round(st)}
+    for threads in (4, 8):
+        counts = [0.0] * threads
+
+        def worker(i):
+            counts[i] = _hash_loop(dur)
+
+        ts = [threading.Thread(target=worker, args=(i,)) for i in range(threads)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        out[f"mt{threads}_ops"] = round(sum(counts))
+    out["steal_pct"] = _steal_pct()
+    return out
+
+
+def sentinel_degraded(sent: dict) -> list[str]:
+    """Reasons this host is delivering materially less CPU than the
+    reference state the BASELINE numbers were recorded in."""
+    reasons = []
+    for key in ("st_ops", "mt4_ops"):
+        if sent[key] < SENTINEL_REF[key] / SENTINEL_FACTOR:
+            reasons.append(
+                f"{key} {sent[key]:,} < ref {SENTINEL_REF[key]:,.0f}/{SENTINEL_FACTOR}"
+            )
+    if sent.get("steal_pct", 0) > 10:
+        reasons.append(f"steal {sent['steal_pct']}% > 10%")
+    return reasons
+
 
 HEADLINE = [
     "cdc_lww_merge",
@@ -145,6 +232,18 @@ def main() -> None:
     sf = _sf_from_dir(args.sf)
     n_events = args.events or max(int(CDC_EVENTS_AT_SF01 * (sf / 0.1)), 10_000)
 
+    sent_before = host_sentinel()
+    if sentinel_degraded(sent_before):
+        # transient load (a JVM winding down, another process's tail)
+        # clears in seconds; genuine hypervisor throttling doesn't.
+        # One cooldown retry keeps transient noise from flagging an
+        # otherwise-healthy run; the retried reading is what's recorded.
+        print(f"# host sentinel degraded ({sent_before}); retrying in 20s",
+              file=sys.stderr)
+        time.sleep(20)
+        sent_before = host_sentinel()
+    print(f"# host sentinel (before): {sent_before}", file=sys.stderr)
+
     if args.scaling:
         # scaling runs need the parallel fraction to dominate the fixed
         # per-batch costs (Amdahl): 4x the event volume of the plain bench
@@ -182,6 +281,7 @@ def main() -> None:
             print(f"# {n_exec} executor(s) x {cpe} cores: {r['events_per_sec']:,.0f} events/s "
                   f"(best of {r['trial_seconds']}s)", file=sys.stderr)
         eff = (results[4]["events_per_sec"] / results[1]["events_per_sec"]) / 4
+        sent_after_for_md = host_sentinel()
         md = f"""# BENCH — CDC replay scaling (N vs 4N executors)
 
 Input: {n_events:,} deterministic change events (15% hot-repo skew,
@@ -203,6 +303,12 @@ python-worker lock across all task threads and anti-scales).
 Final-state check: {results[1]['final_rows']:,} vs
 {results[4]['final_rows']:,} rows (byte-equality pinned separately in
 tests/test_scaling.py via content_sha set comparison).
+
+Host sentinel (CPU delivery at measurement time; sha256 ops/sec — see
+bench.py host_sentinel, reference {SENTINEL_REF}):
+before {sent_before}, after {sent_after_for_md}. Numbers in this file are
+only comparable to runs whose sentinel is within {SENTINEL_FACTOR}x of the
+reference; bench.py exits non-zero and flags `"throttled": true` otherwise.
 """
         os.makedirs("BENCH", exist_ok=True)
         # the official (cow) pair owns BASELINE.md; other modes get their
@@ -216,6 +322,8 @@ tests/test_scaling.py via content_sha set comparison).
                 md += "\n" + f.read()
         with open(out, "w") as f:
             f.write(md)
+        sent_after = sent_after_for_md
+        degraded = sentinel_degraded(sent_before) + sentinel_degraded(sent_after)
         print(json.dumps({
             "metric": "cdc_replay_events_per_sec",
             "write_mode": args.write_mode,
@@ -225,7 +333,15 @@ tests/test_scaling.py via content_sha set comparison).
             "4n_exec_events_per_sec": round(results[4]["events_per_sec"], 1),
             "scaling_efficiency": round(eff, 3),
             "sf": sf,
+            "sentinel_before": sent_before,
+            "sentinel_after": sent_after,
+            "sentinel_ref": SENTINEL_REF,
+            "throttled": bool(degraded),
         }))
+        if degraded:
+            print(f"# THROTTLED host — numbers above are NOT comparable: "
+                  f"{degraded}", file=sys.stderr)
+            sys.exit(3)
         return
 
     # size the local session to the host's EFFECTIVE capacity, not its
@@ -248,6 +364,8 @@ tests/test_scaling.py via content_sha set comparison).
         "cdc_replay_mor": round(cdc_mor["seconds"], 3),
         **qtimes,
     }
+    sent_after = host_sentinel()
+    degraded = sentinel_degraded(sent_before) + sentinel_degraded(sent_after)
     print(json.dumps({
         "metric": "bench_total_sec",
         "value": round(total, 3),
@@ -256,8 +374,16 @@ tests/test_scaling.py via content_sha set comparison).
         "cdc_events_per_sec": round(cdc["events_per_sec"], 1),
         "cdc_mor_events_per_sec": round(cdc_mor["events_per_sec"], 1),
         "sf": sf,
+        "sentinel_before": sent_before,
+        "sentinel_after": sent_after,
+        "sentinel_ref": SENTINEL_REF,
+        "throttled": bool(degraded),
     }))
     spark.stop()
+    if degraded:
+        print(f"# THROTTLED host — numbers above are NOT comparable: "
+              f"{degraded}", file=sys.stderr)
+        sys.exit(3)
 
 
 if __name__ == "__main__":

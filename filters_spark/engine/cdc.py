@@ -61,6 +61,7 @@ class CDCEngine:
         lineage_dir: str | None = None,
         write_mode: str = "cow",
         compact_after: int = 8,
+        group_cow_applies: bool = True,
     ):
         """``write_mode``:
 
@@ -83,6 +84,10 @@ class CDCEngine:
             raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
         self.write_mode = write_mode
         self.compact_after = compact_after
+        # fold each replay group's CoW merges into one Spark job
+        # (_apply_staged_group_cow); False forces the sequential
+        # per-batch path (same results, pinned by tests)
+        self.group_cow_applies = group_cow_applies
         root = table.root
         self.dead_letter_dir = dead_letter_dir or os.path.join(root, "dead_letter")
         self.lineage_dir = lineage_dir or os.path.join(root, "lineage")
@@ -491,6 +496,160 @@ class CDCEngine:
             "seconds": time.time() - t0,
         }
 
+    def _apply_staged_group_cow(
+        self,
+        staged_all: DataFrame,
+        scratch: str,
+        batch_ids: range,
+        stats_by_batch: dict[int, list],
+        wm0: Mapping,
+        lineage_rows: list,
+    ) -> list[dict]:
+        """Copy-on-write applies for a whole staged batch GROUP in ONE
+        Spark job (the sequential path pays a constant per-batch driver
+        term — job scheduling, plan analysis, AQE re-planning — that
+        bounds scaling efficiency at bench batch counts; folding the
+        merges amortizes it to once per group).
+
+        Validity: replay batches are ascending disjoint commit ranges,
+        so for a bucket b touched at batches V_b, the committed state at
+        batch i is exactly ``lww(state_0[b] ∪ clean_{j<=i}[b])`` — the
+        per-batch merge chain collapses into one winner-per-(batch,key)
+        window. The job expands each row to every version it
+        participates in (a broadcast join against the tiny
+        (bucket, version) map — base rows count toward every version of
+        their bucket, batch-j events toward versions >= j), windows on
+        (version, _bucket) and writes every version's post-state
+        partitioned by (version, _bucket) — the same total shuffle/write
+        volume the sequential rewrites carry, in one exchange. The
+        strictly-ordered commits then finalize driver-side: move each
+        version's directory into data/ and write manifests
+        (:meth:`LakeTable.commit_bucket_files`) — zero further executor
+        work. Per-batch snapshots, watermarks, dead-letter adoption and
+        metrics are identical to the sequential path (pinned by the
+        replay-equality tests)."""
+        t_group0 = time.time()
+        per: dict[int, dict] = {}
+        for i in batch_ids:
+            rows = stats_by_batch.get(i, [])
+            bucket_stats = [r for r in rows if not r["_dead"] and r["_survives"]]
+            per[i] = {
+                "events_in": int(sum(r["n"] for r in rows)),
+                "n_dead": int(sum(r["n"] for r in rows if r["_dead"] and r["_survives"])),
+                "skipped": int(sum(r["n"] for r in rows if not r["_survives"])),
+                "bucket_stats": bucket_stats,
+                "touched": sorted({int(r["_bucket"]) for r in bucket_stats}),
+                "new_wms": {int(r["_bucket"]): r["wm"] for r in bucket_stats},
+                "applied": int(sum(r["n"] for r in bucket_stats)),
+            }
+        committing = [i for i in batch_ids if per[i]["touched"]]
+        sid0 = self.table.current()["snapshot_id"]
+        sid_of = {i: sid0 + 1 + k for k, i in enumerate(committing)}
+
+        group_out = os.path.join(
+            self.table.root, "_staging", f"cow-group-{uuid.uuid4().hex}"
+        )
+        if committing:
+            payload = self._payload_cols()
+            ev_cols = ["repo", "path", "commit", "event_seq", *payload, "op", "_bucket", "_wm"]
+            clean = self._with_survives(staged_all, wm0).filter(
+                ~F.col("_dead") & F.col("_survives")
+            )
+            incoming = clean.select(
+                *ev_cols, F.col("_batch").cast("int").alias("_b")
+            ).filter(F.col("repo").isNotNull() & F.col("path").isNotNull())
+            all_touched = sorted({b for i in committing for b in per[i]["touched"]})
+            current = self.table.read(buckets=all_touched)
+            if current is not None:
+                cur = current.select(
+                    "repo", "path", "commit", "event_seq",
+                    *[
+                        (F.col(c) if c in current.columns else F.lit(None).cast("string")).alias(c)
+                        for c in payload
+                    ],
+                    F.lit("K").alias("op"),
+                    F.col("_bucket").cast("int").alias("_bucket"),
+                    watermark_str(F.col("commit"), F.col("event_seq")).alias("_wm"),
+                    F.lit(-1).alias("_b"),
+                )
+                src = cur.unionByName(incoming)
+            else:
+                src = incoming
+            vmap = self.spark.createDataFrame(
+                [(b, i, sid_of[i]) for i in committing for b in per[i]["touched"]],
+                "_bucket int, _v int, _snap int",
+            )
+            expanded = src.join(F.broadcast(vmap), "_bucket").filter(
+                F.col("_v") >= F.col("_b")
+            )
+            merged = lww_merge(expanded, payload, extra_keys=["_snap"])
+            merged.write.partitionBy("_snap", "_bucket").parquet(group_out)
+        merge_share = (
+            (time.time() - t_group0) / len(committing) if committing else 0.0
+        )
+
+        metrics: list[dict] = []
+        try:
+            for i in batch_ids:
+                t0 = time.time()
+                p = per[i]
+                dead_src = os.path.join(scratch, f"_batch={i}", "_dead=true")
+                adopt_name = f"{os.path.basename(scratch)}-b{i}"
+                if not p["touched"]:
+                    self._adopt_dead_letters(dead_src, adopt_name, p["n_dead"])
+                    metrics.append({
+                        "events_in": p["events_in"], "applied": 0,
+                        "dead_lettered": p["n_dead"],
+                        "skipped_replays": p["skipped"],
+                        "snapshot_id": self.table.current()["snapshot_id"],
+                        "seconds": time.time() - t0,
+                    })
+                    continue
+                sid = sid_of[i]
+                src_dir = os.path.join(group_out, f"_snap={sid}")
+                dst_dir = os.path.join(self.table.data_dir, f"snap-{sid:08d}")
+                if self.io.isdir(src_dir):
+                    self.io.move(src_dir, dst_dir)
+                new_files: dict[str, list[str]] = {}
+                for b in p["touched"]:
+                    bdir = os.path.join(dst_dir, f"_bucket={b}")
+                    new_files[str(b)] = sorted(
+                        os.path.join(bdir, f)
+                        for f in (self.io.listdir(bdir) if self.io.isdir(bdir) else [])
+                        if f.endswith(".parquet")
+                    )
+                new_snap = self.table.commit_bucket_files(
+                    new_files, p["new_wms"],
+                    stats={
+                        "rows_applied": p["applied"],
+                        "batch_dead_lettered": p["n_dead"],
+                    },
+                    schema_version=self.registry.latest,
+                    columns=self.registry.canonical_columns,
+                )
+                assert new_snap["snapshot_id"] == sid
+                self._adopt_dead_letters(dead_src, adopt_name, p["n_dead"])
+                lineage_rows.extend(
+                    (
+                        sid, int(r["_bucket"]), r["wm"], int(r["n"]),
+                        p["n_dead"], int(time.time() * 1000),
+                    )
+                    for r in p["bucket_stats"]
+                )
+                metrics.append({
+                    "events_in": p["events_in"],
+                    "applied": p["applied"],
+                    "dead_lettered": p["n_dead"],
+                    "skipped_replays": p["skipped"],
+                    "touched_buckets": len(p["touched"]),
+                    "snapshot_id": sid,
+                    # the shared merge job's wall, apportioned equally
+                    "seconds": (time.time() - t0) + merge_share,
+                })
+        finally:
+            self.io.rmtree(group_out)
+        return metrics
+
     LINEAGE_DDL = (
         "snapshot_id long, bucket int, watermark string, rows_applied long, "
         "batch_dead_lettered long, ts_ms long"
@@ -510,6 +669,69 @@ class CDCEngine:
 
     # ------------------------------------------------------------------
 
+    def _commit_bounds(self, events: DataFrame) -> tuple[int, int]:
+        """(min, max) commit of the stream, for batch-range splitting.
+
+        Fast path: parquet FOOTER statistics of the input files — a
+        driver-side metadata read instead of a full-stream scan job
+        (the scan was a measurable per-replay serial term). Safe even
+        when the frame carries filters: a widened [lo, hi] still covers
+        every event and ``least(floor(...), n-1)`` clamps the batch id,
+        so batching stays correct (ranges just skew slightly). Falls
+        back to the scan for non-parquet / non-local / stats-less
+        inputs."""
+        bounds = self._footer_commit_bounds(events)
+        if bounds is None:
+            r = events.select(
+                F.min("commit").alias("lo"), F.max("commit").alias("hi")
+            ).first()
+            bounds = (int(r.lo, 16), int(r.hi, 16))
+        return bounds
+
+    def _footer_commit_bounds(self, events: DataFrame) -> tuple[int, int] | None:
+        try:
+            files = events.inputFiles()
+        except Exception:
+            return None
+        if not files:
+            return None
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:
+            return None
+        lo = hi = None
+        for uri in files:
+            if uri.startswith("file:"):
+                path = uri[len("file:"):]
+                # file:///x and file:/x both mean /x
+                while path.startswith("//"):
+                    path = path[1:]
+            elif "://" not in uri:
+                path = uri
+            else:
+                return None  # non-local FS: use the scan
+            try:
+                md = pq.ParquetFile(path).metadata
+            except Exception:
+                return None
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    if col.path_in_schema != "commit":
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes):
+                        mn, mx = mn.decode(), mx.decode()
+                    lo = mn if lo is None else min(lo, mn)
+                    hi = mx if hi is None else max(hi, mx)
+        if lo is None:
+            return None
+        return int(lo, 16), int(hi, 16)
+
     def replay(self, events: DataFrame, num_batches: int = 1,
                stage_batches: int | None = None) -> list[dict]:
         """Replay an event stream in commit-ordered batches (a WAL tail
@@ -524,10 +746,7 @@ class CDCEngine:
         batches (default: all at once)."""
         if num_batches <= 1:
             return [self.apply_batch(events)]
-        bounds = events.select(
-            F.min("commit").alias("lo"), F.max("commit").alias("hi")
-        ).first()
-        lo, hi = int(bounds.lo, 16), int(bounds.hi, 16)
+        lo, hi = self._commit_bounds(events)
         span = (hi - lo + num_batches) // num_batches
         group = stage_batches or num_batches
 
@@ -585,6 +804,17 @@ class CDCEngine:
                 stats_by_batch: dict[int, list] = {}
                 for r in stats_all:
                     stats_by_batch.setdefault(int(r["_batch"]), []).append(r)
+                if (self.write_mode == "cow" and self.group_cow_applies
+                        and g_hi - g_lo > 1):
+                    # fold the group's merges into ONE job + driver-side
+                    # ordered commit finalization (see
+                    # _apply_staged_group_cow) — the per-batch constant
+                    # driver term is paid once per group
+                    metrics.extend(self._apply_staged_group_cow(
+                        staged_all, scratch, range(g_lo, g_hi),
+                        stats_by_batch, wm0, lineage_rows,
+                    ))
+                    continue
                 for i in range(g_lo, g_hi):
                     t0 = time.time()
                     if i not in stats_by_batch:  # no events staged in range

@@ -53,11 +53,17 @@ class SpecRegistry:
         self.canonical_columns = list(canonical_columns)
         self.versions: dict[int, VersionSpec] = {}
 
-    # names owned by the engine/table row layout — a field spec may not
-    # claim them (ev_cols / read DDLs would emit duplicate columns and
-    # fail far from the register() call that caused it)
+    # names owned by the engine/table row layout PLUS the derived output
+    # columns of dead_letters() (errors, errors_json, first_code,
+    # first_key) and changes() (snapshot_id) — a field spec may not
+    # claim any of them (ev_cols / read DDLs / derived selects would
+    # emit duplicate or ambiguous columns and fail far from the
+    # register() call that caused it)
     RESERVED = frozenset(
-        {"commit", "event_seq", "op", "schema_version", "content_sha"}
+        {
+            "commit", "event_seq", "op", "schema_version", "content_sha",
+            "errors", "errors_json", "first_code", "first_key", "snapshot_id",
+        }
     )
 
     def register(self, spec: VersionSpec) -> "SpecRegistry":

@@ -87,7 +87,11 @@ def _b_optional(default=None, **kw) -> NativeStep:
     return NativeStep(transform=tr, applies_to_null=True)
 
 
-def _b_strip(leading: str | None = r"[\p{C}\s]+", trailing: str | None = r"[\p{C}\s]+", **kw) -> NativeStep:
+_STRIP_DEFAULT = r"[\p{C}\s]+"
+
+
+def _b_strip(leading: str | None = _STRIP_DEFAULT, trailing: str | None = _STRIP_DEFAULT,
+             **kw) -> Optional[NativeStep]:
     # (?U) = Java UNICODE_CHARACTER_CLASS: without it Java's \s is
     # ASCII-only, so the native strip kept U+00A0/U+3000/... that the
     # reference (Python `regex` with re.UNICODE) removes — a
@@ -96,6 +100,19 @@ def _b_strip(leading: str | None = r"[\p{C}\s]+", trailing: str | None = r"[\p{C
     # unassigned (Cn) codepoints (verified case-by-case); the
     # reference compiles its patterns with regex.UNICODE, so Unicode
     # classes are the contract for custom patterns too.
+    #
+    # CUSTOM patterns carry the same Java-vs-Python dialect hazards as
+    # Regex (Python-only syntax throws PatternSyntaxException at
+    # EXECUTOR runtime; \s-style shorthands silently diverge on
+    # dialect-edge codepoints), so a non-default pattern compiles on
+    # the native path only when _dialect_safe admits it — otherwise
+    # decline and let the kernel/reference path run it. Only the
+    # DEFAULT pattern is exempt: it is the one spelling whose (?U)
+    # behavior was verified against the reference case-by-case.
+    for pat in (leading, trailing):
+        if pat and pat != _STRIP_DEFAULT and not _dialect_safe(pat):
+            return None
+
     def tr(c: Column) -> Column:
         if leading:
             c = F.regexp_replace(c, f"(?U)^{leading}", "")

@@ -81,7 +81,8 @@ def watermark_str(commit_col, seq_col):
 DEFAULT_PAYLOAD_COLS = ["lang", "content"]
 
 
-def lww_merge(df: DataFrame, payload_cols: list[str] | None = None) -> DataFrame:
+def lww_merge(df: DataFrame, payload_cols: list[str] | None = None,
+              extra_keys: list[str] | None = None) -> DataFrame:
     """Last-writer-wins merge of a (base ∪ delta) frame: within each
     ``_bucket``, rows sort by (repo, path, _wm desc); the first row of
     each key group is the winner; ``op='D'`` winners are deletes.
@@ -93,9 +94,14 @@ def lww_merge(df: DataFrame, payload_cols: list[str] | None = None) -> DataFrame
 
     ``payload_cols``: the table's non-key payload columns (schema
     evolution can widen this set mid-stream; callers derive it from the
-    snapshot's ``columns`` or the registry's canonical set)."""
+    snapshot's ``columns`` or the registry's canonical set).
+
+    ``extra_keys``: additional window-partition columns carried through
+    to the output — the engine's grouped replay merges every batch's
+    post-state in one pass by partitioning on (snapshot, _bucket)."""
     payload = payload_cols or DEFAULT_PAYLOAD_COLS
-    mw = Window.partitionBy("_bucket").orderBy("repo", "path", F.col("_wm").desc())
+    extra = extra_keys or []
+    mw = Window.partitionBy(*extra, "_bucket").orderBy("repo", "path", F.col("_wm").desc())
     is_group_head = (
         F.lag("repo").over(mw).isNull()
         | (F.lag("repo").over(mw) != F.col("repo"))
@@ -107,7 +113,7 @@ def lww_merge(df: DataFrame, payload_cols: list[str] | None = None) -> DataFrame
         .select(
             "repo", "path", "commit", "event_seq", *payload,
             F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("content_sha"),
-            "_bucket",
+            *extra, "_bucket",
         )
     )
 
@@ -424,7 +430,29 @@ class LakeTable:
                 for f in self.io.listdir(bdir)  # [] when bucket became empty
                 if f.endswith(".parquet")
             )
+        return self.commit_bucket_files(
+            new_files, new_watermarks, stats=stats,
+            schema_version=schema_version, columns=columns, operation=operation,
+        )
 
+    def commit_bucket_files(
+        self,
+        new_files: dict[str, list[str]],
+        new_watermarks: dict[int, str],
+        stats: dict | None = None,
+        schema_version: int | None = None,
+        columns: list[str] | None = None,
+        operation: str = "overwrite",
+    ) -> dict:
+        """Metadata-only half of :meth:`commit_buckets`: commit
+        ALREADY-WRITTEN data files (``{bucket: [paths]}``; an empty list
+        removes the bucket) as the new content of those buckets.
+        Enables write-then-commit pipelines — e.g. the engine's grouped
+        replay computes every batch's post-state in one Spark job, then
+        finalizes the strictly-ordered commits through here with zero
+        further executor work."""
+        prev = self.current()
+        sid = prev["snapshot_id"] + 1
         buckets = dict(prev["buckets"])
         deltas = dict(prev.get("deltas", {}))
         for b, fl in new_files.items():
@@ -749,7 +777,17 @@ class LakeTable:
         paths built from THIS handle's root (relative vs absolute,
         './' prefixes, symlinked parents, scheme differences) would
         make every live file look like an orphan — and a non-dry-run
-        vacuum would delete live table data."""
+        vacuum would delete live table data.
+
+        Also sweeps METADATA orphans: bucket-manifest files referenced
+        by no retained snapshot header. Manifests are written before
+        the create-exclusive header (commit protocol), so the loser of
+        an optimistic-commit race — or a crash between
+        expire_snapshots' header deletes and manifest deletes — leaves
+        manifest files no header points at; without this sweep they
+        accumulate unboundedly on contended tables. Same min-age guard
+        as data files (an in-flight commit's manifests look
+        unreferenced until its header lands)."""
         live = {_rel_to_data(p) for p in self.live_files()}
         now = time.time()
         orphans: list[str] = []
@@ -775,6 +813,25 @@ class LakeTable:
                                 orphans.append(p)
             if keep_here == 0:
                 empty_dirs.append(ddir)
+        # metadata sweep: manifest files no retained header references
+        live_manifests: set[str] = set()
+        for sid in self.snapshots():
+            snap = self._raw_snapshot(sid)
+            if snap.get("format") == 2:
+                live_manifests |= set(snap["buckets"].values())
+                live_manifests |= set(snap.get("deltas", {}).values())
+        orphan_manifests: list[str] = []
+        for name in self.io.listdir(self.meta_dir):
+            if not (name.startswith("manifest-") and name.endswith(".json")):
+                continue
+            if name in live_manifests:
+                continue
+            p = os.path.join(self.meta_dir, name)
+            if min_age_seconds and now - self.io.mtime(p) < min_age_seconds:
+                continue  # possible in-flight commit
+            orphan_manifests.append(p)
+            self._manifest_cache.pop(name, None)
+        orphans.extend(orphan_manifests)
         if not dry_run:
             for p in orphans:
                 self.io.remove(p)

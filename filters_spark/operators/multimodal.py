@@ -40,21 +40,44 @@ FRAME_SAMPLE_DDL = "media_id long, frame_idx int, ts_ms long, frame binary"
 def _real_decode_guard():
     raise NotImplementedError(
         "media codecs (PIL/libav) are not available in this environment; "
-        "plug a real decoder into decode_images(decode_stub=False)"
+        "plug a real decoder into decode_images(decode_fn=...) / "
+        "sample_frames(frame_fn=...)"
     )
 
 
-def decode_images(df: DataFrame, decode_stub: bool = True) -> DataFrame:
+def decode_images(df: DataFrame, decode_stub: bool = True, decode_fn=None) -> DataFrame:
     """binary payload -> image features. Stub path derives
     deterministic pseudo-features from the payload bytes (same schema
-    and batch shape as a real decoder)."""
+    and batch shape as a real decoder).
+
+    ``decode_fn(payload: bytes | None) -> (width, height, phash,
+    mean_luma)``: the REAL-codec injection seam. A PIL drop-in is
+    ``lambda b: _features(Image.open(io.BytesIO(b)))`` — the callable
+    is shipped to executors inside the Arrow UDF and called once per
+    row; everything around it (schema, batching, partitioning) is
+    unchanged. When given, it takes precedence over ``decode_stub``;
+    ``decode_stub=False`` without a ``decode_fn`` raises (no codecs in
+    this container)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                _real_decode_guard()
             payloads = pdf["payload"]
             n_bytes = payloads.map(lambda b: len(b) if b is not None else 0)
+            if decode_fn is not None:
+                decoded = payloads.map(decode_fn)
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "width": decoded.map(lambda t: t[0]).astype("int32"),
+                        "height": decoded.map(lambda t: t[1]).astype("int32"),
+                        "n_bytes": n_bytes,
+                        "phash": decoded.map(lambda t: t[2]).astype("int64"),
+                        "mean_luma": decoded.map(lambda t: float(t[3])),
+                    }
+                )
+                continue
+            if not decode_stub:
+                _real_decode_guard()
             # deterministic fake decode: hash-derived phash + luma
             phash = payloads.map(
                 lambda b: int.from_bytes(
@@ -76,9 +99,17 @@ def decode_images(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     return df.mapInPandas(gen, IMAGE_FEATURES_DDL)
 
 
-def sample_frames(df: DataFrame, every_ms: int = 1000, decode_stub: bool = True) -> DataFrame:
+def sample_frames(df: DataFrame, every_ms: int = 1000, decode_stub: bool = True,
+                  frame_fn=None) -> DataFrame:
     """video payload -> sampled frames (one row per frame). Stub emits
     hash-derived 16-byte pseudo-frames at the real cadence.
+
+    ``frame_fn(payload: bytes, frame_idx: int, ts_ms: int) -> bytes``:
+    the REAL-codec injection seam (a decord/PyAV drop-in extracts the
+    frame at ``ts_ms`` from the container bytes; cache the opened
+    container keyed on the payload object to decode it once per media
+    — frames arrive contiguous and in order). Takes precedence over
+    ``decode_stub``; ``decode_stub=False`` without it raises.
 
     The cadence expansion (one row per sampled timestamp) is NATIVE —
     ``explode(sequence(...))`` on the Spark side, so row multiplication
@@ -115,15 +146,18 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, decode_stub: bool = True)
 
         cur = b""  # current media's payload (frames arrive contiguous, in order)
         for pdf in batches:
-            if not decode_stub:
+            if frame_fn is None and not decode_stub:
                 _real_decode_guard()
             frames = []
-            for i, p in zip(pdf["frame_idx"], pdf["payload"]):
+            for i, t, p in zip(pdf["frame_idx"], pdf["ts_ms"], pdf["payload"]):
                 if int(i) == 0:
                     cur = p or b""  # frame 0 CARRIES the payload (may be null media)
-                frames.append(
-                    hashlib.sha256(cur + int(i).to_bytes(4, "big")).digest()[:16]
-                )
+                if frame_fn is not None:
+                    frames.append(frame_fn(cur, int(i), int(t)))
+                else:
+                    frames.append(
+                        hashlib.sha256(cur + int(i).to_bytes(4, "big")).digest()[:16]
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

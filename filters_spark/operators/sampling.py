@@ -117,8 +117,15 @@ def pack_sequences(
     window is global). Pass a corpus shard column and packing runs
     per shard (``Window.partitionBy(shard).orderBy(id)``), one
     ordinary keyed shuffle, with the shard key salted into ``seq_id``
-    (string ``"<shard>-<local seq>"``) so ids stay globally unique.
-    Only tiny inputs should omit it."""
+    (``"<shard>-<local seq>"``) so ids stay globally unique.
+    Only tiny inputs should omit it.
+
+    ``seq_col`` is ALWAYS a string, in both modes — a sharded id has no
+    numeric form, and a mode-dependent output type would silently change
+    downstream join/order semantics the first time a shard column is
+    introduced. In global mode the string is the plain decimal sequence
+    number; order numerically via ``seq_id.cast("long")``, not
+    lexicographically."""
     if partition_col is not None:
         w = (
             Window.partitionBy(F.col(partition_col))
@@ -134,4 +141,4 @@ def pack_sequences(
         return df.withColumn(
             seq_col, F.concat_ws("-", F.col(partition_col).cast("string"), local.cast("string"))
         )
-    return df.withColumn(seq_col, local)
+    return df.withColumn(seq_col, local.cast("string"))

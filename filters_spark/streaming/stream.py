@@ -17,6 +17,9 @@ higher (commit, event_seq).
 
 from __future__ import annotations
 
+from typing import Callable, Mapping
+
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
@@ -26,6 +29,91 @@ EVENT_DDL = (
     "commit string, event_seq long, op string, repo string, path string, "
     "lang string, content string, schema_version int"
 )
+
+# --- source adapter contract -------------------------------------------------
+#
+# A source adapter is ``(spark, options) -> streaming DataFrame`` whose
+# output satisfies the EVENT CONTRACT:
+#
+# 1. **Schema**: ``EVENT_DDL`` columns (extra columns are allowed; the
+#    engine validates/renames per its registry). Values arrive as the
+#    WAL's serialized strings (the engine's payload contract).
+# 2. **Offset semantics**: the source must be REPLAYABLE from Spark's
+#    checkpointed offsets — after a crash, the next run re-delivers the
+#    uncommitted micro-batch's events (at-least-once). The engine's
+#    per-bucket watermarks + idempotent LWW merge upgrade that to
+#    exactly-once table state, so an adapter must NOT try to dedupe or
+#    skip; deliver everything, in source order, and let the sink filter.
+# 3. **Ordering**: per key (repo, path), ``(commit, event_seq)`` must be
+#    non-decreasing in delivery order within a partition of the source
+#    (a WAL/binlog tail gives this naturally). Cross-key interleaving
+#    is free.
+#
+# ``file_source`` is the reference implementation (and the only one
+# runnable in this sandbox — no network). ``kafka_source`` documents the
+# production mapping onto the same contract; it needs the
+# spark-sql-kafka connector jar on the classpath.
+
+SourceAdapter = Callable[[SparkSession, Mapping], DataFrame]
+
+
+def file_source(spark: SparkSession, options: Mapping) -> DataFrame:
+    """Reference adapter: parquet WAL segments appearing under
+    ``options["path"]``. Offsets = the file-source's checkpointed list
+    of consumed files. Options: ``path`` (required), ``schema``,
+    ``max_files_per_trigger``, ``max_file_age``."""
+    return tail_directory(
+        spark,
+        options["path"],
+        schema=options.get("schema", EVENT_DDL),
+        max_files_per_trigger=options.get("max_files_per_trigger"),
+        max_file_age=options.get("max_file_age"),
+    )
+
+
+def kafka_source(spark: SparkSession, options: Mapping) -> DataFrame:
+    """Kafka/binlog adapter onto the same contract (requires the
+    spark-sql-kafka connector jar; NOT runnable in this sandbox — no
+    network, no jar — but the mapping is the standard production shape).
+
+    Offsets = Kafka (topic, partition, offset) triples, checkpointed by
+    Spark; ``startingOffsets`` only applies to the first run. Events
+    are JSON-encoded in the record value (Debezium-style binlog topics:
+    point ``json_path`` at the payload envelope). Per-key ordering
+    holds when the producer partitions by key — the usual binlog/CDC
+    topic layout. Options: ``bootstrap_servers``, ``subscribe``
+    (required); ``starting_offsets`` (default "earliest"),
+    ``max_offsets_per_trigger`` (back-pressure), ``schema``."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", options["bootstrap_servers"])
+        .option("subscribe", options["subscribe"])
+        .option("startingOffsets", options.get("starting_offsets", "earliest"))
+    )
+    if options.get("max_offsets_per_trigger") is not None:
+        reader = reader.option(
+            "maxOffsetsPerTrigger", int(options["max_offsets_per_trigger"])
+        )
+    raw = reader.load()
+    schema = options.get("schema", EVENT_DDL)
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("_e")
+    ).select("_e.*")
+
+
+SOURCES: dict[str, SourceAdapter] = {"files": file_source, "kafka": kafka_source}
+
+
+def open_source(spark: SparkSession, kind: str, options: Mapping) -> DataFrame:
+    """Open a streaming source by adapter name (``SOURCES`` registry —
+    extensions register custom adapters there)."""
+    try:
+        adapter = SOURCES[kind]
+    except KeyError:
+        raise ValueError(
+            f"unknown source kind {kind!r}; registered: {sorted(SOURCES)}"
+        ) from None
+    return adapter(spark, options)
 
 
 def tail_directory(

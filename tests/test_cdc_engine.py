@@ -365,3 +365,39 @@ def test_unknown_schema_version_dead_letters(spark, tmp_path):
     dl = engine.dead_letters()
     assert dl.count() == 10
     assert {r.first_code for r in dl.collect()} == {"unknown_schema_version"}
+
+
+def test_grouped_cow_applies_match_sequential_per_snapshot(spark, tmp_path):
+    """The grouped replay (one merge job for all batches +
+    driver-finalized ordered commits) must be indistinguishable from
+    the sequential per-batch path at SNAPSHOT granularity: same number
+    of snapshots, same watermarks, and byte-identical time-travel state
+    at every intermediate snapshot."""
+    ev = events_df(spark, n_events=4000, dirty_frac=0.1)
+
+    def run(grouped, tag):
+        table = LakeTable.create(
+            spark, os.path.join(str(tmp_path), f"lake_{tag}"),
+            key_cols=["repo", "path"], num_buckets=8, path_salt=4,
+        )
+        eng = CDCEngine(spark, table, default_registry(),
+                        group_cow_applies=grouped)
+        metrics = eng.replay(ev, num_batches=3)
+        return table, metrics
+
+    t_seq, m_seq = run(False, "seq")
+    t_grp, m_grp = run(True, "grp")
+
+    strip = lambda ms: [
+        {k: v for k, v in m.items() if k != "seconds"} for m in ms
+    ]
+    assert strip(m_seq) == strip(m_grp)
+    assert t_seq.snapshots() == t_grp.snapshots()
+    for sid in t_seq.snapshots():
+        s_seq, s_grp = t_seq.snapshot(sid), t_grp.snapshot(sid)
+        assert s_seq["watermarks"] == s_grp["watermarks"], sid
+        df_a, df_b = t_seq.read(snapshot_id=sid), t_grp.read(snapshot_id=sid)
+        rows = lambda df: sorted(
+            (r.repo, r.path, r.content_sha) for r in df.collect()
+        ) if df is not None else []
+        assert rows(df_a) == rows(df_b), sid

@@ -101,6 +101,30 @@ class TestExpireVacuum:
         assert old and old[0][5] == "v1"
         assert _rows(t.read())[0][5] == "v2"
 
+    def test_vacuum_sweeps_orphan_manifests(self, spark, tmp_path):
+        # manifests are written BEFORE the create-exclusive snapshot
+        # header, so a commit-race loser / crash orphans manifest files
+        # no header references; vacuum must GC them (with the min-age
+        # guard) without touching referenced manifests
+        t = LakeTable.create(spark, str(tmp_path / "lakem"), ["repo", "path"], num_buckets=2)
+        eng = CDCEngine(spark, t, default_registry())
+        eng.apply_batch(spark.createDataFrame(
+            [("%012x" % 1, 0, "U", "r1", "a.py", "py", "v1", 1)], EVENT_DDL
+        ))
+        before = _rows(t.read())
+        # simulate the crashed-commit leftover
+        orphan = os.path.join(t.meta_dir, "manifest-deadbeefdeadbeefdead.json")
+        t.io.write_text_atomic(orphan, '{"files": ["data/snap-99/x.parquet"]}')
+        # young orphan survives the retention window
+        assert orphan not in t.vacuum(dry_run=True)
+        found = t.vacuum(dry_run=True, min_age_seconds=0)
+        assert orphan in found
+        t.vacuum(min_age_seconds=0)
+        assert not t.io.exists(orphan)
+        # referenced manifests survived; table reads unchanged
+        assert _rows(t.read()) == before
+        assert t.vacuum(dry_run=True, min_age_seconds=0) == []
+
 
 class TestManifestScaling:
     """Format-2 metadata: snapshot header = O(buckets) refs; per-bucket

@@ -358,6 +358,49 @@ class TestMultimodal:
         with pytest.raises(Exception):
             decode_images(media, decode_stub=False).collect()
 
+    def test_decode_fn_injection_seam(self, spark):
+        # the decode_stub=False contract: a real-codec callable drops in
+        # via decode_fn and runs inside the Arrow UDF on executors. The
+        # fake codec PARSES the payload (like PIL would parse PNG bytes)
+        # instead of hashing it, proving the seam carries real bytes.
+        from filters_spark.operators.multimodal import decode_images, gen_media
+
+        def fake_codec(payload):
+            b = payload or b""
+            # "parse": dimensions from the parsed byte content
+            return (len(b) % 100 + 1, len(set(b)) + 1, len(b) * 7, 0.5)
+
+        media = gen_media(spark, 50).filter(F.col("kind") == "image")
+        feats = decode_images(media, decode_stub=False, decode_fn=fake_codec)
+        rows = {r.media_id: r for r in feats.collect()}
+        raw = {r.media_id: bytes(r.payload) for r in media.collect()}
+        assert rows.keys() == raw.keys() and rows
+        for mid, b in raw.items():
+            r = rows[mid]
+            assert (r.width, r.height, r.phash, r.mean_luma) == (
+                len(b) % 100 + 1, len(set(b)) + 1, len(b) * 7, 0.5
+            )
+            assert r.n_bytes == len(b)
+
+    def test_frame_fn_injection_seam(self, spark):
+        from filters_spark.operators.multimodal import sample_frames
+
+        media = spark.createDataFrame(
+            [(1, 3_000, b"vid-one"), (2, 2_000, b"vid-two")],
+            "media_id long, duration_ms long, payload binary",
+        )
+
+        def fake_frame(payload, frame_idx, ts_ms):
+            return payload + b"@" + str(ts_ms).encode()
+
+        rows = sample_frames(
+            media, every_ms=1000, decode_stub=False, frame_fn=fake_frame
+        ).collect()
+        got = {(r.media_id, r.frame_idx): bytes(r.frame) for r in rows}
+        assert got[(1, 2)] == b"vid-one@2000"
+        assert got[(2, 1)] == b"vid-two@1000"
+        assert len(got) == 5
+
 
 class TestDedupeClusters:
     def _pairs(self, spark, rows):
@@ -494,7 +537,8 @@ class TestSampling:
         )
         got = {r.doc_id: r.seq_id for r in pack_sequences(df, "doc_id", "toks", 4096).collect()}
         # starts: 0 -> seq 0; 3000 -> seq 0; 5000 -> seq 1; 7000 -> seq 1
-        assert got == {0: 0, 1: 0, 2: 1, 3: 1}
+        # (seq_id is a STRING in both modes — stable output type)
+        assert got == {0: "0", 1: "0", 2: "1", 3: "1"}
 
     def test_pack_sequences_sharded(self, spark):
         from filters_spark.operators.sampling import pack_sequences

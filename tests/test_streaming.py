@@ -111,3 +111,32 @@ def test_stream_mor_matches_batch_cow(spark, tmp_path):
                          str(tmp_path / "ckpt"), trigger_once=True)
     q.awaitTermination(300)
     assert final_state(mor_engine) == expected
+
+
+def test_source_adapter_contract(spark, tmp_path):
+    """The engine runs through the adapter INDIRECTION (open_source) —
+    the seam a Kafka/binlog connector drops into; the file adapter is
+    the contract's reference implementation."""
+    import pytest
+
+    from filters_spark.streaming.stream import open_source
+
+    ev = events_df(spark, n_events=500, dirty_frac=0.05)
+    batch_engine = make_engine(spark, str(tmp_path / "batch"))
+    batch_engine.apply_batch(ev)
+    expected = final_state(batch_engine)
+
+    events_dir = str(tmp_path / "wal")
+    os.makedirs(events_dir)
+    ev.coalesce(1).write.parquet(os.path.join(events_dir, "f1"))
+
+    stream_engine = make_engine(spark, str(tmp_path / "stream"))
+    src = open_source(spark, "files", {"path": events_dir + "/*/",
+                                       "max_files_per_trigger": 1})
+    assert src.isStreaming
+    q = start_cdc_stream(stream_engine, src, str(tmp_path / "ckpt"), trigger_once=True)
+    q.awaitTermination(300)
+    assert final_state(stream_engine) == expected
+
+    with pytest.raises(ValueError, match="unknown source kind"):
+        open_source(spark, "pulsar", {})

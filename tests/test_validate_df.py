@@ -153,6 +153,24 @@ def test_regex_dialect_guard_routes_shorthand_classes_to_kernel():
         assert not _dialect_safe(p), p
 
 
+def test_strip_custom_pattern_dialect_guard():
+    """Custom strip patterns carry the same dialect hazards as Regex:
+    Python-only syntax would throw PatternSyntaxException at EXECUTOR
+    runtime on the native path, and shorthand classes silently diverge.
+    Non-default patterns compile native only when _dialect_safe admits
+    them; the verified default stays native."""
+    from filters_spark.functions.native import _STRIP_DEFAULT, _b_strip
+
+    assert _b_strip() is not None  # verified default -> native
+    assert _b_strip(leading=_STRIP_DEFAULT, trailing=None) is not None
+    assert _b_strip(leading="[ \t]+", trailing="[xy]+") is not None  # explicit classes
+    # Python-only / dialect-divergent spellings -> decline native
+    assert _b_strip(leading="[[:space:]]+") is None
+    assert _b_strip(trailing=r"\s+") is None
+    assert _b_strip(leading=r"\p{Greek}+") is None
+    assert _b_strip(trailing="(?i)abc") is None
+
+
 def test_plan_has_no_python_for_native_fields(spark):
     df = spark.createDataFrame([("x",)], "v string")
     out = validate(df, {"v": ["required", "strip"]}, keep_raw=False)
