@@ -401,3 +401,30 @@ def test_grouped_cow_applies_match_sequential_per_snapshot(spark, tmp_path):
             (r.repo, r.path, r.content_sha) for r in df.collect()
         ) if df is not None else []
         assert rows(df_a) == rows(df_b), sid
+
+
+def test_grouped_cow_delete_empties_bucket(spark, tmp_path):
+    """Grouped-fold edge: a later batch deletes every key in a bucket —
+    the version's partitioned write emits no directory for it, and the
+    commit must REMOVE the bucket (same as the sequential path), with
+    the delete invisible at the earlier snapshot (time travel)."""
+    ddl = ("commit string, event_seq long, op string, repo string, "
+           "path string, lang string, content string, schema_version int")
+    # one key => one bucket; batch 1 upserts, batch 2 deletes it
+    ev = spark.createDataFrame(
+        [("%012x" % 1, 0, "U", "r1", "a.py", "py", "v1", 1),
+         ("%012x" % 9, 0, "D", "r1", "a.py", "py", "v1", 1)],
+        ddl,
+    )
+    table = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "lake_del"),
+        key_cols=["repo", "path"], num_buckets=4,
+    )
+    eng = CDCEngine(spark, table, default_registry(), group_cow_applies=True)
+    metrics = eng.replay(ev, num_batches=2)
+    assert [m["applied"] for m in metrics] == [1, 1]
+    sids = table.snapshots()
+    assert table.read() is None  # all rows deleted -> empty table
+    assert table.current()["buckets"] == {}  # bucket removed, not empty-listed
+    mid = table.read(snapshot_id=sids[-2])  # pre-delete snapshot still has it
+    assert [(r.repo, r.path) for r in mid.collect()] == [("r1", "a.py")]
