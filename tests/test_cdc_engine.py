@@ -428,3 +428,32 @@ def test_grouped_cow_delete_empties_bucket(spark, tmp_path):
     assert table.current()["buckets"] == {}  # bucket removed, not empty-listed
     mid = table.read(snapshot_id=sids[-2])  # pre-delete snapshot still has it
     assert [(r.repo, r.path) for r in mid.collect()] == [("r1", "a.py")]
+
+
+def test_grouped_cow_across_staging_groups(spark, tmp_path):
+    """stage_batches chunks the replay into staged GROUPS; each group's
+    fold must read the state the previous group committed (keys
+    overwritten across the group boundary), and the result must equal
+    the sequential path snapshot-for-snapshot."""
+    ev = events_df(spark, n_events=4000, dirty_frac=0.1)
+
+    def run(grouped, tag):
+        table = LakeTable.create(
+            spark, os.path.join(str(tmp_path), f"lake_sg_{tag}"),
+            key_cols=["repo", "path"], num_buckets=8, path_salt=4,
+        )
+        eng = CDCEngine(spark, table, default_registry(),
+                        group_cow_applies=grouped)
+        eng.replay(ev, num_batches=4, stage_batches=2)
+        return table
+
+    t_seq = run(False, "seq")
+    t_grp = run(True, "grp")
+    assert t_seq.snapshots() == t_grp.snapshots()
+    for sid in t_seq.snapshots():
+        assert (t_seq.snapshot(sid)["watermarks"]
+                == t_grp.snapshot(sid)["watermarks"]), sid
+        rows = lambda t: sorted(
+            (r.repo, r.path, r.content_sha) for r in t.read(snapshot_id=sid).collect()
+        ) if t.read(snapshot_id=sid) is not None else []
+        assert rows(t_seq) == rows(t_grp), sid
