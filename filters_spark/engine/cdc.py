@@ -61,7 +61,7 @@ class CDCEngine:
         lineage_dir: str | None = None,
         write_mode: str = "cow",
         compact_after: int = 8,
-        group_cow_applies: bool = True,
+        group_applies: bool = True,
     ):
         """``write_mode``:
 
@@ -84,10 +84,11 @@ class CDCEngine:
             raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
         self.write_mode = write_mode
         self.compact_after = compact_after
-        # fold each replay group's CoW merges into one Spark job
-        # (_apply_staged_group_cow); False forces the sequential
-        # per-batch path (same results, pinned by tests)
-        self.group_cow_applies = group_cow_applies
+        # fold each replay group's batch applies into one Spark job
+        # (_apply_staged_group_cow / _apply_staged_group_mor); False
+        # forces the sequential per-batch path (same results, pinned
+        # by tests)
+        self.group_applies = group_applies
         root = table.root
         self.dead_letter_dir = dead_letter_dir or os.path.join(root, "dead_letter")
         self.lineage_dir = lineage_dir or os.path.join(root, "lineage")
@@ -650,6 +651,138 @@ class CDCEngine:
             self.io.rmtree(group_out)
         return metrics
 
+    def _apply_staged_group_mor(
+        self,
+        staged_all: DataFrame,
+        scratch: str,
+        batch_ids: range,
+        stats_by_batch: dict[int, list],
+        wm0: Mapping,
+        lineage_rows: list,
+    ) -> list[dict]:
+        """Merge-on-read applies for a whole staged batch group in ONE
+        Spark job. Even simpler than the CoW fold: a MoR batch's delta
+        is the in-batch LWW dedupe of ITS OWN events only (no
+        current-state read), so the batches are fully independent — one
+        window on (_batch, _bucket) dedupes them all, one write emits
+        them partitioned by (_batch, _bucket), and each batch's commit
+        is a driver-side directory move + :meth:`commit_delta_files`.
+        Snapshot ids are assigned at FINALIZE time (not precomputed):
+        threshold compaction between batches inserts its own snapshots.
+        Read-state equality with the sequential path is pinned by
+        tests."""
+        per: dict[int, dict] = {}
+        for i in batch_ids:
+            rows = stats_by_batch.get(i, [])
+            bucket_stats = [r for r in rows if not r["_dead"] and r["_survives"]]
+            per[i] = {
+                "events_in": int(sum(r["n"] for r in rows)),
+                "n_dead": int(sum(r["n"] for r in rows if r["_dead"] and r["_survives"])),
+                "skipped": int(sum(r["n"] for r in rows if not r["_survives"])),
+                "bucket_stats": bucket_stats,
+                "touched": sorted({int(r["_bucket"]) for r in bucket_stats}),
+                "new_wms": {int(r["_bucket"]): r["wm"] for r in bucket_stats},
+                "applied": int(sum(r["n"] for r in bucket_stats)),
+            }
+        committing = [i for i in batch_ids if per[i]["touched"]]
+
+        t_group0 = time.time()
+        group_out = os.path.join(
+            self.table.root, "_staging", f"mor-group-{uuid.uuid4().hex}"
+        )
+        if committing:
+            payload = self._payload_cols()
+            ev_cols = ["repo", "path", "commit", "event_seq", *payload, "op", "_bucket", "_wm"]
+            clean = self._with_survives(staged_all, wm0).filter(
+                ~F.col("_dead") & F.col("_survives")
+            )
+            incoming = clean.select(
+                *ev_cols, F.col("_batch").cast("int").alias("_batch")
+            ).filter(F.col("repo").isNotNull() & F.col("path").isNotNull())
+            # in-batch LWW dedupe, all batches at once; tombstones KEPT
+            # (newest op wins at read time) — same fold commit_deltas'
+            # caller does per batch
+            mw = Window.partitionBy("_batch", "_bucket").orderBy(
+                "repo", "path", F.col("_wm").desc()
+            )
+            is_head = (
+                F.lag("repo").over(mw).isNull()
+                | (F.lag("repo").over(mw) != F.col("repo"))
+                | (F.lag("path").over(mw) != F.col("path"))
+            )
+            deduped = (
+                incoming.withColumn("_head", F.coalesce(is_head, F.lit(True)))
+                .filter(F.col("_head"))
+                .drop("_head", "_wm")  # _wm re-derives from (commit, event_seq) at read
+            )
+            deduped.write.partitionBy("_batch", "_bucket").parquet(group_out)
+        merge_share = (
+            (time.time() - t_group0) / len(committing) if committing else 0.0
+        )
+
+        metrics: list[dict] = []
+        try:
+            for i in batch_ids:
+                t0 = time.time()
+                p = per[i]
+                dead_src = os.path.join(scratch, f"_batch={i}", "_dead=true")
+                adopt_name = f"{os.path.basename(scratch)}-b{i}"
+                if not p["touched"]:
+                    self._adopt_dead_letters(dead_src, adopt_name, p["n_dead"])
+                    metrics.append({
+                        "events_in": p["events_in"], "applied": 0,
+                        "dead_lettered": p["n_dead"],
+                        "skipped_replays": p["skipped"],
+                        "snapshot_id": self.table.current()["snapshot_id"],
+                        "seconds": time.time() - t0,
+                    })
+                    continue
+                sid = self.table.current()["snapshot_id"] + 1
+                src_dir = os.path.join(group_out, f"_batch={i}")
+                dst_dir = os.path.join(self.table.data_dir, f"delta-{sid:08d}")
+                if self.io.isdir(src_dir):
+                    self.io.move(src_dir, dst_dir)
+                new_files: dict[str, list[str]] = {}
+                for b in p["touched"]:
+                    bdir = os.path.join(dst_dir, f"_bucket={b}")
+                    new_files[str(b)] = sorted(
+                        os.path.join(bdir, f)
+                        for f in (self.io.listdir(bdir) if self.io.isdir(bdir) else [])
+                        if f.endswith(".parquet")
+                    )
+                new_snap = self.table.commit_delta_files(
+                    new_files, p["new_wms"],
+                    stats={
+                        "rows_applied": p["applied"],
+                        "batch_dead_lettered": p["n_dead"],
+                    },
+                    schema_version=self.registry.latest,
+                    columns=self.registry.canonical_columns,
+                )
+                ripe = self.table.buckets_needing_compaction(self.compact_after)
+                if ripe:
+                    self.table.compact(ripe)
+                self._adopt_dead_letters(dead_src, adopt_name, p["n_dead"])
+                lineage_rows.extend(
+                    (
+                        new_snap["snapshot_id"], int(r["_bucket"]), r["wm"], int(r["n"]),
+                        p["n_dead"], int(time.time() * 1000),
+                    )
+                    for r in p["bucket_stats"]
+                )
+                metrics.append({
+                    "events_in": p["events_in"],
+                    "applied": p["applied"],
+                    "dead_lettered": p["n_dead"],
+                    "skipped_replays": p["skipped"],
+                    "touched_buckets": len(p["touched"]),
+                    "snapshot_id": new_snap["snapshot_id"],
+                    "seconds": (time.time() - t0) + merge_share,
+                })
+        finally:
+            self.io.rmtree(group_out)
+        return metrics
+
     LINEAGE_DDL = (
         "snapshot_id long, bucket int, watermark string, rows_applied long, "
         "batch_dead_lettered long, ts_ms long"
@@ -804,13 +937,18 @@ class CDCEngine:
                 stats_by_batch: dict[int, list] = {}
                 for r in stats_all:
                     stats_by_batch.setdefault(int(r["_batch"]), []).append(r)
-                if (self.write_mode == "cow" and self.group_cow_applies
-                        and g_hi - g_lo > 1):
-                    # fold the group's merges into ONE job + driver-side
-                    # ordered commit finalization (see
-                    # _apply_staged_group_cow) — the per-batch constant
-                    # driver term is paid once per group
-                    metrics.extend(self._apply_staged_group_cow(
+                if self.group_applies and g_hi - g_lo > 1:
+                    # fold the group's merges/dedupes into ONE job +
+                    # driver-side ordered commit finalization — the
+                    # per-batch constant driver term is paid once per
+                    # group (CoW: _apply_staged_group_cow; MoR:
+                    # _apply_staged_group_mor)
+                    fold = (
+                        self._apply_staged_group_cow
+                        if self.write_mode == "cow"
+                        else self._apply_staged_group_mor
+                    )
+                    metrics.extend(fold(
                         staged_all, scratch, range(g_lo, g_hi),
                         stats_by_batch, wm0, lineage_rows,
                     ))

@@ -509,15 +509,37 @@ class LakeTable:
         out_dir = os.path.join(self.data_dir, f"delta-{sid:08d}")
         df.write.mode("error").partitionBy("_bucket").parquet(out_dir)
 
-        deltas = dict(prev.get("deltas", {}))
-        added: list[str] = []
+        new_files: dict[str, list[str]] = {}
         for b in touched_buckets:
             bdir = os.path.join(out_dir, f"_bucket={b}")
-            files = sorted(
+            new_files[str(b)] = sorted(
                 os.path.join(bdir, f)
                 for f in self.io.listdir(bdir)
                 if f.endswith(".parquet")
             )
+        return self.commit_delta_files(
+            new_files, new_watermarks, stats=stats,
+            schema_version=schema_version, columns=columns,
+        )
+
+    def commit_delta_files(
+        self,
+        new_files: dict[str, list[str]],
+        new_watermarks: dict[int, str],
+        stats: dict | None = None,
+        schema_version: int | None = None,
+        columns: list[str] | None = None,
+    ) -> dict:
+        """Metadata-only half of :meth:`commit_deltas`: append
+        ALREADY-WRITTEN delta files (``{bucket: [paths]}``) to the
+        touched buckets. Enables the engine's grouped merge-on-read
+        replay (one dedupe job for all batches, per-batch driver-side
+        commits)."""
+        prev = self.current()
+        sid = prev["snapshot_id"] + 1
+        deltas = dict(prev.get("deltas", {}))
+        added: list[str] = []
+        for b, files in new_files.items():
             if files:
                 deltas[str(b)] = deltas.get(str(b), []) + files
                 added.extend(files)

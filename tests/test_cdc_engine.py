@@ -381,7 +381,7 @@ def test_grouped_cow_applies_match_sequential_per_snapshot(spark, tmp_path):
             key_cols=["repo", "path"], num_buckets=8, path_salt=4,
         )
         eng = CDCEngine(spark, table, default_registry(),
-                        group_cow_applies=grouped)
+                        group_applies=grouped)
         metrics = eng.replay(ev, num_batches=3)
         return table, metrics
 
@@ -420,7 +420,7 @@ def test_grouped_cow_delete_empties_bucket(spark, tmp_path):
         spark, os.path.join(str(tmp_path), "lake_del"),
         key_cols=["repo", "path"], num_buckets=4,
     )
-    eng = CDCEngine(spark, table, default_registry(), group_cow_applies=True)
+    eng = CDCEngine(spark, table, default_registry(), group_applies=True)
     metrics = eng.replay(ev, num_batches=2)
     assert [m["applied"] for m in metrics] == [1, 1]
     sids = table.snapshots()
@@ -443,7 +443,7 @@ def test_grouped_cow_across_staging_groups(spark, tmp_path):
             key_cols=["repo", "path"], num_buckets=8, path_salt=4,
         )
         eng = CDCEngine(spark, table, default_registry(),
-                        group_cow_applies=grouped)
+                        group_applies=grouped)
         eng.replay(ev, num_batches=4, stage_batches=2)
         return table
 
@@ -457,3 +457,51 @@ def test_grouped_cow_across_staging_groups(spark, tmp_path):
             (r.repo, r.path, r.content_sha) for r in t.read(snapshot_id=sid).collect()
         ) if t.read(snapshot_id=sid) is not None else []
         assert rows(t_seq) == rows(t_grp), sid
+
+
+def test_grouped_mor_applies_match_sequential(spark, tmp_path):
+    """Merge-on-read fold: one dedupe job for all batches + per-batch
+    delta commits must land the same read state as the sequential path
+    at EVERY snapshot, including when threshold compaction fires
+    between batches."""
+    ev = events_df(spark, n_events=4000, dirty_frac=0.1)
+
+    def run(grouped, tag):
+        table = LakeTable.create(
+            spark, os.path.join(str(tmp_path), f"lake_mor_{tag}"),
+            key_cols=["repo", "path"], num_buckets=8, path_salt=4,
+        )
+        eng = CDCEngine(spark, table, default_registry(), write_mode="mor",
+                        compact_after=3, group_applies=grouped)
+        metrics = eng.replay(ev, num_batches=4)
+        return table, metrics
+
+    t_seq, m_seq = run(False, "seq")
+    t_grp, m_grp = run(True, "grp")
+
+    strip = lambda ms: [
+        {k: v for k, v in m.items() if k not in ("seconds", "snapshot_id")}
+        for m in ms
+    ]
+    assert strip(m_seq) == strip(m_grp)
+    # compaction interleaves its own snapshots; compare the final READ
+    # state and the watermarks (the sequence of commit ops may differ
+    # in snapshot ids but not in content)
+    rows = lambda t: sorted(
+        (r.repo, r.path, r.content_sha) for r in t.read().collect()
+    )
+    assert rows(t_seq) == rows(t_grp)
+    assert t_seq.current()["watermarks"] == t_grp.current()["watermarks"]
+    # per-batch snapshots: walk the append-deltas snapshots in order
+    # and compare read state at each
+    def delta_sids(t):
+        return [s for s in t.snapshots()
+                if t.snapshot(s).get("operation") == "append-deltas"]
+    sa, sb = delta_sids(t_seq), delta_sids(t_grp)
+    assert len(sa) == len(sb) == 4
+    for x, y in zip(sa, sb):
+        ra = sorted((r.repo, r.path, r.content_sha)
+                    for r in t_seq.read(snapshot_id=x).collect())
+        rb = sorted((r.repo, r.path, r.content_sha)
+                    for r in t_grp.read(snapshot_id=y).collect())
+        assert ra == rb, (x, y)
