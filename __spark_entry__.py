@@ -793,6 +793,39 @@ def q_text_profile_core(spark, sf):
 
 
 @_q(
+    "text_lm_score",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> len(t) > 0)) AS token
+      FROM documents
+    ), model AS (
+      SELECT token, count(*) AS n FROM toks GROUP BY token
+    ), tot AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS total, count(*) AS vocab FROM model
+    )
+    SELECT t.doc_id, count(*) AS n_tokens,
+           round(avg(-ln((m.n + 1.0) / (tot.total + 1.0 * (tot.vocab + 1)))), 4)
+             AS avg_neg_logp
+    FROM toks t JOIN model m USING (token), tot
+    GROUP BY t.doc_id
+    """,
+)
+def q_text_lm_score(spark, sf):
+    """Unigram-LM quality scoring (operators/textstats.py:lm_score):
+    per-document cross-entropy against the corpus's own unigram model
+    with add-one smoothing — the standard LM-quality filter for
+    pretraining corpora. Value-checked end to end (model build + score)
+    against a DuckDB reimplementation; avg is rounded to 4 decimals on
+    both sides to absorb float sum-order differences."""
+    from filters_spark.operators.textstats import lm_score, unigram_counts
+
+    d = _t(spark, sf, "documents")
+    return lm_score(d, unigram_counts(d))
+
+
+@_q(
     "ann_cosine_topk",
     """
     WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)

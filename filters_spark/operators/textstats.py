@@ -123,6 +123,64 @@ def fingerprint(text: Column, window: int = 8, hash_fn=None) -> Column:
     return F.array_min(hashes)
 
 
+def unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus unigram model: lowercase whitespace tokens -> (token, n).
+    One explode + one groupBy count (map-side partials); vocabulary is
+    corpus-bounded (Heaps' law), so the result is small relative to the
+    corpus and broadcastable for scoring."""
+    return (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def lm_score(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document unigram cross-entropy (avg -ln p(token); e^score =
+    perplexity) against a ``(token, n)`` model — the standard
+    LM-quality filter for pretraining corpora (boilerplate and natural
+    text score low, token soup scores high; threshold or quantile-cut
+    downstream).
+
+    Add-``alpha`` smoothing over the model vocabulary handles OOV
+    tokens: p(t) = (n_t + alpha) / (total + alpha * (V + 1)), the +1
+    the single unseen-token class.
+
+    Plan shape: explode tokens -> hash join against the model
+    (broadcast when small — AQE decides; at a 10^8-token vocabulary it
+    degrades gracefully to a shuffle join keyed on the token) -> one
+    groupBy(id). The totals ride in via a 1-row crossJoin (computed
+    once, broadcast). Returns (id, n_tokens, avg_neg_logp)."""
+    totals = model.agg(
+        F.sum("n").alias("_total"), F.count("*").alias("_vocab")
+    )
+    toks = df.select(
+        F.col(id_col).alias(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    scored = (
+        toks.join(model.withColumnRenamed("n", "_n"), "token", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_neg_logp",
+            -F.log(
+                (F.coalesce(F.col("_n"), F.lit(0)) + F.lit(alpha))
+                / (F.col("_total") + F.lit(alpha) * (F.col("_vocab") + 1))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("_neg_logp"), 4).alias("avg_neg_logp"),
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text", fingerprint_hash_fn=None) -> DataFrame:
     """One call adding all curation columns. ``fingerprint_hash_fn``
     is forwarded to :func:`fingerprint`."""

@@ -109,6 +109,31 @@ class TestDedupe:
         assert (1, 0) in clusters and (2, 0) in clusters
         assert os.path.isdir(ckpt) and len(os.listdir(ckpt)) > 0
 
+    def test_lm_score_matches_hand_computation(self, spark):
+        # tiny corpus where the unigram cross-entropy is hand-checkable:
+        # model over both docs, add-1 smoothing, vocab+1 unseen class
+        import math
+
+        from filters_spark.operators.textstats import lm_score, unigram_counts
+
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+        )
+        model = unigram_counts(df)  # a:3 b:1 c:1, total 5, vocab 3
+        got = {r.doc_id: (r.n_tokens, r.avg_neg_logp)
+               for r in lm_score(df, model).collect()}
+
+        def p(n):  # (n + 1) / (5 + 1*(3+1))
+            return (n + 1) / 9.0
+
+        exp1 = round(-(2 * math.log(p(3)) + math.log(p(1))) / 3, 4)
+        exp2 = round(-(math.log(p(3)) + math.log(p(1))) / 2, 4)
+        assert got == {1: (3, exp1), 2: (2, exp2)}
+        # OOV tokens score through the smoothing mass, not NaN/inf
+        other = spark.createDataFrame([(9, "zz zz")], "doc_id long, text string")
+        r = lm_score(other, model).collect()[0]
+        assert r.n_tokens == 2 and abs(r.avg_neg_logp - round(-math.log(1 / 9.0), 4)) < 1e-9
+
     def test_ngram_jaccard_exact_values(self, docs):
         from filters_spark.operators.dedupe import ngram_jaccard_pairs
 
