@@ -826,6 +826,209 @@ def q_text_lm_score(spark, sf):
 
 
 @_q(
+    "text_repetition_topgram",
+    """
+    WITH toks AS (
+      SELECT doc_id, len(text) AS nc,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> len(t) > 0) AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, nc,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i+1])) AS gram
+      FROM toks WHERE len(w) >= 2
+    ), counts AS (
+      SELECT doc_id, nc, gram, count(*) AS n_occ
+      FROM grams GROUP BY doc_id, nc, gram
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY n_occ DESC, gram ASC) AS rn
+      FROM counts
+    )
+    SELECT doc_id, gram AS top_gram, n_occ AS top_gram_count,
+           round(n_occ * len(gram) / nc, 4) AS top_gram_char_frac
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_text_repetition_topgram(spark, sf):
+    """Gopher repetition filter (operators/textstats.py:top_ngram_stats):
+    fraction of each document's characters covered by its most frequent
+    word 2-gram. Explode -> one groupBy -> row_number window; groupBy
+    and window share the doc_id partitioning."""
+    from filters_spark.operators.textstats import top_ngram_stats
+
+    return top_ngram_stats(_t(spark, sf, "documents"), n=2)
+
+
+@_q(
+    "text_dup_segments",
+    """
+    WITH segs AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split_regex(text, '\\.'),
+                                        s -> trim(s)),
+                         s -> len(s) > 0) AS segs
+      FROM documents
+    )
+    SELECT doc_id, len(segs) AS n_segments,
+           len(list_distinct(segs)) AS distinct_segments,
+           CASE WHEN len(segs) > 0
+                THEN round(1 - len(list_distinct(segs)) / CAST(len(segs) AS DOUBLE), 4)
+                ELSE 0.0 END AS dup_segment_frac
+    FROM segs
+    """,
+)
+def q_text_dup_segments(spark, sf):
+    """Duplicate-segment fraction (operators/textstats.py:
+    dup_segment_stats) — Gopher's duplicate-line signal over sentence
+    segments ('.') since the corpus is single-line. Map-only native
+    array expressions."""
+    from filters_spark.operators.textstats import dup_segment_stats
+
+    return dup_segment_stats(_t(spark, sf, "documents"))
+
+
+@_q(
+    "text_contamination",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> len(t) > 0) AS w
+      FROM documents
+    ), bench AS (
+      SELECT DISTINCT unnest(list_transform(range(1, len(w) - 6),
+               i -> array_to_string(w[i:i+7], ' '))) AS gram, 1 AS hit
+      FROM toks WHERE doc_id % 25 = 0 AND len(w) >= 8
+    ), dg AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 6),
+               i -> array_to_string(w[i:i+7], ' ')))) AS gram
+      FROM toks WHERE len(w) >= 8
+    )
+    SELECT dg.doc_id, count(*) AS n_grams,
+           CAST(sum(coalesce(b.hit, 0)) AS BIGINT) AS n_contaminated,
+           round(sum(coalesce(b.hit, 0)) / CAST(count(*) AS DOUBLE), 4)
+             AS contaminated_frac
+    FROM dg LEFT JOIN bench b ON dg.gram = b.gram
+    GROUP BY dg.doc_id
+    """,
+)
+def q_text_contamination(spark, sf):
+    """Benchmark decontamination (operators/textstats.py:
+    ngram_contamination): per-document fraction of distinct word
+    8-grams appearing in a 'benchmark' slice (doc_id % 25 = 0 stands
+    in for an eval suite). Benchmark gram set is broadcast; the corpus
+    is touched by one explode + one groupBy."""
+    from filters_spark.operators.textstats import ngram_contamination
+
+    d = _t(spark, sf, "documents")
+    return ngram_contamination(d, d.filter(F.col("doc_id") % 25 == 0), n=8)
+
+
+@_q(
+    "events_asof_join",
+    """
+    SELECT l.event_id, l.user_id, l.ts, l.value,
+           r.event_id AS event_id_r, r.value AS value_r, r.ts AS ts_r
+    FROM (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+                    WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q_events_asof_join(spark, sf):
+    """Backward as-of join (operators/events.py:asof_join): each click
+    picks up the user's most recent prior-or-simultaneous purchase.
+    Union + ordered-window formulation — ONE shuffle on the key, no
+    range join — checked against DuckDB's native ASOF JOIN."""
+    from filters_spark.operators.events import asof_join
+
+    e = _t(spark, sf, "events")
+    cols = ["event_id", "user_id", "ts", "value"]
+    left = e.filter(F.col("event_type") == "click").select(*cols)
+    right = e.filter(F.col("event_type") == "purchase").select(*cols)
+    return asof_join(
+        left, right, on="user_id", left_ts="ts",
+        right_cols=["event_id", "value"], tiebreak="event_id",
+    )
+
+
+@_q(
+    "events_sessionize",
+    """
+    WITH b AS (
+      SELECT user_id, ts, epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 14400000000
+                  THEN 1 ELSE 0 END AS nb
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(nb) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) - 1 AS sn
+      FROM b
+    )
+    SELECT user_id, user_id || '-' || sn AS session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           CAST(floor((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0)
+                AS BIGINT) AS duration_secs
+    FROM s GROUP BY user_id, sn
+    """,
+)
+def q_events_sessionize(spark, sf):
+    """Gap sessionization (operators/events.py:session_stats): a new
+    session after >4h of user inactivity; per-session bounds, counts,
+    exact duration. One window + one groupBy sharing the user-key
+    exchange; gap test in integer microseconds on both engines."""
+    from filters_spark.operators.events import session_stats
+
+    return session_stats(_t(spark, sf, "events"), gap_secs=14400)
+
+
+@_q(
+    "events_interval_count",
+    """
+    WITH s AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'signup'),
+         err AS (SELECT ts FROM events WHERE event_type = 'error')
+    SELECT s.event_id, s.user_id, s.ts,
+           count(e.ts) AS n_errors_24h
+    FROM s LEFT JOIN err e
+      ON e.ts > s.ts AND e.ts <= s.ts + INTERVAL 24 HOURS
+    GROUP BY s.event_id, s.user_id, s.ts
+    """,
+)
+def q_events_interval_count(spark, sf):
+    """Keyless interval join (operators/events.py:interval_join): per
+    signup, errors from ANY user in the following 24h. Bin-bucketed
+    equi-join (one day bins) instead of the quadratic nested-loop a
+    raw range predicate plans; zero-match signups restored by joining
+    the pair counts back onto the signup side."""
+    from filters_spark.operators.events import interval_join
+
+    e = _t(spark, sf, "events")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = e.filter(F.col("event_type") == "error").select("ts")
+    pairs = interval_join(
+        signups, errors,
+        F.col("ts"), F.col("ts") + F.expr("INTERVAL 24 HOURS"),
+        bin_secs=86400,
+    )
+    counts = pairs.groupBy("event_id").agg(F.count("*").alias("_n"))
+    return signups.join(counts, "event_id", "left").select(
+        "event_id", "user_id", "ts",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_errors_24h"),
+    )
+
+
+@_q(
     "ann_cosine_topk",
     """
     WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)

@@ -1,0 +1,205 @@
+"""Temporal event operators the reference's users run downstream of
+ingestion: as-of joins and gap sessionization.
+
+Spark has no built-in ASOF JOIN (DuckDB/Pandas/kdb all do); the naive
+emulation is a range join (``l.ts >= r.ts``) which Catalyst executes as
+a broadcast-nested-loop or cartesian — quadratic and unusable at scale.
+:func:`asof_join` instead uses the union + ordered-window formulation:
+tag both sides, union them, and carry the right side's payload forward
+with ``last(ignorenulls)`` over a window partitioned by the join key
+and ordered by time. ONE shuffle on the key (the window sort), zero
+joins, linear in |left| + |right| — the plan survives a 100x scale-up
+where the range-join emulation dies.
+
+:func:`sessionize` is the standard gap-based session assignment
+(lag -> boundary flag -> running sum), again one window = one shuffle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+
+def _us(col) -> "Column":
+    """Exact integer microseconds since epoch. Casts TIMESTAMP_NTZ
+    through TIMESTAMP first (identity under the engine's pinned UTC
+    session zone; unix_micros rejects NTZ directly), so operators work
+    on both parquet timestamp flavors."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    right_cols: list[str] | None = None,
+    tolerance_secs: int | None = None,
+    suffix: str = "_r",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the right row
+    with the greatest ``right_ts <= left_ts`` for the same ``on`` key
+    (inclusive, matching DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``).
+    Left rows with no prior right row keep NULL payload columns.
+
+    ``right_cols`` (default: all non-key, non-ts columns) are emitted
+    with ``suffix`` appended. ``tolerance_secs`` nulls the payload when
+    the match is older than the window. ``tiebreak`` orders right rows
+    that share (key, ts) — the LAST one in that order wins; pass a
+    unique column for determinism when (key, ts) can repeat.
+
+    Plan: union(left', right') -> one window on the key -> filter.
+    The right payload rides in a single struct column so the window
+    carries one expression regardless of payload width.
+    """
+    right_ts = right_ts or left_ts
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+
+    payload = F.struct(
+        F.col(right_ts).alias("_mts"), *[F.col(c).alias(c) for c in right_cols]
+    )
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        (F.col(tiebreak) if tiebreak else F.lit(None)).cast("long").alias("_tie"),
+        payload.alias("_p"),
+        F.lit(None).cast(left.select(F.struct("*")).schema[0].dataType).alias("_row"),
+    )
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_tie"),
+        F.lit(None).cast(r.schema["_p"].dataType).alias("_p"),
+        F.struct("*").alias("_row"),
+    )
+    # right(0) before left(1) at equal ts => the join is ts-inclusive
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ats", "_side", "_tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last("_p", ignorenulls=True).over(w)
+    if tolerance_secs is not None:
+        age = _us(F.col("_ats")) - _us(matched["_mts"])
+        matched = F.when(age <= tolerance_secs * 1_000_000, matched)
+    out = (
+        r.unionByName(l)
+        .withColumn("_m", matched)
+        .filter(F.col("_side") == 1)
+    )
+    return out.select(
+        "_row.*",
+        *[F.col("_m")[c].alias(c + suffix) for c in right_cols],
+        F.col("_m")["_mts"].alias(left_ts + suffix),
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo,
+    left_hi,
+    right_ts: str = "ts",
+    bin_secs: int = 86400,
+) -> DataFrame:
+    """Join each left interval ``(left_lo, left_hi]`` (Column
+    expressions over left) to the right rows whose ``right_ts`` falls
+    inside it, with NO equality key — the case Spark plans as a
+    broadcast-nested-loop / cartesian (quadratic).
+
+    Bin-bucketing makes it a hash join: every left interval explodes to
+    the time bins it covers (``ceil(len/bin_secs)+1`` rows), right rows
+    map to exactly ONE bin, and the equi-join on the bin carries the
+    exact containment predicate. Because the right side lands in a
+    single bin, each qualifying (left, right) pair joins exactly once —
+    no post-dedupe. Pick ``bin_secs`` near the typical interval length:
+    cost scales with intervals x (interval_len / bin_secs), not
+    |left| x |right|.
+
+    Returns matched PAIRS (left columns + right row as a ``_right``
+    struct), inner semantics; callers needing zero-match left rows
+    aggregate the pairs and left-join the counts back (see the
+    events_interval_count query).
+    """
+    lo_us = _us(left_lo)
+    hi_us = _us(left_hi)
+    bin_us = F.lit(bin_secs * 1_000_000).cast("long")
+    l = left.select(
+        F.struct("*").alias("_row"),
+        lo_us.alias("_lo"),
+        hi_us.alias("_hi"),
+        F.explode(
+            F.sequence(F.floor(lo_us / bin_us), F.floor(hi_us / bin_us))
+        ).alias("_bin"),
+    )
+    r_us = _us(F.col(right_ts))
+    r = right.select(
+        F.struct("*").alias("_rrow"), r_us.alias("_rts"),
+        F.floor(r_us / bin_us).alias("_bin"),
+    )
+    cond = (
+        (l["_bin"] == r["_bin"])
+        & (r["_rts"] > l["_lo"])
+        & (r["_rts"] <= l["_hi"])
+    )
+    joined = l.join(r, cond, "inner")
+    return joined.select("_row.*", F.col("_rrow").alias("_right"))
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_secs: int = 1800,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign gap-based session ids: a new session starts when the time
+    since the user's previous event exceeds ``gap_secs``. Adds
+    ``session_id`` ('<user>-<n>', n starting at 0 per user) to every
+    row. One window on the user key = one shuffle; gaps compared in
+    exact integer microseconds (``unix_micros``) so the boundary test
+    is reproducible across engines."""
+    order = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    us = _us(F.col(ts_col))
+    prev = F.lag(us).over(w)
+    boundary = F.when(
+        prev.isNull() | ((us - prev) > gap_secs * 1_000_000), 1
+    ).otherwise(0)
+    sess_n = (
+        F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1
+    )
+    return df.withColumn(
+        "session_id", F.concat_ws("-", F.col(user_col).cast("string"), sess_n)
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_secs: int = 1800,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-session aggregates over :func:`sessionize`: bounds, event
+    count, exact duration in seconds (microsecond-floored). The window
+    and the groupBy share the user-key exchange (AQE keeps the
+    partitioning), so the whole thing is one shuffle + map-side
+    partial aggregation."""
+    s = sessionize(df, user_col, ts_col, gap_secs, order_tiebreak)
+    return s.groupBy(user_col, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+        (
+            (_us(F.max(ts_col)) - _us(F.min(ts_col)))
+            / F.lit(1_000_000)
+        ).cast("long").alias("duration_secs"),
+    )

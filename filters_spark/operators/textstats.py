@@ -14,7 +14,7 @@ expressions (zero Python in the scan).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 STOPWORDS = {
     "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
@@ -178,6 +178,118 @@ def lm_score(
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"),
         F.round(F.avg("_neg_logp"), 4).alias("avg_neg_logp"),
+    )
+
+
+def _word_ngrams(text: Column, n: int) -> Column:
+    """Array of word n-grams (space-joined, lowercased)."""
+    toks = tokens(F.lower(text))
+    cnt = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        cnt > 0,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngram_stats(
+    df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of a document's
+    characters covered by its single most frequent word ``n``-gram
+    (templated/boilerplate text scores high; natural text low).
+
+    Distributed shape — works when single documents are huge: explode
+    the grams, ONE groupBy((id, gram)) count with map-side partials,
+    then a row_number window on the id to pick the winner (ties broken
+    lexicographically for cross-engine determinism). The groupBy and
+    the window share the hash-partitioning on the id, so AQE plans one
+    exchange. Documents with fewer than ``n`` tokens are dropped (no
+    gram exists).
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("_nc"),
+        F.explode(_word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    counts = grams.groupBy(id_col, "_nc", "gram").agg(F.count("*").alias("n_occ"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("n_occ"), F.asc("gram"))
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("gram").alias("top_gram"),
+            F.col("n_occ").alias("top_gram_count"),
+            F.round(
+                F.col("n_occ") * F.length("gram") / F.col("_nc"), 4
+            ).alias("top_gram_char_frac"),
+        )
+    )
+
+
+def dup_segment_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", sep: str = r"\."
+) -> DataFrame:
+    """Duplicate-segment fraction (Gopher's duplicate-line filter,
+    segment delimiter configurable — '.' for sentences on single-line
+    corpora, '\\n' for lines): 1 - distinct/total over trimmed
+    non-empty segments. Pure native array expressions, map-only, no
+    shuffle."""
+    segs = F.filter(
+        F.transform(F.split(F.col(text_col), sep), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    n = F.size(segs)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_segments"),
+        F.size(F.array_distinct(segs)).alias("distinct_segments"),
+        F.when(n > 0, F.round(1 - F.size(F.array_distinct(segs)) / n, 4))
+        .otherwise(F.lit(0.0))
+        .alias("dup_segment_frac"),
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per document, the fraction of its
+    distinct word ``n``-grams that appear anywhere in ``benchmark``
+    (the standard n-gram-overlap test run before training to drop
+    eval-set leaks; n=8..13 typical).
+
+    Scale shape: the benchmark gram set is small (eval suites are MBs,
+    not TBs) — built distinct and BROADCAST; document grams explode to
+    one row per distinct (id, gram), left-join the broadcast set
+    map-side, then ONE groupBy(id) computes total and hit counts
+    together. No shuffle touches the corpus except the final per-id
+    aggregation."""
+    t = F.col(text_col)
+    bench_grams = (
+        benchmark.select(F.explode(_word_ngrams(t, n)).alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(_word_ngrams(t, n))).alias("gram")
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*"), 4
+            ).alias("contaminated_frac"),
+        )
     )
 
 

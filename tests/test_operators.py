@@ -599,3 +599,179 @@ class TestSampling:
         )
         assert plain == capped
         assert len([p for p in plain if p[0] == "hot"]) == 5
+
+
+class TestEvents:
+    def test_asof_join_backward_inclusive(self, spark):
+        from datetime import datetime
+
+        from filters_spark.operators.events import asof_join
+
+        T = lambda s: datetime.fromisoformat(s)
+        left = spark.createDataFrame(
+            [(1, 10, T("2024-01-01T10:00:00")),
+             (2, 10, T("2024-01-01T12:00:00")),
+             (3, 11, T("2024-01-01T09:00:00"))],
+            "event_id long, user_id long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [(100, 10, T("2024-01-01T09:30:00"), 5.0),
+             (101, 10, T("2024-01-01T12:00:00"), 7.0),  # equal ts: inclusive
+             (102, 12, T("2024-01-01T08:00:00"), 9.0)],
+            "event_id long, user_id long, ts timestamp, value double",
+        )
+        out = {r.event_id: (r.event_id_r, r.value_r) for r in asof_join(
+            left, right, on="user_id", right_cols=["event_id", "value"],
+            tiebreak="event_id").collect()}
+        assert out == {1: (100, 5.0), 2: (101, 7.0), 3: (None, None)}
+
+    def test_asof_join_tolerance_and_ties(self, spark):
+        from datetime import datetime
+
+        from filters_spark.operators.events import asof_join
+
+        T = lambda s: datetime.fromisoformat(s)
+        left = spark.createDataFrame(
+            [(1, 10, T("2024-01-01T10:00:00"))],
+            "event_id long, user_id long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            # two right rows at the SAME (user, ts): highest tiebreak wins
+            [(100, 10, T("2024-01-01T09:00:00"), 1.0),
+             (101, 10, T("2024-01-01T09:00:00"), 2.0)],
+            "event_id long, user_id long, ts timestamp, value double",
+        )
+        r = asof_join(left, right, on="user_id", right_cols=["event_id", "value"],
+                      tiebreak="event_id").collect()[0]
+        assert (r.event_id_r, r.value_r) == (101, 2.0)
+        # 30-minute tolerance: the 1h-old match is nulled out
+        r2 = asof_join(left, right, on="user_id", right_cols=["event_id", "value"],
+                       tiebreak="event_id", tolerance_secs=1800).collect()[0]
+        assert (r2.event_id_r, r2.value_r, r2.ts_r) == (None, None, None)
+        # 2h tolerance keeps it
+        r3 = asof_join(left, right, on="user_id", right_cols=["event_id", "value"],
+                       tiebreak="event_id", tolerance_secs=7200).collect()[0]
+        assert r3.event_id_r == 101
+
+    def test_asof_join_single_shuffle_no_join(self, spark):
+        from datetime import datetime
+
+        from filters_spark.operators.events import asof_join
+
+        T = datetime.fromisoformat
+        left = spark.createDataFrame(
+            [(1, 10, T("2024-01-01T10:00:00"))],
+            "event_id long, user_id long, ts timestamp")
+        right = spark.createDataFrame(
+            [(2, 10, T("2024-01-01T09:00:00"), 1.0)],
+            "event_id long, user_id long, ts timestamp, value double")
+        plan = asof_join(left, right, on="user_id",
+                         right_cols=["value"])._jdf.queryExecution().executedPlan().toString()
+        # union+window formulation: no join operator of any kind
+        assert "Join" not in plan and "CartesianProduct" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_sessionize_gap_boundaries(self, spark):
+        from datetime import datetime
+
+        from filters_spark.operators.events import session_stats, sessionize
+
+        T = datetime.fromisoformat
+        df = spark.createDataFrame(
+            [(1, 10, T("2024-01-01T10:00:00")),
+             (2, 10, T("2024-01-01T10:20:00")),   # 20min -> same session
+             (3, 10, T("2024-01-01T11:00:00")),   # 40min -> new session
+             (4, 10, T("2024-01-01T11:30:00")),   # exactly gap -> same (> is strict)
+             (5, 11, T("2024-01-01T10:00:00"))],
+            "event_id long, user_id long, ts timestamp",
+        )
+        sess = {r.event_id: r.session_id
+                for r in sessionize(df, gap_secs=1800).collect()}
+        assert sess == {1: "10-0", 2: "10-0", 3: "10-1", 4: "10-1", 5: "11-0"}
+        stats = {r.session_id: (r.n_events, r.duration_secs)
+                 for r in session_stats(df, gap_secs=1800).collect()}
+        assert stats == {"10-0": (2, 1200), "10-1": (2, 1800), "11-0": (1, 0)}
+
+
+class TestTextCuration:
+    def test_top_ngram_stats(self, spark):
+        from filters_spark.operators.textstats import top_ngram_stats
+
+        df = spark.createDataFrame(
+            [(1, "a b a b a b"), (2, "x y z"), (3, "q")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: (r.top_gram, r.top_gram_count, r.top_gram_char_frac)
+               for r in top_ngram_stats(df, n=2).collect()}
+        # doc 1: grams [a b, b a, a b, b a, a b] -> 'a b' x3, 3*3/11 chars
+        assert out[1] == ("a b", 3, round(9 / 11, 4))
+        # doc 2: all grams unique; lexicographic tiebreak picks 'x y'
+        assert out[2] == ("x y", 1, round(3 / 5, 4))
+        # doc 3: fewer than n tokens -> dropped
+        assert 3 not in out
+
+    def test_dup_segment_stats(self, spark):
+        from filters_spark.operators.textstats import dup_segment_stats
+
+        df = spark.createDataFrame(
+            [(1, "buy now. limited offer. buy now. act fast."),
+             (2, "one. two. three."),
+             (3, "")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: (r.n_segments, r.distinct_segments, r.dup_segment_frac)
+               for r in dup_segment_stats(df).collect()}
+        assert out[1] == (4, 3, 0.25)
+        assert out[2] == (3, 3, 0.0)
+        assert out[3] == (0, 0, 0.0)
+
+    def test_ngram_contamination(self, spark):
+        from filters_spark.operators.textstats import ngram_contamination
+
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox jumps"),   # shares 3-gram runs w/ bench
+             (2, "completely different text here")],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(9, "a quick brown fox sat")], "doc_id long, text string",
+        )
+        out = {r.doc_id: (r.n_grams, r.n_contaminated, r.contaminated_frac)
+               for r in ngram_contamination(docs, bench, n=3).collect()}
+        # doc1 3-grams: {the quick brown, quick brown fox, brown fox jumps};
+        # bench: {a quick brown, quick brown fox, brown fox sat} -> 1 hit
+        assert out[1] == (3, 1, round(1 / 3, 4))
+        assert out[2] == (2, 0, 0.0)
+
+    def test_interval_join_binned_pairs(self, spark):
+        from datetime import datetime
+
+        import pyspark.sql.functions as F
+
+        from filters_spark.operators.events import interval_join
+
+        T = datetime.fromisoformat
+        # intervals (lo, lo+2h]; right rows straddle bin boundaries
+        left = spark.createDataFrame(
+            [(1, T("2024-01-01T23:00:00")),   # spans two day-bins
+             (2, T("2024-01-03T01:00:00"))],
+            "iv_id long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [(10, T("2024-01-01T23:30:00")),  # in iv 1, bin of day 1
+             (11, T("2024-01-02T00:30:00")),  # in iv 1, bin of day 2
+             (12, T("2024-01-01T23:00:00")),  # == lo: excluded (strict >)
+             (13, T("2024-01-02T01:00:00")),  # > hi of iv 1? hi=01:00 -> included (<=)
+             (14, T("2024-01-04T00:00:00"))], # matches nothing
+            "r_id long, ts timestamp",
+        )
+        pairs = interval_join(
+            left, right, F.col("ts"), F.col("ts") + F.expr("INTERVAL 2 HOURS"),
+            bin_secs=86400,
+        )
+        got = sorted((r.iv_id, r._right.r_id) for r in pairs.collect())
+        assert got == [(1, 10), (1, 11), (1, 13)]
+        # each qualifying pair appears exactly once despite multi-bin intervals
+        assert len(got) == len(set(got))
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
