@@ -928,6 +928,50 @@ def q_text_contamination(spark, sf):
 
 
 @_q(
+    "search_bm25_topk",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> len(t) > 0) AS w
+      FROM documents
+    ), t AS (
+      SELECT doc_id, len(w) AS dl,
+             len(list_filter(w, x -> x = 'hash'))  AS tf0,
+             len(list_filter(w, x -> x = 'join'))  AS tf1,
+             len(list_filter(w, x -> x = 'merge')) AS tf2
+      FROM d
+    ), s AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+      FROM t
+    )
+    SELECT doc_id,
+      round(
+        ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+          / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+          / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+          / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
+    FROM t, s
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q_search_bm25_topk(spark, sf):
+    """Lexical search (operators/search.py:bm25_topk): BM25 top-10 for
+    'hash join merge'. Map-only tf pass + one-row broadcast corpus
+    stats + TakeOrderedAndProject; term contributions summed in fixed
+    order so the float score is bit-reproducible vs DuckDB."""
+    from filters_spark.operators.search import bm25_topk
+
+    return bm25_topk(_t(spark, sf, "documents"), "hash join merge", k=10)
+
+
+@_q(
     "events_asof_join",
     """
     SELECT l.event_id, l.user_id, l.ts, l.value,

@@ -775,3 +775,43 @@ class TestTextCuration:
         assert len(got) == len(set(got))
         plan = pairs._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+class TestSearch:
+    def test_bm25_scores_and_ranking(self, spark):
+        import math
+
+        from filters_spark.operators.search import bm25_topk
+
+        corpus = {1: "join join join filler", 2: "join merge", 3: "other words here"}
+        df = spark.createDataFrame(
+            list(corpus.items()), "doc_id long, text string")
+        got = {r.doc_id: r.bm25 for r in bm25_topk(df, "join merge", k=3).collect()}
+
+        # independent reimplementation (plain python, k1=1.2 b=0.75)
+        tfs = {d: (t.split().count("join"), t.split().count("merge"))
+               for d, t in corpus.items()}
+        dls = {d: len(t.split()) for d, t in corpus.items()}
+        n, avgdl = 3, sum(dls.values()) / 3
+        dfq = [sum(1 for v in tfs.values() if v[i] > 0) for i in (0, 1)]
+        exp = {}
+        for d in corpus:
+            s = 0.0
+            for i in (0, 1):
+                idf = math.log(1 + (n - dfq[i] + 0.5) / (dfq[i] + 0.5))
+                tf = float(tfs[d][i])
+                s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dls[d] / avgdl))
+            exp[d] = round(s, 4)
+        assert got == exp
+        # doc 2 hits both terms -> outranks the 3x single-term doc 1
+        order = [r.doc_id for r in bm25_topk(df, "join merge", k=3).collect()]
+        assert order[0] == 2 and order[-1] == 3
+
+    def test_bm25_plan_is_single_scan_topk(self, spark):
+        from filters_spark.operators.search import bm25_topk
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "b c")], "doc_id long, text string")
+        plan = bm25_topk(df, "b", k=1)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
