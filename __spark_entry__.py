@@ -1798,6 +1798,90 @@ def q_sample_pack(spark, sf):
     )
 
 
+@_q(
+    "sample_stratified",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE ((doc_id % 2147483648) * 1099087573 % 2147483648) / 2147483648.0
+          < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 1.0
+                      WHEN 'de' THEN 0.25 ELSE 0.1 END
+    """,
+)
+def q_sample_stratified(spark, sf):
+    """Per-stratum sampling rates (corpus mixing: downweight en to 50%,
+    keep zh, thin the rest) via operators/sampling.py:stratified_sample
+    — map-only deterministic hash test, no shuffle, no RNG."""
+    from filters_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf, "documents")
+    return stratified_sample(
+        d, "lang", {"en": 0.5, "zh": 1.0, "de": 0.25}, "doc_id", default_frac=0.1
+    ).select("doc_id", "lang")
+
+
+@_q(
+    "sample_balance_strata",
+    """
+    WITH c AS (
+      SELECT lang AS s, count(*) AS n FROM documents GROUP BY lang
+    ), t AS (
+      SELECT min(n) AS target FROM c
+    )
+    SELECT doc_id, lang FROM documents
+    JOIN c ON lang = c.s CROSS JOIN t
+    WHERE ((doc_id % 2147483648) * 1099087573 % 2147483648) / 2147483648.0
+          < least(1.0, target / n)
+    """,
+)
+def q_sample_balance(spark, sf):
+    """Downsample every language toward the smallest language's count
+    (operators/sampling.py:balance_strata): one stratum-count aggregate
+    broadcast back, then the same map-only hash keep-test as
+    stratified_sample — no window, no hot-stratum task."""
+    from filters_spark.operators.sampling import balance_strata
+
+    d = _t(spark, sf, "documents")
+    return balance_strata(d, "lang", "doc_id").select("doc_id", "lang")
+
+
+@_q(
+    "search_tfidf_terms",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> len(t) > 0) AS w
+      FROM documents
+    ), tc AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest(w) AS term FROM d
+      ) GROUP BY doc_id, term
+    ), dfq AS (
+      SELECT term, count(*) AS dfreq FROM tc GROUP BY term
+      HAVING count(*) >= 2
+    ), n AS (SELECT count(*) AS n FROM documents)
+    SELECT doc_id, term, tf, tfidf FROM (
+      SELECT tc.doc_id, tc.term, tc.tf,
+             round(CAST(tc.tf AS DOUBLE) * ln(n.n / dfq.dfreq), 4) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tc.doc_id
+               ORDER BY round(CAST(tc.tf AS DOUBLE) * ln(n.n / dfq.dfreq), 4)
+                        DESC, tc.term
+             ) AS rn
+      FROM tc JOIN dfq USING (term) CROSS JOIN n
+    ) WHERE rn <= 3
+    """,
+)
+def q_search_tfidf(spark, sf):
+    """Top-3 characteristic terms per document by tf-idf
+    (operators/search.py:tfidf_topk_terms, min_df=2): explode +
+    doc-term counts, vocabulary doc-frequency pass, keyed join back,
+    deterministic per-doc top-k on the rounded score."""
+    from filters_spark.operators.search import tfidf_topk_terms
+
+    return tfidf_topk_terms(_t(spark, sf, "documents"), k=3, min_df=2)
+
+
 # --- multimodal plumbing (stub decode) ---------------------------------------
 
 

@@ -393,6 +393,39 @@ class LakeTable:
             merged_src = deltas
         return lww_merge(merged_src, payload)
 
+    def lookup(
+        self,
+        repo: str,
+        path: str,
+        snapshot_id: int | None = None,
+    ) -> DataFrame | None:
+        """Point-read one key's current row — the primary-key lookup a
+        CDC-serving layer needs ("what is this file's latest state?")
+        without scanning the table.
+
+        The key's bucket is a pure function of (repo, path) and the
+        table's bucketing params, so the read prunes to that ONE
+        bucket's manifest file list (1/num_buckets of the data, plus
+        its deltas under merge-on-read) before the key filter runs —
+        the bucketed-table analog of an index lookup. Computing the
+        bucket costs a one-row local job (bucket_expr is xxhash64-based
+        and has no driver-side Python twin). Returns None on an empty
+        table; an absent key is an empty DataFrame."""
+        snap = self.snapshot(snapshot_id)
+        b = (
+            self.spark.range(1)
+            .select(
+                bucket_expr(
+                    F.lit(repo), F.lit(path), snap["num_buckets"], snap["path_salt"]
+                ).alias("b")
+            )
+            .collect()[0]["b"]
+        )
+        df = self.read(snapshot_id, buckets=[b])
+        if df is None:
+            return None
+        return df.filter((F.col("repo") == repo) & (F.col("path") == path))
+
     # -- write --------------------------------------------------------------
 
     def commit_buckets(

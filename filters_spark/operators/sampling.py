@@ -142,3 +142,82 @@ def pack_sequences(
             seq_col, F.concat_ws("-", F.col(partition_col).cast("string"), local.cast("string"))
         )
     return df.withColumn(seq_col, local.cast("string"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    default_frac: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Keep each stratum at its own sampling rate (e.g. downweight a
+    crawl source to 10% while keeping curated text at 100%) — the
+    corpus-mixing step of a training-data pipeline.
+
+    Map-only: a row survives iff ``hash(id) < fraction(stratum)``, a
+    pure function of the row — no shuffle, no count pass, no RNG state,
+    stable under re-runs, engine changes and repartitioning, and a
+    row's fate never depends on other rows (so incremental batches
+    sample consistently with a full-corpus pass). The per-stratum rate
+    is hit in expectation, not exactly; exact per-group QUOTAS are
+    :func:`quota_per_group`'s job (which pays a shuffle for the
+    guarantee). Strata absent from ``fractions`` get ``default_frac``.
+
+    The fraction map rides in as a CASE expression — fine for the
+    typical handful of named sources. A million-stratum map belongs in
+    a broadcast-joined table instead."""
+    frac_expr: Column | None = None
+    for name, frac in fractions.items():
+        cond = F.col(strata_col) == F.lit(name)
+        frac_expr = (
+            F.when(cond, F.lit(float(frac)))
+            if frac_expr is None
+            else frac_expr.when(cond, F.lit(float(frac)))
+        )
+    frac_expr = (
+        F.lit(float(default_frac))
+        if frac_expr is None
+        else frac_expr.otherwise(F.lit(float(default_frac)))
+    )
+    return df.filter(_hash01(F.col(id_col), salt) < frac_expr)
+
+
+def balance_strata(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    target: int | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Downsample every stratum toward a common size (the smallest
+    stratum's count by default, or an explicit ``target``) so no source
+    dominates the mix.
+
+    One count aggregate (map-side partial, rows = number of strata)
+    broadcast back onto the corpus; the keep decision is then the same
+    deterministic per-row hash test as :func:`stratified_sample`, so
+    the pass over the data itself is map-only — no window, no hot-key
+    task, no per-stratum sort. Strata at or under target keep all rows.
+    Sizes land at target in expectation (hash sampling), which is the
+    scale-correct trade: an EXACT cut needs a per-stratum global sort
+    (:func:`quota_per_group`)."""
+    counts = df.groupBy(F.col(strata_col).alias("_stratum")).agg(
+        F.count("*").alias("_n")
+    )
+    if target is None:
+        counts = counts.crossJoin(
+            F.broadcast(counts.agg(F.min("_n").alias("_target")))
+        )
+    else:
+        counts = counts.withColumn("_target", F.lit(int(target)))
+    keep_frac = F.least(F.lit(1.0), F.col("_target") / F.col("_n"))
+    out = df.join(
+        F.broadcast(counts.select("_stratum", keep_frac.alias("_frac"))),
+        on=df[strata_col] == F.col("_stratum"),
+        how="inner",
+    )
+    return out.filter(_hash01(F.col(id_col), salt) < F.col("_frac")).drop(
+        "_stratum", "_frac"
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 import re
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from filters_spark.operators.textstats import tokens
 
@@ -94,3 +94,56 @@ def bm25_topk(
     rows), never a global sort."""
     s = bm25_score(df, query, text_col, id_col, k1, b)
     return s.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+
+
+def tfidf_topk_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf
+    (idf = ln(N / df)) — keyword extraction / doc-signature step of a
+    curation pipeline. Returns (id, term, tf, tfidf) rows.
+
+    Shape at scale: one explode + groupBy(doc, term) count (the
+    token-scale shuffle an inverted-index build inherently pays, with
+    map-side partial aggregation), one vocabulary-scale groupBy for
+    document frequencies, a keyed join back on term (vocabulary-sized —
+    left to AQE, which broadcasts it when it fits), and a per-doc
+    top-k window. The corpus row count rides in as a one-row broadcast.
+
+    Ranking is on the ROUNDED score (4 decimals) with the term as
+    tiebreak, so the top-k cut is deterministic and engine-portable;
+    ``min_df`` drops hapax noise before the join."""
+    toks = tokens(F.lower(F.col(text_col)))
+    doc_terms = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    doc_freq = (
+        doc_terms.groupBy("term")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= min_df)
+    )
+    n_docs = df.agg(F.count("*").alias("_n"))
+    scored = (
+        doc_terms.join(doc_freq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            F.round(
+                F.col("tf").cast("double") * F.log(F.col("_n") / F.col("_df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -815,3 +815,147 @@ class TestSearch:
         plan = bm25_topk(df, "b", k=1)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestStratifiedSampling:
+    def test_stratified_rates_and_determinism(self, spark):
+        from filters_spark.operators.sampling import _MOD, _MULT, stratified_sample
+
+        rows = [(i, ["a", "b", "c"][i % 3]) for i in range(600)]
+        df = spark.createDataFrame(rows, "doc_id long, stratum string")
+        out = stratified_sample(
+            df, "stratum", {"a": 1.0, "b": 0.5}, "doc_id", default_frac=0.0
+        )
+        got = {(r.doc_id, r.stratum) for r in out.collect()}
+
+        def h(i):
+            return (i % _MOD) * _MULT % _MOD / _MOD
+
+        exp = {
+            (i, s)
+            for i, s in rows
+            if h(i) < {"a": 1.0, "b": 0.5}.get(s, 0.0)
+        }
+        assert got == exp
+        assert not any(s == "c" for _, s in got)  # default_frac=0 drops
+        assert sum(1 for _, s in got if s == "a") == 200  # frac 1.0 keeps all
+        # map-only: no exchange in the plan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_balance_strata_targets_min(self, spark):
+        from filters_spark.operators.sampling import balance_strata
+
+        rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+        df = spark.createDataFrame(rows, "doc_id long, stratum string")
+        out = balance_strata(df, "stratum", "doc_id").collect()
+        by = {}
+        for r in out:
+            by.setdefault(r.stratum, 0)
+            by[r.stratum] += 1
+        assert by["small"] == 100  # at/under target keeps everything
+        # big stratum lands near target=100 in expectation (hash test)
+        assert 60 <= by["big"] <= 140
+        # explicit target, deterministic across calls
+        a = sorted(r.doc_id for r in balance_strata(df, "stratum", "doc_id", target=50).collect())
+        b = sorted(r.doc_id for r in balance_strata(df, "stratum", "doc_id", target=50).collect())
+        assert a == b
+
+    def test_balance_strata_broadcasts_counts(self, spark):
+        from filters_spark.operators.sampling import balance_strata
+
+        df = spark.createDataFrame(
+            [(i, str(i % 3)) for i in range(30)], "doc_id long, stratum string"
+        )
+        plan = (
+            balance_strata(df, "stratum", "doc_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
+class TestTfidf:
+    def test_tfidf_against_reference(self, spark):
+        import math
+
+        from filters_spark.operators.search import tfidf_topk_terms
+
+        corpus = {
+            1: "spark spark join",
+            2: "join merge merge merge",
+            3: "spark merge scan",
+        }
+        df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+        got = {
+            (r.doc_id, r.term): (r.tf, r.tfidf)
+            for r in tfidf_topk_terms(df, k=2, min_df=1).collect()
+        }
+        # reference: tf * ln(N/df), top-2 per doc by rounded score then term
+        tf = {}
+        for d, t in corpus.items():
+            for w in t.split():
+                tf[(d, w)] = tf.get((d, w), 0) + 1
+        dfreq = {}
+        for (d, w), _ in tf.items():
+            dfreq[w] = dfreq.get(w, 0) + 1
+        scored = {
+            (d, w): (n, round(n * math.log(3 / dfreq[w]), 4))
+            for (d, w), n in tf.items()
+        }
+        exp = {}
+        for d in corpus:
+            terms = sorted(
+                ((w, v) for (dd, w), v in scored.items() if dd == d),
+                key=lambda x: (-x[1][1], x[0]),
+            )[:2]
+            for w, v in terms:
+                exp[(d, w)] = v
+        assert got == exp
+
+    def test_min_df_prunes(self, spark):
+        from filters_spark.operators.search import tfidf_topk_terms
+
+        df = spark.createDataFrame(
+            [(1, "rare shared"), (2, "shared")], "doc_id long, text string"
+        )
+        terms = {r.term for r in tfidf_topk_terms(df, k=5, min_df=2).collect()}
+        assert terms == {"shared"}
+
+
+class TestLookup:
+    def test_lookup_prunes_to_one_bucket(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from filters_spark.lake.table import LakeTable, bucket_expr
+
+        root = str(tmp_path / "lk")
+        t = LakeTable.create(spark, root, ["repo", "path"], num_buckets=8)
+        rows = [
+            ("r%d" % (i % 5), "f%d.py" % i, "%012x" % i, i, "py", "blob%d" % i)
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "repo string, path string, commit string, event_seq long, "
+            "lang string, content string",
+        ).withColumn("content_sha", F.sha2(F.col("content"), 256)).withColumn(
+            "_bucket", bucket_expr(F.col("repo"), F.col("path"), 8, 16)
+        )
+        touched = sorted(r._bucket for r in df.select("_bucket").distinct().collect())
+        t.commit_buckets(
+            df.repartition("_bucket"), touched, {b: "%012x:0" % 300 for b in touched}
+        )
+
+        got = t.lookup("r3", "f13.py").collect()
+        assert len(got) == 1 and got[0]["commit"] == "%012x" % 13
+        assert t.lookup("r3", "nope.py").count() == 0
+
+        # the scan under lookup() reads ONE bucket's file list, not the
+        # whole table's: its input files are a strict subset
+        snap = t.snapshot()
+        all_files = sum(len(v) for v in snap["buckets"].values())
+        looked = t.lookup("r3", "f13.py")
+        n_in = len(looked.inputFiles())
+        one_bucket = max(len(v) for v in snap["buckets"].values())
+        assert n_in <= one_bucket < all_files
