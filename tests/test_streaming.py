@@ -140,3 +140,57 @@ def test_source_adapter_contract(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown source kind"):
         open_source(spark, "pulsar", {})
+
+
+def test_stream_dedupe_stateful_across_batches_and_restart(spark, tmp_path):
+    """applyInPandasWithState keyed dedupe: duplicates are dropped
+    within a micro-batch, across micro-batches, and across a stream
+    RESTART (state lives in the checkpoint), while new higher
+    watermarks always pass."""
+    from filters_spark.streaming.stateful import stream_dedupe
+
+    ddl = ("commit string, event_seq long, op string, repo string, "
+           "path string, lang string, content string, schema_version int")
+
+    def ev(commit, seq, repo="r1", path="a.py"):
+        return ("%012x" % commit, seq, "U", repo, path, "py", f"c{commit}:{seq}", 1)
+
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal)
+    seen = []
+
+    def run(ckpt):
+        stream = tail_directory(spark, wal + "/*/").withColumn(
+            "_src", F.lit("s"))
+        stream = stream.drop("_src")
+        q = (
+            stream_dedupe(stream)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("maxFilesPerTrigger", 1)
+            .trigger(availableNow=True)
+            .foreachBatch(lambda df, bid: seen.extend(
+                (r.repo, r.path, r.commit, r.event_seq) for r in df.collect()))
+            .start()
+        )
+        q.awaitTermination(300)
+
+    ckpt = str(tmp_path / "ckpt")
+    b1 = [ev(1, 0), ev(1, 0), ev(2, 0, repo="r2")]        # in-batch dup
+    b2 = [ev(1, 0), ev(3, 0), ev(2, 0, repo="r2")]        # cross-batch dups + one new
+    spark.createDataFrame(b1, ddl).coalesce(1).write.parquet(wal + "/f1")
+    spark.createDataFrame(b2, ddl).coalesce(1).write.parquet(wal + "/f2")
+    run(ckpt)
+    got = sorted(seen)
+    assert got == sorted([
+        ("r1", "a.py", "%012x" % 1, 0),
+        ("r2", "a.py", "%012x" % 2, 0),
+        ("r1", "a.py", "%012x" % 3, 0),
+    ])
+
+    # restart over the SAME checkpoint: a redelivered wm plus one new
+    seen.clear()
+    b3 = [ev(3, 0), ev(4, 0)]
+    spark.createDataFrame(b3, ddl).coalesce(1).write.parquet(wal + "/f3")
+    run(ckpt)
+    assert seen == [("r1", "a.py", "%012x" % 4, 0)]
