@@ -1882,6 +1882,66 @@ def q_search_tfidf(spark, sf):
     return tfidf_topk_terms(_t(spark, sf, "documents"), k=3, min_df=2)
 
 
+@_q(
+    "search_inverted_postings",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                       t -> len(t) > 0)) AS w
+      FROM documents
+    ), t AS (
+      SELECT doc_id, unnest(w) AS term FROM d
+    ), r AS (
+      SELECT term, doc_id,
+             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM t
+    ), n AS (SELECT count(*) AS n FROM documents)
+    SELECT term, df_count, postings FROM (
+      SELECT term, CAST(count(*) AS BIGINT) AS df_count,
+             array_to_string(list_sort(list(doc_id) FILTER (rn <= 20)), ',')
+               AS postings
+      FROM r GROUP BY term
+    ) CROSS JOIN n
+    WHERE df_count >= 2 AND df_count <= 0.5 * n
+    """,
+)
+def q_search_postings(spark, sf):
+    """Inverted-index build (operators/search.py:inverted_postings):
+    per-term doc frequency + capped sorted posting list (presence
+    postings over distinct per-doc terms); vocabulary trimmed to
+    2 <= df <= 50% of the corpus. The cap bounds the aggregation
+    buffer BEFORE collect_list (rank window sharing the groupBy's
+    exchange), so stopword terms cost O(cap), not O(corpus)."""
+    from filters_spark.operators.search import inverted_postings
+
+    return inverted_postings(
+        _t(spark, sf, "documents"), min_df=2, max_df_frac=0.5, max_postings=20
+    )
+
+
+@_q(
+    "agg_rollup_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark, sf):
+    """Hierarchical subtotal aggregate (F.rollup == SQL GROUP BY
+    ROLLUP): per (flag, status), per flag, and grand total in one
+    pass — Spark expands grouping sets in a single shuffle with
+    map-side partials."""
+    li = _t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity").cast("double"), 2).alias("sum_qty"),
+    )
+
+
 # --- multimodal plumbing (stub decode) ---------------------------------------
 
 

@@ -147,3 +147,58 @@ def tfidf_topk_terms(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def inverted_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_df_frac: float = 1.0,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Build an inverted index: per term, its document frequency and a
+    CAPPED, sorted posting list (serialized as a comma-joined string —
+    engine-portable, and the cap makes the row bounded no matter how
+    common the term is). Returns (term, df_count, postings).
+
+    Scale shape: explode of DISTINCT per-doc terms (presence postings,
+    so a term repeated 10^4 times in one doc costs one row), then ONE
+    exchange on term shared by the rank window and the groupBy
+    (identical partitioning — Catalyst reuses it). The posting cap is
+    applied BEFORE aggregation via the rank window + conditional
+    collect_list, so the aggregation buffer for a stopword-grade term
+    holds ``max_postings`` ids, never its full document set —
+    df_count still counts every document. ``min_df``/``max_df_frac``
+    prune hapax noise and stopwords (the standard index vocabulary
+    trim); the corpus size for the frac test rides in as a one-row
+    broadcast."""
+    toks = tokens(F.lower(F.col(text_col)))
+    terms = df.select(
+        F.col(id_col), F.explode(F.array_distinct(toks)).alias("term")
+    )
+    w = Window.partitionBy("term").orderBy(F.col(id_col))
+    ranked = terms.withColumn("_rn", F.row_number().over(w))
+    agg = ranked.groupBy("term").agg(
+        F.count("*").alias("df_count"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("_rn") <= max_postings, F.col(id_col))
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    n_docs = df.agg(F.count("*").alias("_n"))
+    return (
+        agg.crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df_count") >= min_df)
+            & (F.col("df_count") <= F.lit(float(max_df_frac)) * F.col("_n"))
+        )
+        .drop("_n")
+    )

@@ -959,3 +959,61 @@ class TestLookup:
         n_in = len(looked.inputFiles())
         one_bucket = max(len(v) for v in snap["buckets"].values())
         assert n_in <= one_bucket < all_files
+
+
+class TestInvertedPostings:
+    def test_postings_capped_sorted_and_counted(self, spark):
+        from filters_spark.operators.search import inverted_postings
+
+        docs = [(1, "a b"), (2, "b a a"), (3, "b c"), (4, "b")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.term: (r.df_count, r.postings)
+            for r in inverted_postings(df, max_postings=2).collect()
+        }
+        # presence postings over distinct per-doc terms; cap=2 keeps the
+        # two LOWEST ids but df_count still counts every doc
+        assert got == {
+            "a": (2, "1,2"),
+            "b": (4, "1,2"),
+            "c": (1, "3"),
+        }
+
+    def test_vocab_trim_and_single_exchange(self, spark):
+        from filters_spark.operators.search import inverted_postings
+
+        docs = [(i, "stop " + ("rare" if i == 0 else "mid")) for i in range(10)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = inverted_postings(df, min_df=2, max_df_frac=0.95)
+        terms = {r.term for r in out.collect()}
+        assert terms == {"mid"}  # 'rare' df=1 < 2; 'stop' df=10 > 9.5
+        # the rank window and the groupBy share the term exchange (the
+        # AQE toString repeats the plan in its "Initial Plan" section —
+        # count only the executed final section)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("Exchange hashpartitioning(term") == 1
+
+
+class TestStratifiedProperties:
+    def test_partition_and_batch_invariance(self, spark):
+        """A row's fate is a pure function of (id, stratum): the same
+        rows survive regardless of partitioning, and sampling two
+        halves separately equals sampling the union — the property an
+        incremental pipeline needs."""
+        from filters_spark.operators.sampling import stratified_sample
+
+        rows = [(i, ["x", "y"][i % 2]) for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id long, stratum string")
+        frac = {"x": 0.3, "y": 0.7}
+
+        def ids(d):
+            return sorted(
+                r.doc_id for r in stratified_sample(d, "stratum", frac, "doc_id").collect()
+            )
+
+        whole = ids(df)
+        assert ids(df.repartition(17, "stratum")) == whole
+        lo = ids(df.filter(F.col("doc_id") < 200))
+        hi = ids(df.filter(F.col("doc_id") >= 200))
+        assert sorted(lo + hi) == whole
