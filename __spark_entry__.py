@@ -1942,6 +1942,132 @@ def q_agg_rollup(spark, sf):
     )
 
 
+@_q(
+    "agg_value_percentiles",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(value, 0.5), 4)  AS p50,
+           round(quantile_cont(value, 0.9), 4)  AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_value_percentiles(spark, sf):
+    """Exact percentiles per group (Spark ``percentile`` == DuckDB
+    ``quantile_cont``: both sort and linearly interpolate at rank
+    (n-1)*p). One shuffle on the group key; Spark's exact percentile
+    buffers each group's values, so group cardinality — not table
+    size — bounds memory; at 100 TB with huge groups switch to
+    ``percentile_approx`` (t-digest, mergeable map-side partials) —
+    same call shape, bounded state."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(value, 0.5D)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9D)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99D)"), 4).alias("p99"),
+    )
+
+
+@_q(
+    "text_pii_redact",
+    # decorate each document with deterministic doc_id-derived PII spans
+    # (the corpus itself is clean prose) so the redaction path has real
+    # matches to find; both engines build the identical decorated text.
+    """
+    WITH d AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || ' contact ops' || doc_id ||
+             '@data.example.com from 10.' || (doc_id % 200) ||
+             '.3.44 or call +1 415 55' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+             '\\+[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text,
+             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ipv4,
+           len(regexp_extract_all(text,
+             '\\+[0-9][0-9 ()-]{6,}[0-9]')) AS n_phone,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) +
+           len(regexp_extract_all(text,
+             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) +
+           len(regexp_extract_all(text,
+             '\\+[0-9][0-9 ()-]{6,}[0-9]')) AS n_pii
+    FROM d
+    """,
+)
+def q_text_pii_redact(spark, sf):
+    """PII scrubbing (operators/textstats.py: pii_redact) — map-only
+    native regexp_replace/regexp_count, dialect-safe patterns (Java ==
+    RE2 on explicit classes + \\b). The corpus is clean, so the query
+    injects deterministic doc_id-derived emails/IPs/phones first and
+    the oracle builds the same decorated text."""
+    from filters_spark.operators.textstats import pii_redact
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" contact ops"), F.col("doc_id").cast("string"),
+            F.lit("@data.example.com from 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".3.44 or call +1 415 55"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return pii_redact(d).select(
+        "doc_id", "redacted",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_pii").cast("long").alias("n_pii"),
+    )
+
+
+@_q(
+    "sample_chunk_documents",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         t -> len(t) > 0) AS w
+      FROM documents
+    ), c AS (
+      SELECT doc_id, w, len(w) AS n,
+             greatest(CAST(1 AS BIGINT),
+                      CAST(ceil((len(w) - 16) / 48.0) AS BIGINT)) AS n_chunks
+      FROM d WHERE len(w) > 0
+    ), e AS (
+      SELECT doc_id, w, n, unnest(range(0, n_chunks)) AS chunk_id FROM c
+    )
+    SELECT doc_id, chunk_id,
+           chunk_id * 48 + 1 AS start_token,
+           CAST(len(w[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS BIGINT)
+             AS n_tokens,
+           array_to_string(w[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+             AS chunk_text
+    FROM e
+    """,
+)
+def q_sample_chunk_documents(spark, sf):
+    """Context-window chunking (operators/sampling.py:
+    chunk_documents): 64-token windows, 16-token overlap. Map-only
+    explode(sequence)/slice — no shuffle, chunk-sized output rows."""
+    from filters_spark.operators.sampling import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
 # --- multimodal plumbing (stub decode) ---------------------------------------
 
 

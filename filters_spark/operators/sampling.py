@@ -221,3 +221,54 @@ def balance_strata(
     return out.filter(_hash01(F.col(id_col), salt) < F.col("_frac")).drop(
         "_stratum", "_frac"
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-budget token windows with overlap —
+    the standard context-window chunking step before embedding or
+    training-row assembly.
+
+    Chunk ``i`` covers whitespace tokens ``[i*step, i*step +
+    chunk_tokens)`` with ``step = chunk_tokens - overlap``; the chunk
+    count is ``max(1, ceil((n - overlap) / step))`` so every token is
+    covered, consecutive chunks share exactly ``overlap`` tokens, and a
+    short document yields one (possibly short) chunk. Empty documents
+    are dropped.
+
+    Scale shape: map-only — tokenization, ``explode(sequence(...))``
+    over the per-document chunk count, and ``slice``/``array_join``
+    are all native expressions; no shuffle, no Python. Output rows are
+    chunk-sized regardless of how large a single input document is
+    (the explode streams; the document's token array is shared, not
+    copied per chunk, inside the generated code's row batch).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    w = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
+    base = df.select(
+        F.col(id_col), w.alias("_w"), F.size(w).cast("long").alias("_n")
+    ).filter(F.col("_n") > 0)
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil((F.col("_n") - F.lit(overlap)) / F.lit(float(step))),
+    )
+    expanded = base.select(
+        id_col, "_w", "_n",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = (F.col("chunk_id") * step + 1).cast("long")
+    piece = F.slice(F.col("_w"), start.cast("int"), chunk_tokens)
+    return expanded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        start.alias("start_token"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

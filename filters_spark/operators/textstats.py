@@ -307,3 +307,52 @@ def text_profile(df: DataFrame, text_col: str = "text", fingerprint_hash_fn=None
         lang_id(t).alias("lang_guess"),
         fingerprint(t, hash_fn=fingerprint_hash_fn).alias("fingerprint"),
     )
+
+
+# -- PII redaction -----------------------------------------------------------
+#
+# Patterns are restricted to the regex subset whose semantics agree
+# between Java regex (Spark executors) and RE2 (DuckDB oracle, and the
+# pyarrow fast paths elsewhere in this package): explicit character
+# classes, bounded repetition, \b word boundaries. No shorthand classes
+# (\d, \w) — Java's are ASCII-only by default but the explicit classes
+# make the contract visible; no backreferences or lookaround (RE2 has
+# neither).
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (name, pattern, replacement token)
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub PII-shaped spans (emails, IPv4 literals, international
+    phone numbers) from a text column and report per-category match
+    counts — the pre-training privacy pass every large corpus gets
+    before tokenization.
+
+    Scale shape: map-only native ``regexp_replace`` / ``regexp_count``
+    over the scan — zero Python, zero shuffle, whole-stage codegen
+    end-to-end. Counts are taken on the ORIGINAL text (order-
+    independent); replacements run email → ip → phone, so a category's
+    replacement token is never re-matched by a later pattern (tokens
+    contain no digits or ``@``).
+    """
+    t = F.col(text_col)
+    red = t
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(t, F.lit(pat)).alias(f"n_{name}"))
+        red = F.regexp_replace(red, pat, repl)
+    total = None
+    for name, pat, repl in PII_PATTERNS:
+        c = F.regexp_count(t, F.lit(pat))
+        total = c if total is None else total + c
+    return df.select(
+        F.col(id_col), red.alias("redacted"), *counts,
+        total.alias("n_pii"),
+    )

@@ -1017,3 +1017,73 @@ class TestStratifiedProperties:
         lo = ids(df.filter(F.col("doc_id") < 200))
         hi = ids(df.filter(F.col("doc_id") >= 200))
         assert sorted(lo + hi) == whole
+
+
+class TestPiiRedact:
+    def test_redacts_and_counts(self, spark):
+        from filters_spark.operators.textstats import pii_redact
+
+        rows = [
+            (0, "mail a@b.io and c.d+x@e-f.co, host 10.0.0.1, tel +1 (415) 555-0100"),
+            (1, "no pii here at all"),
+            (2, "ip 192.168.1.255 twice 192.168.1.255"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in pii_redact(df).collect()}
+        assert out[0].n_email == 2 and out[0].n_ipv4 == 1 and out[0].n_phone == 1
+        assert out[0].n_pii == 4
+        assert "<EMAIL>" in out[0].redacted and "<IP>" in out[0].redacted
+        assert "<PHONE>" in out[0].redacted
+        assert "@" not in out[0].redacted
+        assert out[1].n_pii == 0 and out[1].redacted == "no pii here at all"
+        assert out[2].n_ipv4 == 2 and out[2].redacted.count("<IP>") == 2
+
+    def test_plan_is_map_only(self, spark):
+        from filters_spark.operators.textstats import pii_redact
+
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        plan = pii_redact(df)._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+class TestChunkDocuments:
+    def test_coverage_and_overlap(self, spark):
+        from filters_spark.operators.sampling import chunk_documents
+
+        text = " ".join(f"t{i}" for i in range(113))
+        df = spark.createDataFrame(
+            [(0, text), (1, "short doc"), (2, "")],
+            "doc_id long, text string",
+        )
+        rows = chunk_documents(df, chunk_tokens=64, overlap=16).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # empty doc dropped
+        assert set(by_doc) == {0, 1}
+        # short doc: one chunk, all tokens
+        (s,) = by_doc[1]
+        assert s.chunk_id == 0 and s.n_tokens == 2 and s.chunk_text == "short doc"
+        # 113 tokens, step 48: ceil((113-16)/48) = 3 chunks
+        chunks = sorted(by_doc[0], key=lambda r: r.chunk_id)
+        assert [c.start_token for c in chunks] == [1, 49, 97]
+        assert [c.n_tokens for c in chunks] == [64, 64, 17]
+        # every token covered, consecutive chunks share exactly 16 tokens
+        toks = text.split(" ")
+        covered = set()
+        for c in chunks:
+            ct = c.chunk_text.split(" ")
+            assert ct == toks[c.start_token - 1 : c.start_token - 1 + c.n_tokens]
+            covered.update(range(c.start_token - 1, c.start_token - 1 + c.n_tokens))
+        assert covered == set(range(113))
+        for a, b in zip(chunks, chunks[1:]):
+            shared = (a.start_token + a.n_tokens) - b.start_token
+            assert shared == 16
+
+    def test_rejects_bad_overlap(self, spark):
+        from filters_spark.operators.sampling import chunk_documents
+
+        df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=8, overlap=8)
