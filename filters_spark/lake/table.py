@@ -135,6 +135,11 @@ class LakeTable:
         # snapshot in a long replay loop O(touched manifests), not
         # O(buckets)
         self._manifest_cache: dict[str, list[str]] = {}
+        # per-file column stats (path -> {col: [min, max]}), fed from
+        # resolved manifests and from footer reads at commit time; paths
+        # are unique (each commit writes under a fresh snap-/delta- dir)
+        # so a flat path-keyed cache is sound
+        self._file_stats_cache: dict[str, dict] = {}
         # reverse memo: list OBJECT -> its manifest name. Untouched
         # buckets flow commit-to-commit by reference (``dict(prev[...])``
         # shallow-copies the resolved lists), so an identity hit skips
@@ -156,7 +161,16 @@ class LakeTable:
         path_salt: int = 16,
         schema_version: int = 1,
         columns: list[str] | None = None,
+        stats_cols: list[str] | None = None,
+        sort_cols: list[str] | None = None,
     ) -> "LakeTable":
+        """``stats_cols``: columns whose per-file min/max are recorded
+        in manifests at commit time (parquet footer stats, driver-side,
+        O(new files)) and used by :meth:`read`'s ``where`` pruning.
+        ``sort_cols``: commit-time ``sortWithinPartitions`` clustering
+        inside each bucket — tight per-file ranges are what make the
+        min/max skipping selective (unsorted files all span the whole
+        domain and nothing prunes)."""
         t = cls(spark, root)
         if t.io.exists(os.path.join(t.meta_dir, "version-hint.text")):
             raise FileExistsError(f"lake table already exists at {root}")
@@ -171,6 +185,8 @@ class LakeTable:
             "path_salt": path_salt,
             "schema_version": schema_version,
             "columns": columns,
+            "stats_cols": stats_cols,
+            "sort_cols": sort_cols,
             "operation": "create",
             "buckets": {},      # bucket_id(str) -> [base file paths]
             "deltas": {},       # bucket_id(str) -> [delta file paths] (merge-on-read)
@@ -258,7 +274,15 @@ class LakeTable:
             if name not in self._manifest_cache:
                 path = os.path.join(self.meta_dir, name)
                 if not self.io.exists(path):
-                    self.io.write_text_atomic(path, json.dumps({"files": files}))
+                    body: dict = {"files": files}
+                    stats = {
+                        f: self._file_stats_cache[f]
+                        for f in files
+                        if f in self._file_stats_cache
+                    }
+                    if stats:
+                        body["stats"] = stats
+                    self.io.write_text_atomic(path, json.dumps(body))
                 self._manifest_cache[name] = list(files)
             self._name_by_list[id(files)] = (files, name)
             refs[b] = name
@@ -270,10 +294,52 @@ class LakeTable:
             if name not in self._manifest_cache:
                 body = json.loads(self.io.read_text(os.path.join(self.meta_dir, name)))
                 self._manifest_cache[name] = body["files"]
+                self._file_stats_cache.update(body.get("stats", {}))
             lst = list(self._manifest_cache[name])
             self._name_by_list[id(lst)] = (lst, name)
             out[b] = lst
         return out
+
+    def _collect_file_stats(self, paths: list[str], cols: list[str]) -> None:
+        """Record per-file min/max for ``cols`` from parquet FOOTERS
+        into the stats cache — driver-side metadata reads, O(new files)
+        per commit, the same cost class as the commit's directory
+        listing. Files the local pyarrow reader can't reach (object
+        stores behind HadoopFileIO) or columns with non-JSON-able stats
+        (timestamps, binary) are skipped: absent stats degrade to
+        "never pruned", never to wrong results."""
+        import pyarrow.parquet as pq
+
+        for p in paths:
+            if p in self._file_stats_cache:
+                continue
+            try:
+                md = pq.ParquetFile(p).metadata
+            except Exception:
+                continue
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            fstats: dict[str, list] = {}
+            for c in cols:
+                i = names.get(c)
+                if i is None:
+                    continue
+                mn = mx = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(i).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    lo, hi = st.min, st.max
+                    if not isinstance(lo, (str, int, float)) or isinstance(lo, bool):
+                        ok = False
+                        break
+                    mn = lo if mn is None else min(mn, lo)
+                    mx = hi if mx is None else max(mx, hi)
+                if ok and mn is not None:
+                    fstats[c] = [mn, mx]
+            if fstats:
+                self._file_stats_cache[p] = fstats
 
     def _write_snapshot(self, snapshot: dict) -> None:
         sid = snapshot["snapshot_id"]
@@ -326,14 +392,40 @@ class LakeTable:
 
     # -- read ---------------------------------------------------------------
 
+    @staticmethod
+    def _file_may_match(stats: dict | None, where: tuple) -> bool:
+        """Range-overlap test against a file's recorded [min, max];
+        a file without stats for the column can never be skipped."""
+        col, lo, hi = where
+        if not stats or col not in stats:
+            return True
+        mn, mx = stats[col]
+        if lo is not None and mx < lo:
+            return False
+        if hi is not None and mn > hi:
+            return False
+        return True
+
     def read(
         self,
         snapshot_id: int | None = None,
         buckets: Iterable[int] | None = None,
+        where: tuple | None = None,
     ) -> DataFrame | None:
         """Read the table at a snapshot (time travel); optionally only
         the given buckets (bucket pruning — the physical analog of
         Iceberg partition pruning). Returns None when empty.
+
+        ``where=(col, lo, hi)`` (inclusive bounds, None = unbounded)
+        filters rows to the range AND, for buckets with no pending
+        deltas, skips base files whose manifest-recorded min/max
+        exclude it entirely (Iceberg-style data skipping; selective
+        when the table was created with ``sort_cols`` clustering).
+        Buckets that DO carry deltas are read in full and filtered
+        after the merge: value-pruning a merge-on-read bucket is
+        unsound — dropping the file holding a key's winning version
+        (e.g. an out-of-range update or a delete tombstone) would
+        expose a stale in-range row as the winner.
 
         Merge-on-read: buckets that carry delta files (commit_deltas)
         are merged lazily — base ∪ deltas, one last-writer-wins window
@@ -344,6 +436,11 @@ class LakeTable:
         base_files: list[str] = []
         for b, fl in snap["buckets"].items():
             if wanted is None or b in wanted:
+                if where is not None and not snap.get("deltas", {}).get(b):
+                    fl = [
+                        f for f in fl
+                        if self._file_may_match(self._file_stats_cache.get(f), where)
+                    ]
                 base_files.extend(fl)
         delta_files: list[str] = []
         for b, fl in snap.get("deltas", {}).items():
@@ -377,7 +474,7 @@ class LakeTable:
                 "content_sha", bkt,
             )
         if not delta_files:
-            return base
+            return self._apply_where(base, where)
         deltas = self.spark.read.schema(self._delta_ddl(payload)).parquet(*delta_files).select(
             "repo", "path", "commit", "event_seq", *payload, "op", bkt,
             watermark_str(F.col("commit"), F.col("event_seq")).alias("_wm"),
@@ -391,7 +488,78 @@ class LakeTable:
             merged_src = base_ops.unionByName(deltas)
         else:
             merged_src = deltas
-        return lww_merge(merged_src, payload)
+        return self._apply_where(lww_merge(merged_src, payload), where)
+
+    @staticmethod
+    def _apply_where(df: DataFrame | None, where: tuple | None) -> DataFrame | None:
+        if df is None or where is None:
+            return df
+        col, lo, hi = where
+        c = F.col(col)
+        if lo is not None:
+            df = df.filter(c >= lo)
+        if hi is not None:
+            df = df.filter(c <= hi)
+        return df
+
+    def prune_report(
+        self,
+        where: tuple,
+        snapshot_id: int | None = None,
+        buckets: Iterable[int] | None = None,
+    ) -> dict:
+        """Observability twin of :meth:`read`'s data skipping: how many
+        base files the ``where`` range would actually scan. Drives the
+        data-skipping tests and capacity planning ("is the clustering
+        selective enough?") without running a query."""
+        snap = self.snapshot(snapshot_id)
+        wanted = None if buckets is None else {str(b) for b in buckets}
+        total = kept = 0
+        unprunable: list[int] = []
+        for b, fl in snap["buckets"].items():
+            if wanted is not None and b not in wanted:
+                continue
+            total += len(fl)
+            if snap.get("deltas", {}).get(b):
+                kept += len(fl)
+                unprunable.append(int(b))
+                continue
+            kept += sum(
+                1 for f in fl
+                if self._file_may_match(self._file_stats_cache.get(f), where)
+            )
+        return {
+            "files_total": total,
+            "files_read": kept,
+            "files_skipped": total - kept,
+            "buckets_with_deltas": sorted(unprunable),
+        }
+
+    def rollback(self, snapshot_id: int) -> dict:
+        """Restore the table to a prior snapshot's state as a NEW
+        commit (Iceberg rollback semantics): metadata-only — the new
+        header re-references the target's manifests (content addressing
+        makes that free), history stays intact, and ``changes()``/time
+        travel continue to work across the rollback point. The target
+        snapshot must not have been expired."""
+        target = self.snapshot(snapshot_id)
+        prev = self.current()
+        snapshot = {
+            **prev,
+            "snapshot_id": prev["snapshot_id"] + 1,
+            "parent_id": prev["snapshot_id"],
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": "rollback",
+            "added_files": [],
+            "schema_version": target["schema_version"],
+            "columns": target.get("columns"),
+            "buckets": target["buckets"],
+            "deltas": target.get("deltas", {}),
+            "watermarks": target["watermarks"],
+            "stats": target["stats"],
+        }
+        self._write_snapshot(snapshot)
+        return snapshot
 
     def lookup(
         self,
@@ -448,6 +616,14 @@ class LakeTable:
         prev = self.current()
         sid = prev["snapshot_id"] + 1
         out_dir = os.path.join(self.data_dir, f"snap-{sid:08d}")
+        sort_cols = prev.get("sort_cols")
+        if sort_cols:
+            # cluster inside each bucket so per-file min/max ranges are
+            # tight — partitionBy splits a sorted task stream into
+            # per-bucket files preserving order, so each data file is
+            # sorted by sort_cols (no extra shuffle: sortWithinPartitions
+            # is a per-partition sort over the existing partitioning)
+            df = df.sortWithinPartitions("_bucket", *sort_cols)
         (
             df.write.mode("error")
             .partitionBy("_bucket")
@@ -486,6 +662,10 @@ class LakeTable:
         further executor work."""
         prev = self.current()
         sid = prev["snapshot_id"] + 1
+        if prev.get("stats_cols"):
+            self._collect_file_stats(
+                [f for fl in new_files.values() for f in fl], prev["stats_cols"]
+            )
         buckets = dict(prev["buckets"])
         deltas = dict(prev.get("deltas", {}))
         for b, fl in new_files.items():
@@ -570,6 +750,10 @@ class LakeTable:
         commits)."""
         prev = self.current()
         sid = prev["snapshot_id"] + 1
+        if prev.get("stats_cols"):
+            self._collect_file_stats(
+                [f for fl in new_files.values() for f in fl], prev["stats_cols"]
+            )
         deltas = dict(prev.get("deltas", {}))
         added: list[str] = []
         for b, files in new_files.items():
