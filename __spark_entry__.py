@@ -1971,6 +1971,33 @@ def q_agg_value_percentiles(spark, sf):
 
 
 @_q(
+    "stream_windowed_stats",
+    """
+    SELECT date_trunc('hour', ts) AS win_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_stream_windowed_stats(spark, sf):
+    """Event-time tumbling-window aggregate (streaming/windows.py:
+    windowed_event_stats) run in BATCH mode — the same logical plan
+    runs incrementally under Structured Streaming with watermark-
+    bounded state (tests/test_streaming.py pins append-mode
+    finalization + late-data drop). Spark's epoch-aligned 1h window
+    start == DuckDB date_trunc('hour'). Value summed as DECIMAL so the
+    result is partition-order independent."""
+    from filters_spark.streaming.windows import windowed_event_stats
+
+    return windowed_event_stats(
+        _t(spark, sf, "events"), window="1 hour", watermark="10 minutes"
+    )
+
+
+@_q(
     "text_pii_redact",
     # decorate each document with deterministic doc_id-derived PII spans
     # (the corpus itself is clean prose) so the redaction path has real

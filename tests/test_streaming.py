@@ -194,3 +194,87 @@ def test_stream_dedupe_stateful_across_batches_and_restart(spark, tmp_path):
     spark.createDataFrame(b3, ddl).coalesce(1).write.parquet(wal + "/f3")
     run(ckpt)
     assert seen == [("r1", "a.py", "%012x" % 4, 0)]
+
+
+def test_windowed_agg_append_finalizes_and_drops_late(spark, tmp_path):
+    """Event-time windowed aggregation under a watermark, across a
+    stream restart: the watermark is persisted in the checkpoint, a row
+    later than the allowed lateness is DROPPED on the next run (pinned
+    via the state operator's numRowsDroppedByWatermark), and append
+    mode emits each finalized window exactly once. The streamed result
+    matches the batch run of the SAME operator over the on-time rows."""
+    from filters_spark.streaming.windows import windowed_event_stats
+
+    ddl = "ts timestamp, event_type string, value double"
+
+    def frame(rows):
+        raw = spark.createDataFrame(rows, "ts string, event_type string, value double")
+        return raw.select(F.to_timestamp("ts").alias("ts"), "event_type", "value")
+
+    d = str(tmp_path / "winsrc")
+    os.makedirs(d)
+    out = str(tmp_path / "winout")
+
+    def run():
+        stream = spark.readStream.schema(ddl).parquet(d + "/*/")
+        agg = windowed_event_stats(stream, window="1 hour", watermark="10 minutes")
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "winckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return q
+
+    # run 1: on-time rows in the 10:00 hour -> watermark 10:30 checkpointed
+    frame(
+        [
+            ("2026-01-01 10:00:30", "click", 1.5),
+            ("2026-01-01 10:20:00", "click", 2.0),
+            ("2026-01-01 10:40:00", "view", 4.0),
+        ]
+    ).coalesce(1).write.parquet(os.path.join(d, "f1"))
+    run()
+
+    # run 2 (restart): a watermark-advancing row at 13:00 plus a LATE row
+    # back in the long-closed 09:00 hour — below the restored 10:30
+    # watermark, so it must be dropped, not aggregated
+    frame(
+        [
+            ("2026-01-01 13:00:00", "click", 8.0),
+            ("2026-01-01 09:10:00", "click", 99.0),  # too late: dropped
+        ]
+    ).coalesce(1).write.parquet(os.path.join(d, "f2"))
+    q2 = run()
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q2.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1
+
+    got = {
+        (r.win_start.isoformat(), r.event_type): (r.n, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    # only the 10:00 windows finalized (13:00's stays open in state;
+    # 09:00's late row was dropped, so that window never materializes)
+    assert got == {
+        ("2026-01-01T10:00:00", "click"): (2, 3.5),
+        ("2026-01-01T10:00:00", "view"): (1, 4.0),
+    }
+
+    # batch mode of the same operator over the on-time rows agrees
+    batch = windowed_event_stats(
+        spark.read.schema(ddl).parquet(os.path.join(d, "f1")),
+        window="1 hour",
+        watermark="10 minutes",
+    )
+    bgot = {
+        (r.win_start.isoformat(), r.event_type): (r.n, r.sum_value)
+        for r in batch.collect()
+    }
+    assert bgot == got
