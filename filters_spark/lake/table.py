@@ -318,7 +318,7 @@ class LakeTable:
             except Exception:
                 continue
             names = {md.schema.column(i).name: i for i in range(md.num_columns)}
-            fstats: dict[str, list] = {}
+            fstats: dict[str, list] = {"__rows": md.num_rows}
             for c in cols:
                 i = names.get(c)
                 if i is None:
@@ -534,6 +534,35 @@ class LakeTable:
             "files_skipped": total - kept,
             "buckets_with_deltas": sorted(unprunable),
         }
+
+    def metadata_row_count(
+        self,
+        snapshot_id: int | None = None,
+        buckets: Iterable[int] | None = None,
+    ) -> int | None:
+        """Exact ``count(*)`` from manifest-recorded per-file row
+        counts — no Spark job, O(metadata), the Iceberg metadata-only
+        count. Returns None (caller must fall back to ``read().count()``)
+        when any wanted bucket carries deltas (the read-time LWW fold
+        drops superseded rows and tombstones, so file counts over-count)
+        or has files without recorded counts (pre-stats commits)."""
+        snap = self.snapshot(snapshot_id)
+        wanted = None if buckets is None else {str(b) for b in buckets}
+        total = 0
+        for b, fl in snap["buckets"].items():
+            if wanted is not None and b not in wanted:
+                continue
+            if snap.get("deltas", {}).get(b):
+                return None
+            for f in fl:
+                st = self._file_stats_cache.get(f)
+                if st is None or "__rows" not in st:
+                    return None
+                total += st["__rows"]
+        for b, fl in snap.get("deltas", {}).items():
+            if fl and (wanted is None or b in wanted) and b not in snap["buckets"]:
+                return None
+        return total
 
     def rollback(self, snapshot_id: int) -> dict:
         """Restore the table to a prior snapshot's state as a NEW

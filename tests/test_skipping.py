@@ -68,11 +68,19 @@ class TestDataSkipping:
                 continue
             body = json.loads(table.io.read_text(os.path.join(table.meta_dir, name)))
             for f, st in body.get("stats", {}).items():
-                assert set(st) == {"event_seq"}
+                assert set(st) == {"event_seq", "__rows"}
                 mn, mx = st["event_seq"]
                 assert 0 <= mn <= mx < 2000
+                assert st["__rows"] > 0
                 with_stats += 1
         assert with_stats > 4, "expected multiple files per bucket with stats"
+
+    def test_metadata_row_count(self, spark, table):
+        assert table.metadata_row_count() == 2000
+        assert table.metadata_row_count() == table.read().count()
+        # survives a reload (counts come from manifest bodies)
+        t2 = LakeTable.load(spark, table.root)
+        assert t2.metadata_row_count() == 2000
 
     def test_range_read_prunes_files(self, table):
         rep = table.prune_report(("event_seq", 100, 200))
@@ -137,6 +145,10 @@ class TestSkippingMoRSoundness:
         dtouched = sorted(r._bucket for r in delta.select("_bucket").distinct().collect())
         t.commit_deltas(delta, dtouched, {b: "000000000002:0" for b in dtouched})
 
+        # metadata-only count declines while deltas are pending (LWW
+        # fold could drop rows), works again after compaction
+        assert t.metadata_row_count() is None
+
         got = _rows(t.read(where=("event_seq", 0, 10)))
         # the stale in-range version of a.py must NOT reappear
         assert got == [("r1", "b.py", 6, "keep-b")]
@@ -147,6 +159,7 @@ class TestSkippingMoRSoundness:
         t.compact()
         assert _rows(t.read(where=("event_seq", 0, 10))) == got
         assert t.prune_report(("event_seq", 0, 10))["buckets_with_deltas"] == []
+        assert t.metadata_row_count() == t.read().count()
 
 
 class TestRollback:
