@@ -111,6 +111,74 @@ def sentinel_degraded(sent: dict) -> list[str]:
     return reasons
 
 
+# Per-query plausibility ceilings: 8x the best recorded idle-host run
+# (BENCH/ANALYSIS.md round-4 artifact). The endpoint sentinels have a
+# blind spot — a hypervisor throttle that starts after the "before"
+# probe and drains before the "after" one brackets a poisoned run with
+# two healthy sentinels (observed live: minhash 5.9s -> 574s with clean
+# sentinels on both sides). A query exceeding its ceiling cannot be a
+# valid measurement of this code on a healthy host — mid-run throttle
+# or a real regression, either must flag loudly, never publish quietly.
+QUERY_CEILING_FACTOR = 8
+REF_QUERY_SECONDS = {
+    "warmup": 35, "cdc_replay": 30, "cdc_replay_mor": 25,
+    "cdc_lww_merge": 1.5, "cdc_checkpoint_offsets": 1.2,
+    "agg_pricing_summary": 1.3, "join_revenue_by_nation": 2.2,
+    "window_topk_per_user": 1.5, "filter_unicode_normalize": 0.9,
+    "dedup_exact_stats": 0.8, "dedup_minhash_lsh": 8,
+    "text_token_stats": 1.3, "ann_cosine_topk": 3.5,
+}
+
+
+def implausible_queries(queries: dict, sf: float) -> list[str]:
+    """Headline timings beyond any healthy-host explanation. Ceilings
+    are calibrated at sf0.1; at other SFs only the relative shape is
+    meaningful, so the check is skipped."""
+    if abs(sf - 0.1) > 1e-9:
+        return []
+    return [
+        f"{k}={v:.1f}s > {REF_QUERY_SECONDS[k] * QUERY_CEILING_FACTOR:.0f}s ceiling"
+        for k, v in queries.items()
+        if k in REF_QUERY_SECONDS
+        and v > REF_QUERY_SECONDS[k] * QUERY_CEILING_FACTOR
+    ]
+
+
+class StealMonitor:
+    """Passive mid-run /proc/stat sampler (no CPU probes — an active
+    probe can't distinguish the bench's own load from hypervisor
+    withholding while the bench runs). Steal IS attributable: it is
+    cycles the hypervisor refused while a vCPU was runnable."""
+
+    def __init__(self, interval: float = 15.0):
+        self.interval = interval
+        self.samples: list[float] = []
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        while not self._stop.wait(self.interval):
+            self.samples.append(_steal_pct(0.5))
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._t.join(timeout=2)
+
+    def summary(self) -> dict:
+        return {
+            "n_samples": len(self.samples),
+            "max_steal_pct": max(self.samples, default=0.0),
+        }
+
+    def degraded(self) -> list[str]:
+        mx = max(self.samples, default=0.0)
+        return [f"mid-run steal {mx}% > 10%"] if mx > 10 else []
+
+
 HEADLINE = [
     "cdc_lww_merge",
     "cdc_checkpoint_offsets",
@@ -362,14 +430,15 @@ reference; bench.py exits non-zero and flags `"throttled": true` otherwise.
           file=sys.stderr)
     spark = make_spark(f"local[{cpus}]", shuffle_partitions=int(cpus))
     t0 = time.time()
-    # first-call plan codegen + JIT is ~30s of one-time cost that lands
-    # entirely on whichever replay runs first; a small warmup replay
-    # pays it OUTSIDE the headline measurements (but INSIDE the total,
-    # recorded as its own line — nothing hidden)
-    warm = run_cdc_replay(spark, 10_000, batches=2)
-    cdc = run_cdc_replay(spark, n_events)
-    cdc_mor = run_cdc_replay(spark, n_events, write_mode="mor")
-    qtimes = run_queries(spark, args.sf, HEADLINE)
+    with StealMonitor() as mon:
+        # first-call plan codegen + JIT is ~30s of one-time cost that lands
+        # entirely on whichever replay runs first; a small warmup replay
+        # pays it OUTSIDE the headline measurements (but INSIDE the total,
+        # recorded as its own line — nothing hidden)
+        warm = run_cdc_replay(spark, 10_000, batches=2)
+        cdc = run_cdc_replay(spark, n_events)
+        cdc_mor = run_cdc_replay(spark, n_events, write_mode="mor")
+        qtimes = run_queries(spark, args.sf, HEADLINE)
     total = time.time() - t0
     queries = {
         "warmup": round(warm["seconds"], 3),
@@ -378,7 +447,11 @@ reference; bench.py exits non-zero and flags `"throttled": true` otherwise.
         **qtimes,
     }
     sent_after = host_sentinel()
-    degraded = sentinel_degraded(sent_before) + sentinel_degraded(sent_after)
+    implausible = implausible_queries(queries, sf)
+    degraded = (
+        sentinel_degraded(sent_before) + sentinel_degraded(sent_after)
+        + mon.degraded() + implausible
+    )
     print(json.dumps({
         "metric": "bench_total_sec",
         "value": round(total, 3),
@@ -389,7 +462,9 @@ reference; bench.py exits non-zero and flags `"throttled": true` otherwise.
         "sf": sf,
         "sentinel_before": sent_before,
         "sentinel_after": sent_after,
+        "sentinel_midrun": mon.summary(),
         "sentinel_ref": SENTINEL_REF,
+        "implausible": implausible,
         "throttled": bool(degraded),
     }))
     spark.stop()
