@@ -2166,6 +2166,234 @@ def q_multimodal_frames(spark, sf):
     return sample_frames(media, every_ms=5000).drop("frame")
 
 
+# --- lake layer: snapshots / changefeed / merge-on-read / skipping / rollback
+#
+# Each query round-trips a deterministic change stream (derived from the
+# orders table, so DuckDB can recompute the expected state from the same
+# parquet) through a REAL LakeTable in a temp dir: CoW base commit,
+# merge-on-read delta commit, then the read surface under test. The
+# oracle never sees the lake — it recomputes the logical state in SQL,
+# so equality checks the whole commit/manifest/merge/prune machinery.
+
+# base state (snapshot 1): unique (repo, path) keys from o_orderkey % 3 == 0
+_LAKE_BASE_CTE = """
+    base AS (
+      SELECT 'r' || CAST(o_custkey % 40 AS VARCHAR) AS repo,
+             'p' || CAST(o_orderkey AS VARCHAR) AS path,
+             printf('%012x', o_orderkey) AS "commit",
+             o_orderkey AS event_seq,
+             o_orderstatus AS lang,
+             o_orderpriority AS content
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+"""
+
+# deltas (snapshot 2): updates / deletes / inserts, pairwise-disjoint keys
+# (updates need even keys, deletes odd ones, inserts live on %3==1 keys),
+# every delta commit > every base commit (the +2^30 offset)
+_LAKE_DELTA_CTE = """
+    deltas AS (
+      SELECT 'r' || CAST(o_custkey % 40 AS VARCHAR) AS repo,
+             'p' || CAST(o_orderkey AS VARCHAR) AS path,
+             printf('%012x', o_orderkey + 1073741824) AS "commit",
+             o_orderkey AS event_seq,
+             o_orderstatus AS lang,
+             'U:' || o_orderpriority AS content,
+             'U' AS op
+      FROM orders WHERE o_orderkey % 6 = 0
+      UNION ALL
+      SELECT 'r' || CAST(o_custkey % 40 AS VARCHAR),
+             'p' || CAST(o_orderkey AS VARCHAR),
+             printf('%012x', o_orderkey + 1073741824),
+             o_orderkey, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'D'
+      FROM orders WHERE o_orderkey % 15 = 0 AND o_orderkey % 2 = 1
+      UNION ALL
+      SELECT 'r' || CAST(o_custkey % 40 AS VARCHAR),
+             'n' || CAST(o_orderkey AS VARCHAR),
+             printf('%012x', o_orderkey + 1073741824),
+             o_orderkey, o_orderstatus, 'I:' || o_orderpriority, 'U'
+      FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 7 = 0
+    )
+"""
+
+
+def _lake_base_df(spark, sf) -> DataFrame:
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    return o.select(
+        F.concat(F.lit("r"), (F.col("o_custkey") % 40).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("o_orderkey").cast("string")).alias("path"),
+        F.format_string("%012x", F.col("o_orderkey")).alias("commit"),
+        F.col("o_orderkey").alias("event_seq"),
+        F.col("o_orderstatus").alias("lang"),
+        F.col("o_orderpriority").alias("content"),
+    ).withColumn("content_sha", F.sha2("content", 256))
+
+
+def _lake_delta_df(spark, sf) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    repo = F.concat(F.lit("r"), (F.col("o_custkey") % 40).cast("string"))
+    cmt = F.format_string("%012x", F.col("o_orderkey") + F.lit(1073741824))
+    null_s = F.lit(None).cast("string")
+    upd = o.filter(F.col("o_orderkey") % 6 == 0).select(
+        repo.alias("repo"),
+        F.concat(F.lit("p"), F.col("o_orderkey").cast("string")).alias("path"),
+        cmt.alias("commit"), F.col("o_orderkey").alias("event_seq"),
+        F.col("o_orderstatus").alias("lang"),
+        F.concat(F.lit("U:"), F.col("o_orderpriority")).alias("content"),
+        F.lit("U").alias("op"),
+    )
+    dels = o.filter((F.col("o_orderkey") % 15 == 0) & (F.col("o_orderkey") % 2 == 1)).select(
+        repo.alias("repo"),
+        F.concat(F.lit("p"), F.col("o_orderkey").cast("string")).alias("path"),
+        cmt.alias("commit"), F.col("o_orderkey").alias("event_seq"),
+        null_s.alias("lang"), null_s.alias("content"), F.lit("D").alias("op"),
+    )
+    ins = o.filter((F.col("o_orderkey") % 3 == 1) & (F.col("o_orderkey") % 7 == 0)).select(
+        repo.alias("repo"),
+        F.concat(F.lit("n"), F.col("o_orderkey").cast("string")).alias("path"),
+        cmt.alias("commit"), F.col("o_orderkey").alias("event_seq"),
+        F.col("o_orderstatus").alias("lang"),
+        F.concat(F.lit("I:"), F.col("o_orderpriority")).alias("content"),
+        F.lit("U").alias("op"),
+    )
+    return upd.unionByName(dels).unionByName(ins)
+
+
+_LAKE_STATE_COLS = ["repo", "path", "commit", "event_seq", "lang", "content", "content_sha"]
+
+
+def _lake_build(spark, sf, deltas: bool = True, skipping: bool = False):
+    """Create a throwaway LakeTable, commit the base slice (snapshot 1)
+    and, optionally, the delta slice as a merge-on-read commit
+    (snapshot 2). ``skipping=True`` declares event_seq stats+sort
+    clustering and range-partitions the base write so each bucket holds
+    several files with disjoint event_seq ranges (the layout the
+    min/max skipping needs to be selective)."""
+    from filters_spark.lake.table import LakeTable, bucket_expr
+
+    root = os.path.join(tempfile.mkdtemp(prefix="filters_spark_lakeq_"), "lake")
+    t = LakeTable.create(
+        spark, root, ["repo", "path"], num_buckets=8,
+        stats_cols=["event_seq"] if skipping else None,
+        sort_cols=["event_seq"] if skipping else None,
+    )
+    bkt = bucket_expr(F.col("repo"), F.col("path"), 8, 16).cast("int").alias("_bucket")
+    base = _lake_base_df(spark, sf).select("*", bkt)
+    if skipping:
+        base = base.repartitionByRange(8, "event_seq")
+    touched = sorted(r[0] for r in base.select("_bucket").distinct().collect())
+    t.commit_buckets(base, touched, {b: "000000000001:0000000000" for b in touched})
+    if deltas:
+        d = _lake_delta_df(spark, sf).select("*", bkt)
+        dtouched = sorted(r[0] for r in d.select("_bucket").distinct().collect())
+        t.commit_deltas(d, dtouched, {b: "000000000002:0000000000" for b in dtouched})
+    return t
+
+
+@_q(
+    "lake_time_travel",
+    f"""
+    WITH {_LAKE_BASE_CTE}
+    SELECT repo, path, "commit", event_seq, lang, content,
+           sha256(content) AS content_sha
+    FROM base
+    """,
+)
+def q_lake_time_travel(spark, sf):
+    """Snapshot isolation: after a merge-on-read delta commit on top,
+    reading snapshot 1 still returns exactly the base state (lake/
+    table.py read(snapshot_id) — manifest-pinned file lists make time
+    travel a metadata lookup, not a log replay)."""
+    t = _lake_build(spark, sf, deltas=True)
+    return t.read(snapshot_id=1).select(*_LAKE_STATE_COLS)
+
+
+@_q(
+    "lake_changes_feed",
+    f"""
+    WITH {_LAKE_DELTA_CTE}
+    SELECT repo, path, "commit", event_seq, lang, content, op,
+           CAST(2 AS INTEGER) AS snapshot_id
+    FROM deltas
+    """,
+)
+def q_lake_changes_feed(spark, sf):
+    """Incremental changefeed (lake/table.py changes()): the row-level
+    deltas committed in (1, 2], read O(changed) from the commit's
+    added_files — never a table diff."""
+    t = _lake_build(spark, sf, deltas=True)
+    return t.changes(1, 2)
+
+
+@_q(
+    "lake_mor_read",
+    f"""
+    WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE},
+    unioned AS (
+      SELECT repo, path, "commit", event_seq, lang, content, 'K' AS op FROM base
+      UNION ALL
+      SELECT repo, path, "commit", event_seq, lang, content, op FROM deltas
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY repo, path ORDER BY "commit" DESC, event_seq DESC
+      ) AS rn FROM unioned
+    )
+    SELECT repo, path, "commit", event_seq, lang, content,
+           sha256(content) AS content_sha
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_lake_mor_read(spark, sf):
+    """Merge-on-read current-state read: base ∪ delta files, one
+    last-writer-wins window keyed on the physical _bucket partitioning,
+    delete tombstones dropped (lake/table.py read())."""
+    t = _lake_build(spark, sf, deltas=True)
+    return t.read().select(*_LAKE_STATE_COLS)
+
+
+@_q(
+    "lake_skipping_read",
+    f"""
+    WITH {_LAKE_BASE_CTE}
+    SELECT repo, path, "commit", event_seq, lang, content,
+           sha256(content) AS content_sha
+    FROM base WHERE event_seq BETWEEN 300 AND 900
+    """,
+)
+def q_lake_skipping_read(spark, sf):
+    """Data-skipping soundness: a range read over manifest min/max
+    stats (sort-clustered files) must return exactly the filtered
+    state — no row lost to an over-eager file prune. The query raises
+    if the prune did not actually drop files, so a green row certifies
+    skipping both ENGAGED and stayed correct."""
+    t = _lake_build(spark, sf, deltas=False, skipping=True)
+    where = ("event_seq", 300, 900)
+    rep = t.prune_report(where)
+    if rep["files_skipped"] <= 0:
+        raise AssertionError(f"data skipping did not engage: {rep}")
+    return t.read(where=where).select(*_LAKE_STATE_COLS)
+
+
+@_q(
+    "lake_rollback_read",
+    f"""
+    WITH {_LAKE_BASE_CTE}
+    SELECT repo, path, "commit", event_seq, lang, content,
+           sha256(content) AS content_sha
+    FROM base
+    """,
+)
+def q_lake_rollback_read(spark, sf):
+    """Metadata-only rollback (lake/table.py rollback()): restore to
+    snapshot 1 as a NEW commit re-referencing the target's manifests;
+    the current read then equals the base state while history (the
+    delta commit) stays intact for audit."""
+    t = _lake_build(spark, sf, deltas=True)
+    t.rollback(1)
+    return t.read().select(*_LAKE_STATE_COLS)
+
+
 # ---------------------------------------------------------------------------
 
 
