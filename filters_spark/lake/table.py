@@ -47,6 +47,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from filters_spark.lake.fileio import FileIO, fileio_for
+from filters_spark.lake.xxh import bucket_of
 
 WATERMARK_ZERO = "000000000000:-1"
 
@@ -604,23 +605,33 @@ class LakeTable:
         table's bucketing params, so the read prunes to that ONE
         bucket's manifest file list (1/num_buckets of the data, plus
         its deltas under merge-on-read) before the key filter runs —
-        the bucketed-table analog of an index lookup. Computing the
-        bucket costs a one-row local job (bucket_expr is xxhash64-based
-        and has no driver-side Python twin). Returns None on an empty
-        table; an absent key is an empty DataFrame."""
+        the bucketed-table analog of an index lookup. The bucket id is
+        computed driver-side by :func:`filters_spark.lake.xxh.bucket_of`
+        (a pure-Python twin of ``bucket_expr``, bit-equality pinned in
+        tests/test_xxh_twin.py) — no one-row Spark job per lookup.
+
+        When the table records ``path`` in ``stats_cols``, the read
+        additionally skips base files whose min/max path range excludes
+        the key (``where=(path, path, path)``) — sound only for
+        delta-free buckets, which :meth:`read` already enforces.
+        Returns None on an empty table; an absent key is an empty
+        DataFrame."""
         snap = self.snapshot(snapshot_id)
-        b = (
-            self.spark.range(1)
-            .select(
-                bucket_expr(
-                    F.lit(repo), F.lit(path), snap["num_buckets"], snap["path_salt"]
-                ).alias("b")
-            )
-            .collect()[0]["b"]
-        )
-        df = self.read(snapshot_id, buckets=[b])
+        b = bucket_of(repo, path, snap["num_buckets"], snap["path_salt"])
+        where = ("path", path, path) if "path" in (snap.get("stats_cols") or []) else None
+        df = self.read(snapshot_id, buckets=[b], where=where)
         if df is None:
-            return None
+            empty_table = not any(snap["buckets"].values()) and not any(
+                snap.get("deltas", {}).values()
+            )
+            if empty_table:
+                return None
+            # every base file in the key's bucket was stats-pruned: the
+            # key is provably absent — keep the contract (empty frame,
+            # read-shaped schema) without scanning anything
+            df = self.spark.createDataFrame(
+                [], self._base_ddl(self.payload_cols(snap))
+            ).withColumn("_bucket", F.lit(b).cast("int"))
         return df.filter((F.col("repo") == repo) & (F.col("path") == path))
 
     # -- write --------------------------------------------------------------
