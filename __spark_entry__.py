@@ -20,6 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from filters_spark.operators.hashing import mix31_sql, sha64_sql, sha_planes
+from filters_spark.operators.sketches import hll_numerator
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2392,6 +2393,108 @@ def q_lake_rollback_read(spark, sf):
     t = _lake_build(spark, sf, deltas=True)
     t.rollback(1)
     return t.read().select(*_LAKE_STATE_COLS)
+
+
+# -- distinct-count sketches (operators/sketches.py) ------------------------
+#
+# Oracle building blocks, generated once at import: the HLL rho comes
+# from an indicator-sum bit length and the register weight from an
+# integer CASE ladder — every sketch intermediate is an exact integer
+# or a double derived from exact integers by identically-spelled IEEE
+# ops, so the DuckDB mirror is bit-exact (operators/sketches.py
+# docstring has the full argument).
+
+_HLL_P, _HLL_CAP = 8, 40
+_HLL_M = 1 << _HLL_P
+_HLL_WBITS = 64 - _HLL_P
+_HLL_BITLEN = " + ".join(
+    f"(CASE WHEN w >= {1 << i} THEN 1 ELSE 0 END)" for i in range(_HLL_WBITS)
+)
+_HLL_LADDER = (
+    "CASE "
+    + " ".join(
+        f"WHEN reg = {r} THEN {1 << (_HLL_CAP - r)}" for r in range(1, _HLL_CAP + 1)
+    )
+    + f" ELSE {1 << _HLL_CAP} END"
+)
+_KMV_K = 64
+
+
+@_q(
+    "sketch_kmv_distinct",
+    f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+        CAST({sha64_sql("CAST(user_id AS VARCHAR)")} AS DOUBLE)
+          / 18446744073709551616.0 + 0.5 AS u
+      FROM events
+    ), ranked AS (
+      SELECT event_type, u,
+             row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+      FROM hashed
+    )
+    SELECT event_type, COUNT(*) AS n_kept, MAX(u) AS kth_u,
+      CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+           ELSE {float(_KMV_K - 1)!r} / MAX(u) END AS est_distinct
+    FROM ranked WHERE rn <= {_KMV_K}
+    GROUP BY event_type
+    """,
+)
+def q_sketch_kmv(spark, sf):
+    """KMV bottom-k distinct sketch (operators/sketches.py:
+    kmv_distinct): estimated distinct users per event type from the 64
+    smallest normalized hashes — the one-pass answer to
+    count(DISTINCT) that a 100-TB table can afford. Salted two-stage
+    bottom-k bounds every window task; sha64 injected for the oracle
+    (xxhash64 is the scale default)."""
+    from filters_spark.operators.hashing import sha64
+    from filters_spark.operators.sketches import kmv_distinct
+
+    e = _t(spark, sf, "events")
+    return kmv_distinct(e, "user_id", ["event_type"], k=_KMV_K, hash_fn=sha64)
+
+
+@_q(
+    "sketch_hll_distinct",
+    f"""
+    WITH h AS (
+      SELECT event_type, {sha64_sql("CAST(event_id AS VARCHAR)")} AS hv
+      FROM events
+    ), parts AS (
+      SELECT event_type, hv & {_HLL_M - 1} AS bucket,
+             (hv >> {_HLL_P}) & {(1 << _HLL_WBITS) - 1} AS w
+      FROM h
+    ), rho AS (
+      SELECT event_type, bucket,
+             LEAST({_HLL_CAP}, {_HLL_WBITS} - ({_HLL_BITLEN}) + 1) AS r
+      FROM parts
+    ), regs AS (
+      SELECT event_type, bucket, MAX(r) AS reg FROM rho GROUP BY 1, 2
+    ), fin AS (
+      SELECT event_type, COUNT(*) AS used,
+        CAST(SUM({_HLL_LADDER})
+             + ({_HLL_M} - COUNT(*)) * {1 << _HLL_CAP} AS BIGINT) AS sum_int
+      FROM regs GROUP BY 1
+    )
+    SELECT event_type, used, {_HLL_M} - used AS zeros, sum_int,
+      CAST({hll_numerator(_HLL_M, _HLL_CAP)!r} AS DOUBLE)
+        / CAST(sum_int AS DOUBLE) AS est_raw
+    FROM fin
+    """,
+)
+def q_sketch_hll(spark, sf):
+    """HyperLogLog distinct sketch (operators/sketches.py:
+    hll_distinct): p=8 (256 registers), estimated distinct event ids
+    per event type. Register build is a constant-width groupBy (max
+    rho per bucket) — mergeable across shards/days by per-register max
+    (hll_merge), the property that makes HLL the standard distributed
+    distinct count. Integer-exact register sum; sha64 injected for the
+    oracle."""
+    from filters_spark.operators.hashing import sha64
+    from filters_spark.operators.sketches import hll_distinct
+
+    e = _t(spark, sf, "events")
+    return hll_distinct(e, "event_id", ["event_type"], p=_HLL_P, hash_fn=sha64)
 
 
 # ---------------------------------------------------------------------------

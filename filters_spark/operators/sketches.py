@@ -1,0 +1,227 @@
+"""Distinct-count sketches: KMV (bottom-k) and HyperLogLog.
+
+At 100-TB corpus scale, ``count(DISTINCT x)`` is a full shuffle of every
+distinct value; a sketch answers the same question in one constant-width
+pass. Both operators here are **hash-parameterized** like the LSH family
+(operators/hashing.py): the scale default is Spark's ``xxhash64``
+(JVM-native), and contract queries inject ``sha64`` so a DuckDB oracle
+can recompute the *identical* sketch — every intermediate is either an
+exact integer or a double derived from exact integers by IEEE ops both
+engines spell the same way (no ``pow``/``ln``/float-sum-order hazards in
+the oracled columns).
+
+Reference parity tier: the reference library (a scalar validation
+pipeline) has no aggregation surface at all; these are engine-layer
+additions required by the north rule's training-data-pipeline tier.
+
+KMV (k minimum values, Bar-Yossef et al. 2002): hash every value to
+``u ∈ [0,1)``; the k-th smallest distinct ``u`` estimates the distinct
+count as ``(k-1)/u_(k)`` (exact when fewer than k distinct hashes).
+Scale shape: one map-side-combinable distinct, then a **salted two-stage
+bottom-k** — stage 1 keeps k per (group, salt) so no window task exceeds
+the deduped salt slice; stage 2 ranks the ≤ salts·k survivors per group.
+The global bottom-k of a union equals the bottom-k of the per-salt
+bottom-ks, so the precap is lossless.
+
+HLL (Flajolet et al. 2007): register ``j = low p bits`` of the hash,
+``rho = leading-zero count of the remaining w = 64-p bits, +1``;
+register value = max rho. Estimate ``alpha·m²/Σ 2^(-reg)``. The sum is
+kept in INTEGER space — ``Σ 2^(rho_cap - reg)`` with empty registers
+contributing ``2^rho_cap`` — so partition order cannot perturb it;
+``rho`` comes from an indicator-sum bit length (54 integer compares,
+whole-stage-codegen friendly) rather than a float log. Registers are
+max-mergeable, so sketches computed per partition/day/shard re-aggregate
+exactly (:func:`hll_merge`).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from filters_spark.operators.hashing import sha64
+
+_TWO64F = float(1 << 64)
+
+
+def _u01(h: Column) -> Column:
+    """Signed 64-bit hash -> double in [0,1): h/2^64 + 0.5.
+
+    Long->double cast, division by an exact power of two, and +0.5 are
+    each exactly mirrorable in DuckDB (same IEEE ops, same spelling)."""
+    return (h.cast("double") / F.lit(_TWO64F)) + F.lit(0.5)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: int = 64,
+    hash_fn=None,
+    precap_salts: int = 32,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate.
+
+    Output: group_cols + ``n_kept`` (bottom-set size, == distinct count
+    when < k), ``kth_u`` (the k-th smallest normalized hash; max of the
+    bottom set), ``est_distinct`` (double; exact n_kept when n_kept < k,
+    else (k-1)/kth_u).
+
+    ``precap_salts``: stage-1 salt fan-out bounding the per-task window
+    width; 0 disables (single global window per group — tiny inputs
+    only, the same caveat as ``pack_sequences`` without a shard)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    hash_fn = hash_fn or F.xxhash64
+    u = _u01(hash_fn(F.col(value_col).cast("string"))).alias("_u")
+    # distinct (group, u): map-side partial aggregation; KMV is defined
+    # on the *hash* multiset, so collapsing equal hashes is the sketch's
+    # own semantics, not a shortcut
+    dedup = df.select(*group_cols, u).distinct()
+    if precap_salts:
+        salt = F.pmod(F.xxhash64(F.col("_u")), F.lit(precap_salts))
+        dedup = dedup.withColumn("_salt", salt)
+        w1 = Window.partitionBy(*group_cols, "_salt").orderBy("_u")
+        dedup = (
+            dedup.withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn", "_salt")
+        )
+    w2 = Window.partitionBy(*group_cols).orderBy("_u")
+    bottom = dedup.withColumn("_rn", F.row_number().over(w2)).filter(F.col("_rn") <= k)
+    agg = bottom.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("_u").alias("kth_u")
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("kth_u"))
+    return agg.select(*group_cols, "n_kept", "kth_u", est.alias("est_distinct"))
+
+
+# -- HyperLogLog --------------------------------------------------------------
+
+
+def _bit_length(col: Column, nbits: int) -> Column:
+    """Position of the highest set bit of a non-negative ``col`` known
+    to fit in ``nbits`` bits (0 for col==0) — an indicator sum of
+    integer compares, exactly mirrorable as SQL text."""
+    terms = [(col >= F.lit(1 << i)).cast("int") for i in range(nbits)]
+    return reduce(lambda a, b: a + b, terms)
+
+
+def _reg_weight(reg: Column, rho_cap: int) -> Column:
+    """``2^(rho_cap - reg)`` as an exact integer CASE ladder (no float
+    ``pow`` — its rounding is library-dependent)."""
+    expr = F.lit(1 << rho_cap)  # reg == 0 (empty register)
+    for r in range(1, rho_cap + 1):
+        expr = F.when(reg == r, F.lit(1 << (rho_cap - r))).otherwise(expr)
+    return expr
+
+
+def hll_numerator(m: int, rho_cap: int, alpha: float | None = None) -> float:
+    """The estimator's constant numerator alpha·m²·2^rho_cap as one
+    double (left-assoc IEEE product) — shared literal for both engines."""
+    return (alpha or hll_alpha(m)) * float(m) * float(m) * float(1 << rho_cap)
+
+
+def hll_alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    p: int = 10,
+    hash_fn=None,
+    rho_cap: int = 40,
+) -> DataFrame:
+    """Per-group HLL register frame: group_cols + ``_bucket`` (int,
+    [0, 2^p)) + ``reg`` (max rho). Constant width per group (≤ 2^p
+    rows); re-aggregable with :func:`hll_merge`."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    hash_fn = hash_fn or F.xxhash64
+    m = 1 << p
+    wbits = 64 - p
+    h = hash_fn(F.col(value_col).cast("string"))
+    bucket = h.bitwiseAND(F.lit(m - 1)).cast("int")
+    # logical shift: arithmetic >> then mask the low (64-p) bits — the
+    # sign-extended high bits die under the mask, so this equals an
+    # unsigned shift and DuckDB's (h >> p) & mask spells it identically
+    w = F.shiftright(h, p).bitwiseAND(F.lit((1 << wbits) - 1))
+    rho = F.least(F.lit(rho_cap), F.lit(wbits) - _bit_length(w, wbits) + F.lit(1))
+    return (
+        df.select(*group_cols, bucket.alias("_bucket"), rho.alias("_rho"))
+        .groupBy(*group_cols, "_bucket")
+        .agg(F.max("_rho").alias("reg"))
+    )
+
+
+def hll_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Union of HLL sketches = per-register max — shard/day/partition
+    sketches merge exactly (the property that makes HLL a one-pass
+    distributed distinct count)."""
+    return registers.groupBy(*group_cols, "_bucket").agg(F.max("reg").alias("reg"))
+
+
+def hll_finalize(
+    registers: DataFrame,
+    group_cols: list[str],
+    p: int,
+    rho_cap: int = 40,
+    linear_counting: bool = False,
+) -> DataFrame:
+    """Register frame -> estimate. Output: group_cols + ``used`` (buckets
+    hit), ``zeros`` (empty registers), ``sum_int`` (Σ 2^(rho_cap-reg),
+    exact integer), ``est_raw`` (alpha·m²·2^rho_cap / sum_int).
+
+    ``linear_counting=True`` adds the standard small-range corrected
+    ``est`` (m·ln(m/zeros) when zeros>0 and est_raw ≤ 2.5m). It uses
+    ``ln``, whose last-ulp rounding is math-library-dependent — fine for
+    use, excluded from cross-engine value-checked contracts."""
+    m = 1 << p
+    alpha = hll_alpha(m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(_reg_weight(F.col("reg"), rho_cap)).alias("sum_present"),
+    )
+    zeros = (F.lit(m) - F.col("used")).alias("zeros")
+    sum_int = (
+        F.col("sum_present") + (F.lit(m) - F.col("used")) * F.lit(1 << rho_cap)
+    ).alias("sum_int")
+    out = agg.select(*group_cols, "used", zeros, sum_int)
+    # ONE double literal for alpha*m^2*2^cap, computed here and reused
+    # verbatim by the SQL mirror — a single constant sidesteps both
+    # cross-engine constant-folding order and DuckDB's decimal-typed
+    # float literals
+    numer = hll_numerator(m, rho_cap, alpha)
+    out = out.withColumn("est_raw", F.lit(numer) / F.col("sum_int").cast("double"))
+    if linear_counting:
+        lc = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros").cast("double"))
+        out = out.withColumn(
+            "est",
+            F.when(
+                (F.col("zeros") > 0) & (F.col("est_raw") <= F.lit(2.5 * m)), lc
+            ).otherwise(F.col("est_raw")),
+        )
+    return out
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    p: int = 10,
+    hash_fn=None,
+    rho_cap: int = 40,
+    linear_counting: bool = False,
+) -> DataFrame:
+    """Per-group HLL distinct-count estimate (register build + finalize
+    in one call); see :func:`hll_registers` / :func:`hll_finalize`."""
+    regs = hll_registers(df, value_col, group_cols, p, hash_fn, rho_cap)
+    return hll_finalize(regs, group_cols, p, rho_cap, linear_counting)
