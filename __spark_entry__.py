@@ -2497,6 +2497,100 @@ def q_sketch_hll(spark, sf):
     return hll_distinct(e, "event_id", ["event_type"], p=_HLL_P, hash_fn=sha64)
 
 
+# -- k-means clustering (operators/clustering.py) ----------------------------
+
+
+def _kmeans_oracle_sql(
+    table: str, vec: str, idc: str, k: int, iters: int, dim: int, quant: int
+) -> str:
+    """Unrolled Lloyd iterations as a DuckDB CTE chain — an INDEPENDENT
+    recomputation of the whole iterative algorithm (init selection,
+    every assignment, every quantized-integer centroid update), not a
+    replay of Spark's centroids. Bit-equality holds because every
+    intermediate is an exact integer or a double derived from exact
+    integers by identically-spelled IEEE ops (clustering.py docstring).
+    DuckDB lists are 1-based, hence the [i+1] indexing."""
+    Q = f"{float(quant)!r}"
+    sha = sha64_sql(f"CAST({idc} AS VARCHAR)")
+
+    def dist(alias: str) -> str:
+        return " + ".join(
+            f"(CAST({vec}[{i + 1}] AS DOUBLE) - {alias}.c{i})"
+            f" * (CAST({vec}[{i + 1}] AS DOUBLE) - {alias}.c{i})"
+            for i in range(dim)
+        )
+
+    init_cols = ", ".join(f"CAST({vec}[{i + 1}] AS DOUBLE) AS c{i}" for i in range(dim))
+    sums = ", ".join(
+        f"CAST(SUM(CAST(floor(CAST(e.{vec}[{i + 1}] AS DOUBLE) * {Q} + 0.5)"
+        f" AS BIGINT)) AS BIGINT) AS s{i}"
+        for i in range(dim)
+    )
+    parts = [
+        f"""e AS (SELECT {idc}, {vec} FROM {table}),
+init_r AS (
+  SELECT {init_cols}, row_number() OVER (ORDER BY {sha}, {idc}) AS rn FROM e
+),
+cent0 AS (SELECT rn - 1 AS cid, * EXCLUDE (rn) FROM init_r WHERE rn <= {k})"""
+    ]
+    for it in range(iters):
+        coal = ", ".join(
+            f"coalesce(CAST(u.s{i} AS DOUBLE) / (CAST(u.n AS DOUBLE) * {Q}), p.c{i})"
+            f" AS c{i}"
+            for i in range(dim)
+        )
+        parts.append(
+            f"""a{it} AS (
+  SELECT e.{idc}, c.cid, {dist('c')} AS d FROM e CROSS JOIN cent{it} c
+),
+asg{it} AS (
+  SELECT {idc}, cid FROM (
+    SELECT {idc}, cid,
+           row_number() OVER (PARTITION BY {idc} ORDER BY d, cid) AS rn
+    FROM a{it}) WHERE rn = 1
+),
+upd{it} AS (
+  SELECT g.cid, COUNT(*) AS n, {sums}
+  FROM asg{it} g JOIN e ON g.{idc} = e.{idc} GROUP BY g.cid
+),
+cent{it + 1} AS (
+  SELECT p.cid, {coal} FROM cent{it} p LEFT JOIN upd{it} u ON p.cid = u.cid
+)"""
+        )
+    parts.append(
+        f"""fin AS (
+  SELECT e.{idc}, c.cid, {dist('c')} AS d FROM e CROSS JOIN cent{iters} c
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT {idc}, CAST(cid AS INTEGER) AS cluster, d AS dist FROM (
+  SELECT {idc}, cid, d,
+         row_number() OVER (PARTITION BY {idc} ORDER BY d, cid) AS rn
+  FROM fin) WHERE rn = 1"""
+    )
+
+
+@_q(
+    "kmeans_embedding_clusters",
+    _kmeans_oracle_sql("embeddings", "embedding", "vec_id", 8, 2, 64, 1_000_000),
+)
+def q_kmeans(spark, sf):
+    """Lloyd k-means over the embedding table (operators/clustering.py
+    kmeans): k=8, two update rounds after deterministic hash-spread
+    init. Per round: one map-only assignment scan (centroid literals,
+    no join) + ONE k-row-wide groupBy with quantized-integer component
+    sums — the partition-order-independent trick that lets an
+    ITERATIVE float algorithm hash-match a DuckDB recomputation."""
+    from filters_spark.operators.clustering import kmeans
+
+    e = _t(spark, sf, "embeddings")
+    out, _ = kmeans(e, "embedding", "vec_id", k=8, iters=2, dim=64)
+    return out
+
+
 # ---------------------------------------------------------------------------
 
 
