@@ -2395,6 +2395,63 @@ def q_lake_rollback_read(spark, sf):
     return t.read().select(*_LAKE_STATE_COLS)
 
 
+@_q(
+    "join_local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_join_local_supplier_volume(spark, sf):
+    """TPC-H Q5 shape: six-table join with the 'local supplier'
+    equi-condition (customer and supplier share a nation). Join
+    planning story: supplier/nation/region are broadcast (no shuffle
+    for the dimension edges), the customer-orders-lineitem chain
+    shuffles on its keys, and the o_orderdate range predicate pushes
+    down to the orders scan. Per-row revenue terms are computed in
+    double (deterministic spelling) then summed as DECIMAL(18,6) so
+    the aggregate is partition-order-independent."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+              n.n_regionkey == r.r_regionkey)
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
 # -- distinct-count sketches (operators/sketches.py) ------------------------
 #
 # Oracle building blocks, generated once at import: the HLL rho comes
