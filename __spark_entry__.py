@@ -19,7 +19,7 @@ from collections.abc import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from filters_spark.operators.hashing import mix31_sql, sha64_sql, sha_planes
+from filters_spark.operators.hashing import mix31_sql, mixp31_sql, sha64_sql, sha_planes
 from filters_spark.operators.sketches import hll_numerator
 
 
@@ -164,6 +164,69 @@ def q_cdc_dead_letter_split(spark, sf):
         & F.get_json_object("props", "$.k").try_cast("long").isNotNull()
     )
     return ev.select(valid.alias("is_valid")).groupBy("is_valid").agg(F.count("*").alias("n"))
+
+
+@_q(
+    "cdc_patch_merge",
+    """
+    WITH wal AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_id % 10 = 0 THEN 'D'
+                  WHEN event_id % 10 <= 3 THEN 'I' ELSE 'P' END AS op,
+             CASE WHEN event_id % 3 <> 0 THEN event_type END AS attr,
+             CASE WHEN event_id % 2 = 0 THEN value END AS amount
+      FROM events
+    ), e AS (
+      SELECT *, SUM(CASE WHEN op IN ('D','I') THEN 1 ELSE 0 END) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+      ) AS epoch FROM wal
+    ), f AS (
+      SELECT user_id, ts, event_id, op, epoch,
+        last_value(CASE WHEN op <> 'D' AND attr IS NOT NULL THEN epoch END IGNORE NULLS)
+          OVER w AS e_attr,
+        last_value(CASE WHEN op <> 'D' AND attr IS NOT NULL THEN attr END IGNORE NULLS)
+          OVER w AS v_attr,
+        last_value(CASE WHEN op <> 'D' AND amount IS NOT NULL THEN epoch END IGNORE NULLS)
+          OVER w AS e_amount,
+        last_value(CASE WHEN op <> 'D' AND amount IS NOT NULL THEN amount END IGNORE NULLS)
+          OVER w AS v_amount
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+    ), r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM f
+    )
+    SELECT user_id, ts, event_id,
+           CASE WHEN e_attr = epoch THEN v_attr END AS attr,
+           CASE WHEN e_amount = epoch THEN v_amount END AS amount
+    FROM r WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_patch_merge(spark, sf):
+    """Partial-image (binlog_row_image=minimal) merge — lake/table.py:
+    patch_merge. The WAL is synthesized deterministically from events:
+    op from event_id mod 10 (D / I / patch), and each payload column
+    independently absent on a modular schedule, so patches genuinely
+    carry partial images. Final state resolves NULL patch cells from
+    the latest full image / prior patches, fenced by delete + insert
+    epochs; keys whose last event is a delete vanish. One exchange on
+    the key — both resolve windows and the winner pick share the
+    user_id hash partitioning."""
+    from filters_spark.lake.table import patch_merge
+
+    ev = _t(spark, sf, "events")
+    m10 = F.pmod(F.col("event_id"), F.lit(10))
+    wal = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(m10 == 0, "D").when(m10 <= 3, "I").otherwise("P").alias("op"),
+        F.when(F.pmod(F.col("event_id"), F.lit(3)) != 0, F.col("event_type")).alias("attr"),
+        F.when(F.pmod(F.col("event_id"), F.lit(2)) == 0, F.col("value")).alias("amount"),
+    )
+    return patch_merge(
+        wal, key_cols=["user_id"], payload_cols=["attr", "amount"],
+        order_cols=["ts", "event_id"],
+    )
 
 
 # --- filter layer: reference operator semantics over testdata ----------------
@@ -2285,10 +2348,19 @@ def _lake_build(spark, sf, deltas: bool = True, skipping: bool = False):
     touched = sorted(r[0] for r in base.select("_bucket").distinct().collect())
     t.commit_buckets(base, touched, {b: "000000000001:0000000000" for b in touched})
     if deltas:
-        d = _lake_delta_df(spark, sf).select("*", bkt)
-        dtouched = sorted(r[0] for r in d.select("_bucket").distinct().collect())
-        t.commit_deltas(d, dtouched, {b: "000000000002:0000000000" for b in dtouched})
+        _lake_commit_delta_slice(t, spark, sf)
     return t
+
+
+def _lake_commit_delta_slice(t, spark, sf) -> None:
+    """The MoR delta commit (snapshot 2) of the lake fixture, split out
+    so queries can interleave work between the two commits."""
+    from filters_spark.lake.table import bucket_expr
+
+    bkt = bucket_expr(F.col("repo"), F.col("path"), 8, 16).cast("int").alias("_bucket")
+    d = _lake_delta_df(spark, sf).select("*", bkt)
+    dtouched = sorted(r[0] for r in d.select("_bucket").distinct().collect())
+    t.commit_deltas(d, dtouched, {b: "000000000002:0000000000" for b in dtouched})
 
 
 @_q(
@@ -2393,6 +2465,52 @@ def q_lake_rollback_read(spark, sf):
     t = _lake_build(spark, sf, deltas=True)
     t.rollback(1)
     return t.read().select(*_LAKE_STATE_COLS)
+
+
+@_q(
+    "lake_mview_by_lang",
+    f"""
+    WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE},
+    unioned AS (
+      SELECT repo, path, "commit", event_seq, lang, content, 'K' AS op FROM base
+      UNION ALL
+      SELECT repo, path, "commit", event_seq, lang, content, op FROM deltas
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY repo, path ORDER BY "commit" DESC, event_seq DESC
+      ) AS rn FROM unioned
+    ),
+    state AS (
+      SELECT lang, content FROM ranked WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT lang, count(*) AS n_rows,
+           CAST(sum(CAST(coalesce(length(content), 0) AS BIGINT)) AS BIGINT)
+             AS total_bytes
+    FROM state GROUP BY lang
+    """,
+)
+def q_lake_mview(spark, sf):
+    """Incrementally-maintained aggregate view (lake/mview.py:AggView):
+    per-lang row counts + content byte totals. Refresh 1 full-builds
+    the view at snapshot 1; the delta commit then lands and refresh 2
+    folds ONLY its changes in — retracting the old images of affected
+    keys via a bucket-pruned time-travel read — so the returned view
+    was genuinely maintained incrementally, while the oracle recomputes
+    the same aggregate from the final merged state from scratch."""
+    from filters_spark.lake.mview import AggView
+
+    t = _lake_build(spark, sf, deltas=False)
+    v = AggView(
+        spark, t, os.path.join(os.path.dirname(t.root), "view"),
+        group_cols=["lang"], sum_exprs={"total_bytes": "length(content)"},
+    )
+    r1 = v.refresh()
+    assert r1["mode"] == "full"
+    _lake_commit_delta_slice(t, spark, sf)
+    r2 = v.refresh()
+    assert r2["mode"] == "incremental", r2
+    return v.current()
 
 
 @_q(
@@ -2552,6 +2670,115 @@ def q_sketch_hll(spark, sf):
 
     e = _t(spark, sf, "events")
     return hll_distinct(e, "event_id", ["event_type"], p=_HLL_P, hash_fn=sha64)
+
+
+_CMS_D, _CMS_W = 4, 64
+
+
+@_q(
+    "sketch_cms_counts",
+    f"""
+    WITH h AS (
+      SELECT user_id, {sha64_sql("CAST(user_id AS VARCHAR)")} AS hv FROM events
+    ), rows_ AS (SELECT unnest(range({_CMS_D})) AS r),
+    probes AS (
+      SELECT user_id, r, ({mixp31_sql("hv", "r")}) % {_CMS_W} AS col
+      FROM h CROSS JOIN rows_
+    ),
+    counters AS (SELECT r, col, count(*) AS cnt FROM probes GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT user_id, hv FROM h WHERE user_id < 20),
+    cp AS (
+      SELECT user_id, r, ({mixp31_sql("hv", "r")}) % {_CMS_W} AS col
+      FROM cand CROSS JOIN rows_
+    )
+    SELECT cp.user_id, MIN(coalesce(c.cnt, 0)) AS est
+    FROM cp LEFT JOIN counters c ON c.r = cp.r AND c.col = cp.col
+    GROUP BY cp.user_id
+    """,
+)
+def q_sketch_cms(spark, sf):
+    """Count-min frequency sketch (operators/sketches.py:cms_build/
+    cms_estimate): per-user event-count estimates from a depth-4 x
+    width-64 counter grid. The build is one constant-width groupBy
+    (cells are additive — shard sketches re-merge exactly via
+    cms_merge) and the probe broadcasts the constant-size counter
+    frame, so candidate scoring is map-only at any corpus size. Width
+    64 << distinct users, so collisions are real and the
+    min-over-rows estimator is doing actual work; sha64+mix31
+    injected so DuckDB recomputes the identical grid (xxhash64 is the
+    scale default)."""
+    from filters_spark.operators.hashing import sha64
+    from filters_spark.operators.sketches import cms_build, cms_estimate
+
+    e = _t(spark, sf, "events")
+    counters = cms_build(e, "user_id", depth=_CMS_D, width=_CMS_W, hash_fn=sha64)
+    items = e.select("user_id").distinct().filter(F.col("user_id") < 20)
+    return cms_estimate(counters, items, "user_id", _CMS_D, _CMS_W, hash_fn=sha64)
+
+
+@_q(
+    "sample_weighted_priority",
+    f"""
+    WITH scored AS (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS weight,
+             (CAST({sha64_sql("CAST(o_orderkey AS VARCHAR)")} AS DOUBLE)
+                / 18446744073709551616.0 + 0.5)
+               / CAST(o_totalprice AS DOUBLE) AS rank_key
+      FROM orders WHERE CAST(o_totalprice AS DOUBLE) > 0
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderpriority ORDER BY rank_key, o_orderkey) AS rn
+      FROM scored
+    ), tau AS (
+      SELECT o_orderpriority,
+             MAX(CASE WHEN rn = 26 THEN 1.0 / rank_key END) AS tau
+      FROM ranked WHERE rn <= 26 GROUP BY 1
+    )
+    SELECT r.o_orderpriority, r.o_orderkey, r.weight, r.rank_key,
+           CASE WHEN t.tau IS NULL THEN r.weight
+                ELSE greatest(r.weight, t.tau) END AS est_weight
+    FROM ranked r JOIN tau t USING (o_orderpriority)
+    WHERE r.rn <= 25
+    """,
+)
+def q_sample_weighted_priority(spark, sf):
+    """Weighted corpus sampling via priority sampling (operators/
+    sampling.py:priority_sample): the 25 highest-priority orders per
+    priority class, weight = order value, with the Duffield-Lund-
+    Thorup est_weight = max(w, tau) adjustment that keeps subset-sum
+    estimates unbiased. Rank key u/w is a single IEEE division of
+    exact doubles — no ln/pow — so selection AND adjusted weights are
+    bit-identical in DuckDB with the injected sha64 hash."""
+    from filters_spark.operators.hashing import sha64
+    from filters_spark.operators.sampling import priority_sample
+
+    o = _t(spark, sf, "orders")
+    return priority_sample(
+        o, 25, "o_totalprice", "o_orderkey",
+        group_cols=["o_orderpriority"], hash_fn=sha64,
+    )
+
+
+@_q(
+    "heavy_hitters_users",
+    """
+    SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    HAVING count(*) >= 0.008 * (SELECT count(*) FROM events)
+    """,
+)
+def q_heavy_hitters(spark, sf):
+    """Exact heavy hitters without shuffling the distinct-key set
+    (operators/sketches.py:heavy_hitters): map-only per-partition
+    candidate generation (pigeonhole-complete, mapInPandas), broadcast
+    semi-join, exact count of candidates only. The candidate pass can
+    only over-generate, so the result equals the plain GROUP BY /
+    HAVING oracle exactly — the scale path is value-checked against
+    the naive one."""
+    from filters_spark.operators.sketches import heavy_hitters
+
+    e = _t(spark, sf, "events")
+    return heavy_hitters(e, "user_id", 0.008)
 
 
 # -- k-means clustering (operators/clustering.py) ----------------------------

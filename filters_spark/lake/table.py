@@ -119,6 +119,82 @@ def lww_merge(df: DataFrame, payload_cols: list[str] | None = None,
     )
 
 
+def patch_merge(
+    df: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+    full_image_ops: tuple = ("I",),
+    delete_op: str = "D",
+) -> DataFrame:
+    """Merge a change stream whose UPDATE events carry **partial row
+    images** — the other core binlog shape besides full-image LWW
+    (:func:`lww_merge`). Real binlogs (MySQL ``binlog_row_image=minimal``,
+    Debezium without ``REPLICA IDENTITY FULL``) emit only the changed
+    columns on update; a NULL payload cell in a patch event means "not
+    in this image — keep the previous value", NOT "set to NULL".
+
+    Semantics, per key in ``order_cols`` order:
+
+    - ``op`` in ``full_image_ops`` (insert / snapshot read): the row is
+      authoritative for EVERY payload column — a NULL here really is
+      NULL (it resets inheritance; nothing leaks through from before).
+    - patch (any other op): each non-NULL cell overwrites; NULL cells
+      inherit the latest value set since the last full image / delete.
+    - ``delete_op``: removes the row; later patches build on an empty
+      row (their NULL cells stay NULL), later full images start fresh.
+
+    The final state is the last event's row with inheritance resolved;
+    keys whose last event is a delete disappear.
+
+    Implementation — ONE exchange, hash-partitioned on ``key_cols``:
+    an "epoch" counter (running count of full-image/delete events)
+    fences inheritance, and each payload column resolves via two
+    ``last(..., ignorenulls=True)`` marks over the SAME window frame
+    (the value, and the epoch that produced it — the value only
+    applies when its epoch is the current one). Every window in the
+    operator partitions by ``key_cols`` alone, so Catalyst plans a
+    single Exchange with two Sort/Window passes (asc resolve, desc
+    winner pick). The two-mark trick instead of a struct keeps every
+    expression engine-portable: the DuckDB oracle spells it with
+    ``last_value(... IGNORE NULLS) OVER (ROWS UNBOUNDED PRECEDING)``
+    verbatim.
+
+    ``order_cols`` must be a deterministic total order per key (e.g.
+    ``(commit, event_seq)``); ties make the winner nondeterministic.
+    Output: key_cols + order_cols (of the winning event) + payload.
+    """
+    bad = set(payload_cols) & (set(key_cols) | set(order_cols) | {op_col})
+    if bad:
+        raise ValueError(f"payload_cols overlap keys/order/op: {sorted(bad)}")
+    reset_ops = [delete_op, *full_image_ops]
+    w_ord = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    epoch = F.sum(F.col(op_col).isin(reset_ops).cast("int")).over(w_ord)
+    df2 = df.withColumn("_epoch", epoch)
+    resolved = []
+    for c in payload_cols:
+        sets_cell = (F.col(op_col) != delete_op) & F.col(c).isNotNull()
+        e_c = F.last(F.when(sets_cell, F.col("_epoch")), ignorenulls=True).over(w_ord)
+        v_c = F.last(F.when(sets_cell, F.col(c)), ignorenulls=True).over(w_ord)
+        resolved.append(F.when(e_c == F.col("_epoch"), v_c).alias(c))
+    w_desc = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        df2.select(
+            *key_cols, *order_cols, F.col(op_col).alias("_op"), *resolved
+        )
+        .withColumn("_rn", F.row_number().over(w_desc))
+        .filter((F.col("_rn") == 1) & (F.col("_op") != delete_op))
+        .drop("_rn", "_op")
+    )
+
+
 class LakeTable:
     """Handle to a copy-on-write bucketed table rooted at ``root``."""
 

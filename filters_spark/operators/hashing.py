@@ -91,6 +91,32 @@ def mix31_sql(h_expr: str, salt_expr: str) -> str:
     )
 
 
+_P31 = 2_147_483_647  # Mersenne prime 2^31 - 1
+
+
+def mixp31(h: Column, salt: Column) -> Column:
+    """Like :func:`mix31` but modulo the PRIME 2^31-1:
+    ``((h mod P) + 1) * (2*salt + ODD) mod P``. Use this (not mix31)
+    whenever the mixed value is reduced ``mod w`` for a power-of-two
+    ``w`` afterwards — e.g. count-min sketch columns. mix31's modulus
+    2^31 shares all low bits with ``w``, so ``mix31(h, r) mod w``
+    depends only on ``h mod w`` and two items that collide in one row
+    collide in EVERY row (depth buys nothing). The prime modulus
+    breaks that congruence, restoring per-row independence (the
+    classic ``(a*x mod p) mod w`` universal-hash construction).
+    Same overflow bound as mix31 (product <= 2^62)."""
+    hp = F.pmod(h, F.lit(_P31))
+    return F.pmod((hp + 1) * (salt.cast("long") * 2 + F.lit(_MIX_MULT)), F.lit(_P31))
+
+
+def mixp31_sql(h_expr: str, salt_expr: str) -> str:
+    """DuckDB mirror of :func:`mixp31`."""
+    return (
+        f"((((({h_expr}) % {_P31} + {_P31}) % {_P31}) + 1) "
+        f"* (2 * ({salt_expr}) + {_MIX_MULT})) % {_P31}"
+    )
+
+
 def sha_planes(dim: int, bits: int, seed: int) -> list[list[float]]:
     """Deterministic ±1 hyperplane matrix (``bits`` rows × ``dim``
     cols) from sha256 parity of ``"i:j:seed"`` — engine-independent by

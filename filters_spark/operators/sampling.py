@@ -272,3 +272,79 @@ def chunk_documents(
         F.size(piece).cast("long").alias("n_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str,
+    group_cols: list[str] | None = None,
+    hash_fn=None,
+    precap_salts: int = 32,
+) -> DataFrame:
+    """Deterministic weighted sample of ``k`` rows (per group):
+    priority sampling (Duffield, Lund & Thorup 2007). Each row gets
+    priority ``q = w / u`` with ``u`` a uniform [0,1) hash of its id;
+    the k largest priorities are the sample, and replacing each kept
+    weight with ``est_weight = max(w, tau)`` (``tau`` = the (k+1)-th
+    priority) makes any subset-sum estimate unbiased — the principled
+    way to downsample a weighted corpus while preserving totals.
+
+    Determinism/oracle contract: ``u = hash/2^64 + 0.5`` is an exact
+    double, and rows are RANKED by ``rank_key = u / w`` ascending
+    (the same order as q descending) — one IEEE division, no ln/pow —
+    so the selection and ``est_weight`` are bit-identical in any
+    IEEE-754 engine given the same hash (inject ``sha64`` for a DuckDB
+    oracle; ``xxhash64`` is the scale default). Ties on rank_key break
+    by id.
+
+    Scale shape: map-only scoring, then the same salted two-stage
+    bottom-k as :func:`~filters_spark.operators.sketches.kmv_distinct`
+    — stage 1 keeps k+1 per (group, salt) so no window task sees more
+    than its salt slice, stage 2 ranks the <= salts*(k+1) survivors.
+    Rows with ``w <= 0`` or NULL are excluded (zero weight cannot be
+    sampled; negative weight has no sampling semantics).
+
+    Output: group_cols + id_col + ``weight`` + ``rank_key`` +
+    ``est_weight`` (== w when the group has <= k rows, i.e. the
+    "sample" is exhaustive and tau does not exist).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    group_cols = group_cols or []
+    hash_fn = hash_fn or F.xxhash64
+    h = hash_fn(F.col(id_col).cast("string"))
+    u = (h.cast("double") / F.lit(float(1 << 64))) + F.lit(0.5)
+    w = F.col(weight_col).cast("double")
+    scored = df.filter(w > 0).select(
+        *group_cols,
+        F.col(id_col),
+        w.alias("weight"),
+        (u / w).alias("rank_key"),
+    )
+    if precap_salts:
+        salt = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(1)), F.lit(precap_salts))
+        w1 = Window.partitionBy(*group_cols, "_salt").orderBy("rank_key", id_col)
+        scored = (
+            scored.withColumn("_salt", salt)
+            .withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= k + 1)
+            .drop("_rn", "_salt")
+        )
+    w2 = Window.partitionBy(*group_cols).orderBy("rank_key", id_col)
+    ranked = scored.withColumn("_rn", F.row_number().over(w2)).filter(
+        F.col("_rn") <= k + 1
+    )
+    wg = Window.partitionBy(*group_cols)
+    tau = F.max(F.when(F.col("_rn") == k + 1, F.lit(1.0) / F.col("rank_key"))).over(wg)
+    return (
+        ranked.withColumn(
+            "est_weight",
+            F.when(tau.isNull(), F.col("weight")).otherwise(
+                F.greatest(F.col("weight"), tau)
+            ),
+        )
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -225,3 +225,182 @@ def hll_distinct(
     in one call); see :func:`hll_registers` / :func:`hll_finalize`."""
     regs = hll_registers(df, value_col, group_cols, p, hash_fn, rho_cap)
     return hll_finalize(regs, group_cols, p, rho_cap, linear_counting)
+
+
+# -- Count-min sketch ----------------------------------------------------------
+#
+# Frequency estimation (Cormode & Muthukrishnan 2005): d rows of w
+# counters; item x increments counter[r][h_r(x)] for every row r, and
+# the estimate is the MIN over rows — always >= the true count, over by
+# at most the collision mass (~N/w per row, best row wins). The reason
+# it belongs in a 100-TB pipeline: counters are ADDITIVE, so the whole
+# build is one constant-width groupBy (d*w cells per group) with
+# map-side partial aggregation — per-shard/day sketches re-aggregate
+# exactly with cms_merge, and no shuffle ever carries a distinct value.
+# Addition is also partition-order-independent in exact integer space,
+# which is what makes the sketch bit-mirrorable in a DuckDB oracle
+# (same guarantee KMV/HLL rely on; weights are summed as BIGINT).
+#
+# Row-r hash = mixp31(base_hash(x), r) mod width: ONE expensive base
+# hash per element, O(1) arithmetic per row — the same structure
+# minhash uses (hashing.py docstring has the perf trap this avoids).
+# mixp31 (prime modulus), NOT mix31: with mix31's 2^31 modulus a
+# power-of-two width reads only the base hash's low bits, so row
+# collisions are perfectly correlated and depth buys nothing (see
+# hashing.mixp31).
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+    hash_fn=None,
+) -> DataFrame:
+    """Per-group count-min counter frame: group_cols + ``_row``
+    ([0, depth)) + ``_col`` ([0, width)) + ``cnt`` (BIGINT; sum of
+    ``weight_col`` cast to long, or row count). Only populated cells
+    are materialized (absent cell == 0); at most depth*width rows per
+    group regardless of input size."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    group_cols = group_cols or []
+    hash_fn = hash_fn or F.xxhash64
+    from filters_spark.operators.hashing import mixp31
+
+    base = hash_fn(F.col(value_col).cast("string"))
+    w = (
+        F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    ).alias("_w")
+    probes = df.select(
+        *group_cols, base.alias("_h"), w,
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("_row"),
+    )
+    col = F.pmod(mixp31(F.col("_h"), F.col("_row")), F.lit(width)).alias("_col")
+    return (
+        probes.select(*group_cols, "_row", col, "_w")
+        .groupBy(*group_cols, "_row", "_col")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_merge(counters: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Union of CMS sketches (same depth/width/hash) = cell-wise sum —
+    shard/day/partition sketches re-aggregate exactly."""
+    group_cols = group_cols or []
+    return counters.groupBy(*group_cols, "_row", "_col").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    depth: int,
+    width: int,
+    group_cols: list[str] | None = None,
+    hash_fn=None,
+) -> DataFrame:
+    """Point-query the sketch for every row of ``items``: output =
+    items' columns + ``est`` (BIGINT, min over rows; >= true count).
+
+    The counter frame is at most depth*width cells per group —
+    constant-size — so it is BROADCAST and the probe is a map-only
+    pass over ``items``: estimating frequencies for a billion
+    candidates never shuffles the candidates."""
+    group_cols = group_cols or []
+    hash_fn = hash_fn or F.xxhash64
+    from filters_spark.operators.hashing import mixp31
+
+    base = hash_fn(F.col(value_col).cast("string"))
+    probes = items.select(
+        F.struct("*").alias("_item"), base.alias("_h"),
+        *[F.col(g) for g in group_cols],
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("_row"),
+    ).withColumn("_col", F.pmod(mixp31(F.col("_h"), F.col("_row")), F.lit(width)))
+    joined = probes.join(
+        F.broadcast(counters), [*group_cols, "_row", "_col"], "left"
+    )
+    # an absent cell means nothing ever hashed there: count 0
+    return (
+        joined.groupBy("_item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+        .select("_item.*", "est")
+    )
+
+
+# -- Heavy hitters --------------------------------------------------------------
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    min_frac: float,
+    total_rows: int | None = None,
+    local_slack: float = 1.0,
+) -> DataFrame:
+    """EXACT heavy hitters — every value occurring in at least
+    ``min_frac`` of rows, with its exact count — without ever shuffling
+    the full distinct-key set. Output: ``value_col`` + ``n`` (BIGINT).
+
+    The naive plan (groupBy(value).count() then HAVING) shuffles one
+    partial count per distinct key per input partition; on a 100-TB
+    column with billions of distinct values that shuffle IS the job.
+    This operator uses the two-pass candidate trick instead:
+
+    1. **Local candidates** (map-only, ``mapInPandas``): each input
+       partition counts its own rows and emits the values that are
+       locally frequent (local count >= min_frac * partition rows -
+       ``local_slack``). Pigeonhole guarantees NO false negatives: if a
+       value has global frequency >= min_frac, some partition holds it
+       with at least that local frequency (else the global sum would be
+       short). The candidate set is tiny — at most ~partitions/min_frac
+       values — and false positives are harmless.
+    2. **Exact verify**: broadcast the candidates, leftsemi-join (row
+       filter, no shuffle of ``df``), and exact-count ONLY the
+       candidates; the exchange carries <= candidates x partitions
+       partial rows. Filter ``n >= min_frac * total``.
+
+    Because step 1 can only over-generate, the result is exactly
+    ``GROUP BY value HAVING count(*) >= min_frac * count(*) OVER ()`` —
+    the operator is value-checked against that plain SQL oracle
+    (heavy_hitters_users). NULLs are never heavy hitters (dropped).
+
+    ``total_rows``: pass the known row count to skip the extra
+    ``df.count()`` job (parquet sources resolve it from footers anyway).
+    The threshold ``min_frac * total`` is computed driver-side as one
+    IEEE double product — identical in any engine.
+    """
+    if not 0.0 < min_frac <= 1.0:
+        raise ValueError("min_frac must be in (0, 1]")
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([df.schema[value_col]])
+    f = float(min_frac)
+    slack = float(local_slack)
+    col_name = value_col
+
+    def local_candidates(batches):
+        counts = None
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+            vc = pdf[col_name].value_counts()  # dropna=True
+            counts = vc if counts is None else counts.add(vc, fill_value=0)
+        if counts is None or n == 0:
+            return
+        keep = counts[counts >= f * n - slack]
+        yield pd.DataFrame({col_name: keep.index})
+
+    cands = df.select(col_name).mapInPandas(local_candidates, out_schema).distinct()
+    total = int(total_rows) if total_rows is not None else df.count()
+    return (
+        df.join(F.broadcast(cands), col_name, "leftsemi")
+        .groupBy(col_name)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= F.lit(f * total))
+    )

@@ -13,7 +13,14 @@ from pyspark.sql import DataFrame
 
 
 def executed_plan(df: DataFrame) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    """Executed-plan text, FINAL section only: after an action runs,
+    AQE's toString prints the final plan AND the pre-adaptive
+    "== Initial Plan ==" — counting features over both double-counts
+    every operator (split is a no-op when the marker is absent)."""
+    return (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
 
 
 def formatted_plan(df: DataFrame) -> str:

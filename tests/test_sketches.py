@@ -119,3 +119,213 @@ class TestHLL:
         assert "Window" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "Join" not in plan
+
+
+class TestCMS:
+    def test_estimate_upper_bounds_true_count(self, spark, events):
+        from filters_spark.operators.sketches import cms_build, cms_estimate
+
+        d, w = 4, 64
+        counters = cms_build(events, "user_id", depth=d, width=w)
+        items = events.select("user_id").distinct()
+        est = {
+            r.user_id: r.est
+            for r in cms_estimate(counters, items, "user_id", d, w).collect()
+        }
+        true = {
+            r.user_id: r.cnt
+            for r in events.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+        }
+        assert set(est) == set(true)
+        # CMS never undercounts, and the total overcount is bounded by
+        # the collision mass: sum over items of (est - true) <= d items
+        # per cell in expectation; assert the hard one-sided guarantee
+        # plus a generous aggregate sanity bound
+        assert all(est[u] >= true[u] for u in true)
+        n = events.count()
+        assert sum(est[u] - true[u] for u in true) <= len(true) * (2 * n / w)
+
+    def test_absent_item_estimates_reflect_only_collisions(self, spark, events):
+        from filters_spark.operators.sketches import cms_build, cms_estimate
+
+        d, w = 4, 4096
+        counters = cms_build(events, "user_id", depth=d, width=w)
+        ghosts = spark.range(1_000_000, 1_000_050).select(
+            F.col("id").alias("user_id")
+        )
+        est = cms_estimate(counters, ghosts, "user_id", d, w)
+        # wide sketch, never-seen items: min over 4 rows is almost
+        # surely an empty cell -> 0 (a nonzero would mean ALL 4 probes
+        # collided, p ~ (n/w)^4)
+        assert est.filter(F.col("est") > 0).count() == 0
+
+    def test_merge_equals_single_pass(self, spark, events):
+        from filters_spark.operators.sketches import cms_build, cms_merge
+
+        d, w = 4, 128
+        whole = cms_build(events, "user_id", ["event_type"], depth=d, width=w)
+        h1 = cms_build(
+            events.filter(F.col("event_id") % 2 == 0),
+            "user_id", ["event_type"], depth=d, width=w,
+        )
+        h2 = cms_build(
+            events.filter(F.col("event_id") % 2 == 1),
+            "user_id", ["event_type"], depth=d, width=w,
+        )
+        merged = cms_merge(h1.unionByName(h2), ["event_type"])
+        assert sorted(map(tuple, whole.collect())) == sorted(
+            map(tuple, merged.collect())
+        )
+
+    def test_weighted_counts(self, spark):
+        from filters_spark.operators.sketches import cms_build, cms_estimate
+
+        d, w = 3, 512
+        df = spark.createDataFrame(
+            [("a", 5), ("a", 7), ("b", 1)], ["k", "wt"]
+        )
+        counters = cms_build(df, "k", depth=d, width=w, weight_col="wt")
+        items = spark.createDataFrame([("a",), ("b",)], ["k"])
+        est = {r.k: r.est for r in cms_estimate(counters, items, "k", d, w).collect()}
+        assert est == {"a": 12, "b": 1}
+
+    def test_param_validation(self, spark, events):
+        from filters_spark.operators.sketches import cms_build
+
+        with pytest.raises(ValueError):
+            cms_build(events, "user_id", depth=0)
+
+
+class TestPrioritySample:
+    def test_matches_bruteforce_selection_and_tau(self, spark):
+        from filters_spark.operators.sampling import priority_sample
+
+        rows = [(i, float((i * 37) % 100 + 1)) for i in range(500)]
+        df = spark.createDataFrame(rows, ["id", "wt"])
+        k = 20
+        out = priority_sample(df, k, "wt", "id").collect()
+        assert len(out) == k
+
+        # brute-force recomputation with the same hash via Spark itself
+        scored = df.select(
+            "id", F.col("wt").cast("double").alias("w"),
+            ((F.xxhash64(F.col("id").cast("string")).cast("double")
+              / F.lit(float(1 << 64))) + F.lit(0.5)).alias("u"),
+        ).collect()
+        ranked = sorted(scored, key=lambda r: (r.u / r.w, r.id))
+        want_ids = [r.id for r in ranked[:k]]
+        tau = 1.0 / (ranked[k].u / ranked[k].w)
+        got = {r.id: r for r in out}
+        assert sorted(got) == sorted(want_ids)
+        for r in out:
+            assert r.est_weight == max(r.weight, tau)
+
+    def test_exhaustive_group_keeps_raw_weights(self, spark):
+        from filters_spark.operators.sampling import priority_sample
+
+        df = spark.createDataFrame(
+            [("g", i, 2.5) for i in range(5)], ["grp", "id", "wt"]
+        )
+        out = priority_sample(df, 10, "wt", "id", group_cols=["grp"]).collect()
+        assert len(out) == 5
+        assert all(r.est_weight == r.weight for r in out)
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from filters_spark.operators.sampling import priority_sample
+
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, 0.0), (3, -4.0), (4, None)], ["id", "wt"]
+        )
+        out = priority_sample(df, 10, "wt", "id").collect()
+        assert [r.id for r in out] == [1]
+
+    def test_precap_is_lossless(self, spark):
+        from filters_spark.operators.sampling import priority_sample
+
+        rows = [(i, float(i % 13 + 1)) for i in range(400)]
+        df = spark.createDataFrame(rows, ["id", "wt"])
+        a = priority_sample(df, 15, "wt", "id", precap_salts=32).collect()
+        b = priority_sample(df, 15, "wt", "id", precap_salts=0).collect()
+        key = lambda r: (r.id, r.weight, r.rank_key, r.est_weight)
+        assert sorted(map(key, a)) == sorted(map(key, b))
+
+    def test_unbiased_subset_sum_in_expectation_shape(self, spark):
+        """est_weight sums approximate the true weight total (the
+        property the tau adjustment exists for) — loose band, it is a
+        single deterministic draw."""
+        from filters_spark.operators.sampling import priority_sample
+
+        rows = [(i, float((i * 131) % 997 + 1)) for i in range(2000)]
+        df = spark.createDataFrame(rows, ["id", "wt"])
+        total = sum(w for _, w in rows)
+        out = priority_sample(df, 200, "wt", "id").collect()
+        est_total = sum(r.est_weight for r in out)
+        assert abs(est_total - total) / total < 0.2
+
+
+class TestHeavyHitters:
+    def test_equals_naive_groupby(self, spark, events):
+        from filters_spark.operators.sketches import heavy_hitters
+
+        got = {
+            (r.user_id, r.n)
+            for r in heavy_hitters(events, "user_id", 0.008).collect()
+        }
+        total = events.count()
+        want = {
+            (r.user_id, r.n)
+            for r in events.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 0.008 * total)
+            .collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_nulls_never_heavy(self, spark):
+        from filters_spark.operators.sketches import heavy_hitters
+
+        df = spark.createDataFrame(
+            [(None,)] * 50 + [(1,)] * 30 + [(2,)] * 2, "v: bigint"
+        )
+        out = heavy_hitters(df, "v", 0.2).collect()
+        assert [(r.v, r.n) for r in out] == [(1, 30)]
+
+    def test_total_rows_override_and_plan(self, spark, events):
+        from filters_spark.operators.sketches import heavy_hitters
+        from filters_spark.plans.audit import executed_plan
+
+        # 0.008 keeps the result non-empty — an empty result lets AQE
+        # collapse the whole plan to EmptyRelation and there is nothing
+        # left to audit
+        out = heavy_hitters(events, "user_id", 0.008, total_rows=events.count())
+        assert len(out.collect()) > 0
+        plan = executed_plan(out)
+        assert "BatchEvalPython" not in plan
+        # exactly one Arrow stage (the candidate pass, a MapInPandas
+        # node); the verify join must be broadcast, never a shuffled
+        # join of the raw rows
+        assert plan.count("MapInPandas") == 1
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    def test_param_validation(self, spark, events):
+        from filters_spark.operators.sketches import heavy_hitters
+
+        with pytest.raises(ValueError):
+            heavy_hitters(events, "user_id", 0.0)
+
+    def test_string_keys(self, spark, events):
+        from filters_spark.operators.sketches import heavy_hitters
+
+        got = dict(
+            (r.event_type, r.n)
+            for r in heavy_hitters(events, "event_type", 0.15).collect()
+        )
+        total = events.count()
+        want = {
+            r.event_type: r.n
+            for r in events.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 0.15 * total)
+            .collect()
+        }
+        assert got == want
