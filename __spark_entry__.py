@@ -2062,6 +2062,66 @@ def q_stream_windowed_stats(spark, sf):
 
 
 @_q(
+    "feature_rolling_counts",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER w AS BIGINT) AS n_span,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_span
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_feature_rolling_counts(spark, sf):
+    """Per-event trailing 7-day activity features (operators/events.py:
+    rolling_features): a time-RANGE window (ties are frame peers, so
+    the result is deterministic without an ordering tiebreak), DECIMAL
+    sum for partition-order independence, one shuffle on the user
+    key."""
+    from filters_spark.operators.events import rolling_features
+
+    return rolling_features(_t(spark, sf, "events"), span_secs=7 * 86400)
+
+
+@_q(
+    "stream_session_stats",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 28800
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+    ), s AS (
+      SELECT *, SUM(ns) OVER (
+        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 8 HOUR AS session_end,
+           user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_stream_session_stats(spark, sf):
+    """Gap-based session windows (streaming/windows.py:
+    session_event_stats) in batch mode; the identical plan runs
+    incrementally under Structured Streaming with watermark-bounded
+    session state (tests/test_streaming.py pins the streaming run).
+    Spark merges TOUCHING windows — an event exactly gap after the
+    last still extends the session — so the oracle starts a new
+    session only at diff > gap (strict); session end = last event +
+    gap in both engines."""
+    from filters_spark.streaming.windows import session_event_stats
+
+    return session_event_stats(
+        _t(spark, sf, "events"), gap="8 hours", watermark="10 minutes"
+    )
+
+
+@_q(
     "text_pii_redact",
     # decorate each document with deterministic doc_id-derived PII spans
     # (the corpus itself is clean prose) so the redaction path has real

@@ -203,3 +203,48 @@ def session_stats(
             / F.lit(1_000_000)
         ).cast("long").alias("duration_secs"),
     )
+
+
+def rolling_features(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("user_id",),
+    value_col: str = "value",
+    span_secs: int = 7 * 86400,
+    id_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Per-event trailing-window features: for every event, the count
+    and exact value sum of the group's events in the time RANGE
+    ``[ts - span_secs, ts]`` (feature-engineering staple: "user's
+    7-day activity as of this event").
+
+    A range frame, not a row frame: the window closes over event TIME,
+    so bursty and sparse users get the same semantics, and rows that
+    share a timestamp are frame peers (all included — deterministic
+    under ties, no ordering tiebreak needed). One shuffle on
+    ``group_cols`` (the window sort); the frame is evaluated by a
+    sliding two-pointer pass per partition, never a per-row rescan.
+    Sum is DECIMAL-accumulated (partition-order independent), cast to
+    double on output.
+
+    Output: id_cols + group_cols + ts_col + ``n_span`` + ``sum_span``.
+    """
+    # epoch seconds for the range frame; NTZ cannot cast to long
+    # directly, and the session timezone is pinned UTC (session.py), so
+    # the NTZ -> TS hop is the identity DuckDB's epoch(ts) also applies
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(epoch)
+        .rangeBetween(-int(span_secs), 0)
+    )
+    return df.select(
+        *id_cols,
+        *group_cols,
+        ts_col,
+        F.count(F.lit(1)).over(w).alias("n_span"),
+        F.sum(F.col(value_col).cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_span"),
+    )

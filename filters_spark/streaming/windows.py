@@ -58,3 +58,53 @@ def windowed_event_stats(
             "sum_value",
         )
     )
+
+
+def session_event_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "8 hours",
+    watermark: str | None = None,
+    group_cols: tuple[str, ...] = ("user_id",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based session windows (``F.session_window``): consecutive
+    events of a group belong to one session while each arrives within
+    ``gap`` of the previous one (inclusive: an event exactly ``gap``
+    later still extends the session — Spark coalesces TOUCHING
+    windows); the window spans
+    ``[first_ts, last_ts + gap)``. Same mode duality as
+    :func:`windowed_event_stats` — identical plan in batch and in
+    Structured Streaming, where sessions are MERGED incrementally as
+    events arrive and a session's row is emitted once, when the
+    watermark passes its end (no more event can extend it). Session
+    state is watermark-bounded: without the watermark an always-on
+    stream would keep every open session forever.
+
+    Equivalent batch formulation (the DuckDB oracle of
+    ``stream_session_stats`` spells it): a new session starts when
+    ``ts - lag(ts) > gap`` (strict), sessions are running sums of that flag,
+    stats aggregate per (group, session). Value summed as DECIMAL for
+    partition-order independence.
+
+    Output: session_start, session_end, group_cols, n, sum_value.
+    """
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
+    win = F.session_window(F.col(ts_col), gap)
+    return (
+        events.groupBy(win.alias("sess"), *[F.col(c) for c in group_cols])
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            *group_cols,
+            "n",
+            "sum_value",
+        )
+    )

@@ -1087,3 +1087,71 @@ class TestChunkDocuments:
         df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
         with pytest.raises(ValueError):
             chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+class TestRollingFeatures:
+    def test_trailing_range_semantics(self, spark):
+        from filters_spark.operators.events import rolling_features
+
+        rows = [
+            # user 1: events at t=0, 100, 700 (span 600 drops t=0 by t=700)
+            (1, 1, "2026-01-01 00:00:00", 10.0),
+            (2, 1, "2026-01-01 00:01:40", 20.0),
+            (3, 1, "2026-01-01 00:11:40", 40.0),
+            # user 2: two events SHARING a timestamp -> frame peers, both
+            # rows see both events (deterministic without a tiebreak)
+            (4, 2, "2026-01-01 00:00:00", 1.0),
+            (5, 2, "2026-01-01 00:00:00", 2.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, value double"
+        ).select("event_id", "user_id", F.to_timestamp("ts").alias("ts"), "value")
+        out = {
+            r.event_id: (r.n_span, r.sum_span)
+            for r in rolling_features(df, span_secs=600).collect()
+        }
+        assert out == {
+            1: (1, 10.0), 2: (2, 30.0), 3: (2, 60.0),
+            4: (2, 3.0), 5: (2, 3.0),
+        }
+
+    def test_single_exchange(self, spark):
+        from filters_spark.operators.events import rolling_features
+        from filters_spark.plans.audit import exchange_count, has_python_eval
+
+        df = spark.createDataFrame(
+            [(i, i % 5, i * 50, float(i)) for i in range(300)],
+            "event_id long, user_id long, secs long, value double",
+        ).select(
+            "event_id", "user_id",
+            F.timestamp_seconds(F.col("secs")).alias("ts"), "value",
+        )
+        out = rolling_features(df, span_secs=600)
+        out.collect()
+        assert exchange_count(out) == 1 and not has_python_eval(out)
+
+
+class TestSessionWindowBatch:
+    def test_gap_merge_and_boundaries(self, spark):
+        from filters_spark.streaming.windows import session_event_stats
+
+        rows = [
+            (1, "2026-01-01 10:00:00", 1.0),
+            (1, "2026-01-01 10:20:00", 2.0),   # within 30min -> same session
+            (1, "2026-01-01 10:50:00", 4.0),   # exactly 30min: still merges (touching)
+            (1, "2026-01-01 11:20:01", 16.0),  # 30min+1s -> NEW session
+            (2, "2026-01-01 09:00:00", 8.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts string, value double"
+        ).select("user_id", F.to_timestamp("ts").alias("ts"), "value")
+        out = {
+            (r.user_id, r.session_start.isoformat(), r.session_end.isoformat()):
+                (r.n, r.sum_value)
+            for r in session_event_stats(df, gap="30 minutes").collect()
+        }
+        assert out == {
+            (1, "2026-01-01T10:00:00", "2026-01-01T11:20:00"): (3, 7.0),
+            (1, "2026-01-01T11:20:01", "2026-01-01T11:50:01"): (1, 16.0),
+            (2, "2026-01-01T09:00:00", "2026-01-01T09:30:00"): (1, 8.0),
+        }

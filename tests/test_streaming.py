@@ -278,3 +278,61 @@ def test_windowed_agg_append_finalizes_and_drops_late(spark, tmp_path):
         for r in batch.collect()
     }
     assert bgot == got
+
+
+def test_session_window_stream_merges_across_restart(spark, tmp_path):
+    """Gap-based session windows under Structured Streaming
+    (streaming/windows.py:session_event_stats): an OPEN session in the
+    checkpoint is extended by an event arriving in a later run (within
+    the gap of its last event), and the merged session is emitted
+    exactly once, when the watermark passes its end. Batch-vs-stream
+    value equality is pinned by the oracled stream_session_stats
+    query."""
+    from filters_spark.streaming.windows import session_event_stats
+
+    ddl = "ts timestamp, user_id bigint, value double"
+
+    def frame(rows):
+        raw = spark.createDataFrame(rows, "ts string, user_id long, value double")
+        return raw.select(F.to_timestamp("ts").alias("ts"), "user_id", "value")
+
+    d = str(tmp_path / "sesssrc")
+    os.makedirs(d)
+    out = str(tmp_path / "sessout")
+
+    def run():
+        stream = spark.readStream.schema(ddl).parquet(d + "/*/")
+        agg = session_event_stats(
+            stream, gap="30 minutes", watermark="10 minutes", group_cols=("user_id",)
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "sessckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return q
+
+    # run 1: two events 10 minutes apart -> one open session in state
+    frame(
+        [("2026-01-01 10:00:00", 1, 1.0), ("2026-01-01 10:10:00", 1, 2.0)]
+    ).coalesce(1).write.parquet(os.path.join(d, "f1"))
+    run()
+
+    # run 2 (restart): 10:25 is within 30min of the session's last event
+    # -> MERGES into the restored session; 13:00 advances the watermark
+    # past the merged session's end (10:55), finalizing it
+    frame(
+        [("2026-01-01 10:25:00", 1, 4.0), ("2026-01-01 13:00:00", 2, 8.0)]
+    ).coalesce(1).write.parquet(os.path.join(d, "f2"))
+    run()
+
+    rows = {
+        (r.user_id, r.session_start.isoformat(), r.session_end.isoformat()):
+            (r.n, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows == {(1, "2026-01-01T10:00:00", "2026-01-01T10:55:00"): (3, 7.0)}
