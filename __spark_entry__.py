@@ -2528,6 +2528,50 @@ def q_lake_rollback_read(spark, sf):
 
 
 @_q(
+    "lake_snapshot_diff",
+    f"""
+    WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE},
+    unioned AS (
+      SELECT repo, path, "commit", event_seq, lang, content, 'K' AS op FROM base
+      UNION ALL
+      SELECT repo, path, "commit", event_seq, lang, content, op FROM deltas
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY repo, path ORDER BY "commit" DESC, event_seq DESC
+      ) AS rn FROM unioned
+    ),
+    old_state AS (SELECT repo, path, lang, content FROM base),
+    new_state AS (
+      SELECT repo, path, lang, content FROM ranked WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT coalesce(n.repo, o.repo) AS repo,
+           coalesce(n.path, o.path) AS path,
+           CASE WHEN o.repo IS NULL THEN 'I'
+                WHEN n.repo IS NULL THEN 'D' ELSE 'U' END AS op,
+           n.lang AS lang, n.content AS content
+    FROM old_state o FULL JOIN new_state n
+      ON o.repo = n.repo AND o.path = n.path
+    WHERE o.repo IS NULL OR n.repo IS NULL
+       OR o.lang IS DISTINCT FROM n.lang
+       OR o.content IS DISTINCT FROM n.content
+    """,
+)
+def q_lake_snapshot_diff(spark, sf):
+    """State-comparison changefeed (lake/table.py:snapshot_diff): the
+    row-level I/U/D delta between two snapshots derived by full-outer
+    joining the two states on the key — the fallback for copy-on-write
+    tables, where changes() raises because overwrite snapshots keep no
+    row-level log. The oracle recomputes both states from the raw
+    slices and diffs them with IS DISTINCT FROM (the same null-safe
+    compare the operator uses via eqNullSafe)."""
+    from filters_spark.lake.table import snapshot_diff
+
+    t = _lake_build(spark, sf, deltas=True)
+    return snapshot_diff(t, 1, 2)
+
+
+@_q(
     "lake_mview_by_lang",
     f"""
     WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE},

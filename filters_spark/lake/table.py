@@ -1196,3 +1196,71 @@ class LakeTable:
 
     def watermarks(self) -> dict[str, str]:
         return self.current()["watermarks"]
+
+
+def snapshot_diff(
+    t: "LakeTable", from_sid: int, to_sid: int | None = None
+) -> DataFrame:
+    """Row-level diff between two snapshots of ANY table, derived by
+    comparing the two states — the changefeed fallback for
+    copy-on-write tables, where :meth:`LakeTable.changes` legitimately
+    raises (CoW overwrite snapshots retain no row-level log).
+
+    Output: ``(repo, path, op, lang-and-payload...)`` with ``op='I'``
+    (key only in the newer state, new image), ``'U'`` (key in both,
+    any payload column differs null-safely, new image), ``'D'`` (key
+    only in the older state, NULL payload — the same tombstone shape
+    ``changes()`` emits). Unchanged keys are absent.
+
+    Cost is O(both snapshots) — a full-outer join shuffled on the key
+    — which is the honest price of diffing without a log; MoR tables
+    should prefer ``changes()`` (O(changed rows)). The join compares
+    ``content_sha`` (precomputed at commit) plus the payload columns
+    null-safely, so wide content columns don't need byte comparison
+    when the sha already differs... sha IS a payload-derived column,
+    so comparing (sha, lang, non-content payload) suffices and the
+    content bytes never feed the comparator.
+
+    Payload columns come from the NEWER snapshot (schema evolution
+    only ADDS columns; the older read NULL-fills them, and a row whose
+    added column is non-NULL in the new state correctly diffs as U).
+    """
+    new_snap = t.snapshot(to_sid)
+    payload = t.payload_cols(new_snap)
+    old_df = t.read(from_sid)
+    new_df = t.read(to_sid)
+    keys = ["repo", "path"]
+    # compare sha for content; every other payload column null-safely
+    cmp_cols = ["content_sha"] + [c for c in payload if c != "content"]
+    o = (old_df.select(*keys, *payload, "content_sha", F.lit(1).alias("_o"))
+         if old_df is not None else None)
+    n = (new_df.select(*keys, *payload, "content_sha", F.lit(1).alias("_n"))
+         if new_df is not None else None)
+    if n is None and o is None:
+        raise ValueError("both snapshots are empty; nothing to diff")
+    if o is None:
+        return n.select(*keys, F.lit("I").alias("op"), *payload)
+    if n is None:
+        null_payload = [F.lit(None).cast("string").alias(c) for c in payload]
+        return o.select(*keys, F.lit("D").alias("op"), *null_payload)
+    on = o.select(*keys, *[F.col(c).alias(f"_old_{c}") for c in cmp_cols], "_o")
+    joined = n.join(on, keys, "full_outer")
+    changed = [
+        ~F.col(c).eqNullSafe(F.col(f"_old_{c}")) for c in cmp_cols
+    ]
+    any_changed = changed[0]
+    for c in changed[1:]:
+        any_changed = any_changed | c
+    op = (
+        F.when(F.col("_o").isNull(), "I")
+        .when(F.col("_n").isNull(), "D")
+        .when(any_changed, "U")
+    )
+    out_payload = [
+        F.when(F.col("_n").isNotNull(), F.col(c)).alias(c) for c in payload
+    ]
+    return (
+        joined.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(*keys, "op", *out_payload)
+    )

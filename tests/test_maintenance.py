@@ -358,3 +358,63 @@ class TestRescale:
             "_b2", bucket_expr(F.col("repo"), F.col("path"), 16, 8)
         ).filter(F.col("_bucket") != F.col("_b2")).count() if "_bucket" in t.read().columns else 0
         assert mis == 0
+
+
+class TestSnapshotDiff:
+    """snapshot_diff (lake/table.py): the state-comparison changefeed
+    for tables whose history cannot provide one (CoW overwrites)."""
+
+    def _mk(self, spark, root):
+        from filters_spark.lake.table import LakeTable, bucket_expr
+        import pyspark.sql.functions as F
+
+        t = LakeTable.create(spark, root, ["repo", "path"], num_buckets=4)
+        ddl = ("repo string, path string, commit string, event_seq long, "
+               "lang string, content string, op string")
+
+        def commit(rows, wm):
+            df = spark.createDataFrame(rows, ddl).select(
+                "*", bucket_expr(F.col("repo"), F.col("path"), 4, 16).alias("_bucket")
+            )
+            touched = sorted(r[0] for r in df.select("_bucket").distinct().collect())
+            t.commit_deltas(df, touched, {b: f"{wm:012x}:0000000000" for b in touched})
+
+        commit(
+            [
+                ("r1", "p1", f"{1:012x}", 1, "go", "aaa", "I"),
+                ("r1", "p2", f"{2:012x}", 2, "py", "bbb", "I"),
+                ("r1", "p3", f"{3:012x}", 3, "py", "ccc", "I"),
+            ],
+            3,
+        )
+        commit(
+            [
+                ("r1", "p2", f"{10:012x}", 10, "py", "bbb2", "U"),  # content change
+                ("r1", "p3", f"{11:012x}", 11, None, None, "D"),     # delete
+                ("r1", "p4", f"{12:012x}", 12, "rs", "ddd", "I"),    # insert
+                ("r1", "p1", f"{13:012x}", 13, "go", "aaa", "U"),    # no-op rewrite
+            ],
+            13,
+        )
+        return t
+
+    def test_iud_classification_and_noop_suppression(self, spark, tmp_path):
+        from filters_spark.lake.table import snapshot_diff
+
+        t = self._mk(spark, str(tmp_path / "sd"))
+        got = {
+            (r.repo, r.path): (r.op, r.lang, r.content)
+            for r in snapshot_diff(t, 1, 2).collect()
+        }
+        # p1's rewrite carried an identical payload -> NOT in the diff
+        assert got == {
+            ("r1", "p2"): ("U", "py", "bbb2"),
+            ("r1", "p3"): ("D", None, None),
+            ("r1", "p4"): ("I", "rs", "ddd"),
+        }
+
+    def test_same_snapshot_diff_is_empty(self, spark, tmp_path):
+        from filters_spark.lake.table import snapshot_diff
+
+        t = self._mk(spark, str(tmp_path / "sd2"))
+        assert snapshot_diff(t, 2, 2).count() == 0
