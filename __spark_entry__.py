@@ -20,6 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from filters_spark.operators.hashing import mix31_sql, mixp31_sql, sha64_sql, sha_planes
+from filters_spark.operators.zorder import zorder_sql
 from filters_spark.operators.sketches import hll_numerator
 
 
@@ -2861,6 +2862,103 @@ def q_sample_weighted_priority(spark, sf):
     return priority_sample(
         o, 25, "o_totalprice", "o_orderkey",
         group_cols=["o_orderpriority"], hash_fn=sha64,
+    )
+
+
+@_q(
+    "sort_zorder_key",
+    f"""
+    SELECT o_orderkey,
+           {zorder_sql("o_custkey % 65536", "o_orderkey % 65536", 16)} AS zkey
+    FROM orders
+    """,
+)
+def q_sort_zorder_key(spark, sf):
+    """Z-order (Morton) clustering key (operators/zorder.py): the
+    bit-interleave of two bounded dimensions, computed as one map-only
+    literal-shift expression — sorting data files by it makes
+    file-level min/max skipping selective on BOTH columns at once
+    (tests/test_zorder.py measures the pruning win on parquet footer
+    stats). Exact integer algebra, recomputed bit-identically by the
+    DuckDB twin."""
+    from filters_spark.operators.zorder import zorder_key
+
+    o = _t(spark, sf, "orders")
+    zk = zorder_key(
+        F.pmod(F.col("o_custkey"), F.lit(65536)),
+        F.pmod(F.col("o_orderkey"), F.lit(65536)),
+        bits=16,
+    )
+    return o.select("o_orderkey", zk.alias("zkey"))
+
+
+_BLOOM_M, _BLOOM_K = 4096, 3
+
+
+def _sql_bit_mask(bit_expr: str) -> str:
+    """DuckDB CASE ladder for ``1 << (bit & 63)`` as signed BIGINT —
+    mirrors sketches._bit_mask (1<<63 spelled as the negative long)."""
+    arms = " ".join(
+        f"WHEN {i} THEN CAST({1 << i if i < 63 else '-9223372036854775807 - 1'} AS BIGINT)"
+        for i in range(64)
+    )
+    return f"CASE (({bit_expr}) & 63) {arms} END"
+
+
+@_q(
+    "sketch_bloom_filter",
+    f"""
+    WITH h AS (
+      SELECT {sha64_sql("CAST(o_custkey AS VARCHAR)")} AS hv FROM orders
+    ), ks AS (SELECT unnest(range({_BLOOM_K})) AS kk),
+    bits AS (
+      SELECT ({mixp31_sql("hv", "kk")}) % {_BLOOM_M} AS bit FROM h CROSS JOIN ks
+    ),
+    words AS (
+      SELECT bit >> 6 AS word_idx, bit_or({_sql_bit_mask("bit")}) AS bits
+      FROM bits GROUP BY 1
+    ),
+    cand AS (
+      SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_custkey <= 100
+      UNION ALL SELECT unnest(range(900000, 900100))
+    ),
+    cb AS (
+      SELECT custkey,
+             ({mixp31_sql(sha64_sql("CAST(custkey AS VARCHAR)"), "kk")})
+               % {_BLOOM_M} AS bit
+      FROM cand CROSS JOIN ks
+    )
+    SELECT p.custkey,
+           (sum(CASE WHEN (coalesce(w.bits, 0) & {_sql_bit_mask("p.bit")}) <> 0
+                     THEN 1 ELSE 0 END) = {_BLOOM_K}) AS might_contain
+    FROM cb p LEFT JOIN words w ON w.word_idx = (p.bit >> 6)
+    GROUP BY 1
+    """,
+)
+def q_sketch_bloom(spark, sf):
+    """Bloom membership filter (operators/sketches.py:bloom_build/
+    bloom_might_contain): the map-side semi-join pruning primitive — a
+    constant-size (word_idx, bits) frame built by ONE bit_or groupBy,
+    broadcast to probe candidates without shuffling them. m=4096 <<
+    distinct keys' hash space, so false positives are real and the
+    k-probe AND is doing actual work; a False is definitive absence.
+    bit_or is order-independent in integer space, so the whole sketch
+    is recomputed bit-identically by DuckDB with the injected sha64 +
+    prime-modulus mixer (xxhash64 stays the scale default)."""
+    from filters_spark.operators.hashing import sha64
+    from filters_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    o = _t(spark, sf, "orders")
+    bloom = bloom_build(o, "o_custkey", m_bits=_BLOOM_M, k=_BLOOM_K, hash_fn=sha64)
+    present = (
+        o.select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+        .filter(F.col("custkey") <= 100)
+    )
+    absent = spark.range(900000, 900100).select(F.col("id").alias("custkey"))
+    items = present.unionByName(absent)
+    return bloom_might_contain(
+        bloom, items, "custkey", m_bits=_BLOOM_M, k=_BLOOM_K, hash_fn=sha64
     )
 
 

@@ -404,3 +404,109 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= F.lit(f * total))
     )
+
+
+# -- Bloom filter ----------------------------------------------------------------
+#
+# Membership sketch for distributed semi-join pruning: build a compact
+# bitmap over a join/filter key column, broadcast it, and drop
+# non-matching rows map-side BEFORE any shuffle — the standard way to
+# cut a 100-TB probe-side scan down to the rows that can possibly
+# match. False positives only (a set bit can collide); a 0 answer is
+# definitive, which is what makes the pruning sound.
+#
+# Representation: the m-bit array as 64-bit words, only NONZERO words
+# materialized — a (word_idx, bits) frame of at most m/64 rows built by
+# ONE constant-width groupBy with BIT_OR aggregation. bit_or is
+# order-independent in exact integer space, so shard-built filters
+# OR-merge exactly and the whole build is DuckDB-mirrorable
+# (bit_or + shifts spell the same).
+#
+# Bit i for probe k: mixp31(base_hash(x), k) mod m (prime-modulus mixer
+# — see the count-min comment above for why mix31 would correlate the
+# k probes under a power-of-two m).
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 5,
+    hash_fn=None,
+) -> DataFrame:
+    """Bloom bitmap over ``value_col``: frame of ``(word_idx, bits)``
+    (BIGINT word index, BIGINT 64-bit word; absent word == 0). At most
+    ``m_bits/64`` rows regardless of input size — broadcastable."""
+    if m_bits < 64 or m_bits % 64:
+        raise ValueError("m_bits must be a positive multiple of 64")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    hash_fn = hash_fn or F.xxhash64
+    from filters_spark.operators.hashing import mixp31
+
+    base = hash_fn(F.col(value_col).cast("string"))
+    probes = df.select(
+        base.alias("_h"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_k"),
+    )
+    bit = F.pmod(mixp31(F.col("_h"), F.col("_k")), F.lit(m_bits))
+    return (
+        probes.select(
+            F.shiftright(bit, 6).alias("word_idx"), _bit_mask(bit).alias("_w")
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_w").alias("bits"))
+    )
+
+
+def _bit_mask(bit: Column) -> Column:
+    """``1 << (bit & 63)`` as an unrolled CASE of literal longs —
+    shiftleft takes only literal shift amounts, and ``1 << 63`` must be
+    spelled as the negative long (F.lit of 2^63 overflows)."""
+    in_word = bit.bitwiseAND(F.lit(63))
+    expr = F.lit(0).cast("long")
+    for i in range(64):
+        expr = F.when(
+            in_word == i, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+        ).otherwise(expr)
+    return expr
+
+
+def bloom_merge(filters_df: DataFrame) -> DataFrame:
+    """Union of bloom filters (same m/k/hash) = word-wise OR — shard
+    filters merge exactly."""
+    return filters_df.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_might_contain(
+    bloom: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    m_bits: int,
+    k: int = 5,
+    hash_fn=None,
+) -> DataFrame:
+    """Probe the filter for every row of ``items``: output = items'
+    columns + ``might_contain`` (boolean; False is DEFINITIVE absence).
+
+    The bloom frame is constant-size, so it is BROADCAST and the probe
+    is map-only — pruning a billion-row probe side never shuffles it.
+    """
+    hash_fn = hash_fn or F.xxhash64
+    from filters_spark.operators.hashing import mixp31
+
+    base = hash_fn(F.col(value_col).cast("string"))
+    probes = items.select(
+        F.struct("*").alias("_item"), base.alias("_h"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_k"),
+    )
+    bit = F.pmod(mixp31(F.col("_h"), F.col("_k")), F.lit(m_bits))
+    probed = probes.select(
+        "_item", F.shiftright(bit, 6).alias("word_idx"), _bit_mask(bit).alias("_m")
+    ).join(F.broadcast(bloom), ["word_idx"], "left")
+    hit = (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_m")) != 0).cast("int")
+    return (
+        probed.groupBy("_item")
+        .agg((F.sum(hit) == k).alias("might_contain"))
+        .select("_item.*", "might_contain")
+    )

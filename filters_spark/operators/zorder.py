@@ -1,0 +1,69 @@
+"""Z-order (Morton) interleave key for multi-dimensional write clustering.
+
+Why it exists: file-level min/max skipping (lake/table.py ``read(where=
+...)``/``sort_cols``) is only selective when files hold TIGHT ranges of
+the filtered column — and a linear sort can make ranges tight in ONE
+dimension only. Sorting by the bit-interleaved key of two dimensions
+(Delta ``OPTIMIZE ZORDER BY``, Iceberg's z-ordered rewrites) makes each
+file a small RECTANGLE in (a, b) space instead of a thin slab, so range
+predicates on EITHER column prune files (tests/test_zorder.py measures
+exactly this on parquet footer stats).
+
+The key is a pure map-side expression — 2·bits literal-shift terms over
+disjoint bit positions summed together (``shiftleft`` accepts only
+literal shift amounts, hence the unrolled form), no UDF, no shuffle —
+and exact integer algebra, so the DuckDB twin (:func:`zorder_sql`)
+recomputes it bit-identically (oracled ``sort_zorder_key``).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Morton code of two dimensions: interleaves the low ``bits`` bits
+    of each (``a``'s bits land at odd positions, ``b``'s at even), so
+    points close in BOTH dimensions get close keys. Inputs are masked
+    to ``bits`` (callers normalize values into [0, 2^bits) — e.g. rank
+    or quantize first; Morton locality is only meaningful on bounded
+    non-negative coordinates). Result fits a long for bits <= 31."""
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    mask = (1 << bits) - 1
+    am = a.cast("long").bitwiseAND(F.lit(mask))
+    bm = b.cast("long").bitwiseAND(F.lit(mask))
+    terms = []
+    for i in range(bits):
+        terms.append(
+            F.shiftleft(F.shiftrightunsigned(am, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+        terms.append(
+            F.shiftleft(F.shiftrightunsigned(bm, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    # disjoint bit positions: sum == bitwise OR, and + keeps the whole
+    # expression inside whole-stage codegen as one arithmetic chain
+    return reduce(lambda x, y: x + y, terms)
+
+
+def zorder_sql(a_expr: str, b_expr: str, bits: int = 16) -> str:
+    """DuckDB mirror of :func:`zorder_key` (multiplication by power-of-
+    two literals instead of shifts; same exact integer algebra)."""
+    mask = (1 << bits) - 1
+    parts = []
+    for i in range(bits):
+        parts.append(f"(((({a_expr}) & {mask}) >> {i}) & 1) * {1 << (2 * i + 1)}")
+        parts.append(f"(((({b_expr}) & {mask}) >> {i}) & 1) * {1 << (2 * i)}")
+    return "(" + " + ".join(parts) + ")"
+
+
+def zorder_py(a: int, b: int, bits: int = 16) -> int:
+    """Python twin for tests."""
+    out = 0
+    for i in range(bits):
+        out |= ((a >> i) & 1) << (2 * i + 1)
+        out |= ((b >> i) & 1) << (2 * i)
+    return out

@@ -329,3 +329,59 @@ class TestHeavyHitters:
             .collect()
         }
         assert got == want
+
+
+class TestBloom:
+    def test_no_false_negatives_and_fp_rate(self, spark, events):
+        from filters_spark.operators.sketches import bloom_build, bloom_might_contain
+
+        m, k = 4096, 3
+        bloom = bloom_build(events, "user_id", m_bits=m, k=k)
+        present = events.select("user_id").distinct()
+        got = {
+            r.user_id: r.might_contain
+            for r in bloom_might_contain(bloom, present, "user_id", m, k).collect()
+        }
+        assert all(got.values())  # a bloom filter NEVER misses a member
+        ghosts = spark.range(5_000_000, 5_002_000).select(
+            F.col("id").alias("user_id")
+        )
+        fp = (
+            bloom_might_contain(bloom, ghosts, "user_id", m, k)
+            .filter("might_contain")
+            .count()
+        )
+        # 150 keys * 3 probes into 4096 bits -> fill ~ 10.4%; fp ~ 0.11%
+        assert fp / 2000 < 0.02
+
+    def test_shard_merge_equals_single_build(self, spark, events):
+        from filters_spark.operators.sketches import bloom_build, bloom_merge
+
+        m, k = 2048, 4
+        whole = bloom_build(events, "user_id", m_bits=m, k=k)
+        h1 = bloom_build(events.filter("event_id % 2 = 0"), "user_id", m_bits=m, k=k)
+        h2 = bloom_build(events.filter("event_id % 2 = 1"), "user_id", m_bits=m, k=k)
+        merged = bloom_merge(h1.unionByName(h2))
+        assert sorted(map(tuple, whole.collect())) == sorted(
+            map(tuple, merged.collect())
+        )
+
+    def test_probe_is_broadcast_map_only(self, spark, events):
+        from filters_spark.operators.sketches import bloom_build, bloom_might_contain
+        from filters_spark.plans.audit import executed_plan
+
+        bloom = bloom_build(events, "user_id", m_bits=4096, k=3)
+        items = events.select("user_id").distinct()
+        out = bloom_might_contain(bloom, items, "user_id", 4096, 3)
+        out.collect()
+        plan = executed_plan(out)
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_param_validation(self, spark, events):
+        from filters_spark.operators.sketches import bloom_build
+
+        with pytest.raises(ValueError):
+            bloom_build(events, "user_id", m_bits=100)  # not a multiple of 64
+        with pytest.raises(ValueError):
+            bloom_build(events, "user_id", k=0)

@@ -1,0 +1,72 @@
+"""Z-order clustering (operators/zorder.py): key correctness against a
+Python reimplementation, and the actual pruning win — files clustered
+by the interleave key hold tight min/max rectangles in BOTH dimensions,
+so range predicates on either column skip files, which a linear sort
+can only deliver for its leading column."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from filters_spark.operators.zorder import zorder_key, zorder_py
+
+
+class TestZorderKey:
+    def test_matches_python_twin(self, spark):
+        rows = [(a, b) for a in [0, 1, 5, 170, 255] for b in [0, 3, 128, 254, 255]]
+        df = spark.createDataFrame(rows, "a long, b long")
+        got = {
+            (r.a, r.b): r.z
+            for r in df.select("a", "b", zorder_key(F.col("a"), F.col("b"), 8).alias("z")).collect()
+        }
+        for (a, b), z in got.items():
+            assert z == zorder_py(a, b, 8)
+
+    def test_inputs_masked_and_validated(self, spark):
+        df = spark.createDataFrame([(65536 + 7, 3)], "a long, b long")
+        z = df.select(zorder_key(F.col("a"), F.col("b"), 16).alias("z")).head().z
+        assert z == zorder_py(7, 3, 16)
+        with pytest.raises(ValueError):
+            zorder_key(F.col("a"), F.col("b"), 0)
+
+
+class TestZorderPruning:
+    def _per_file_ranges(self, spark, path):
+        return {
+            r.f: ((r.amin, r.amax), (r.bmin, r.bmax))
+            for r in spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("a").alias("amin"), F.max("a").alias("amax"),
+                F.min("b").alias("bmin"), F.max("b").alias("bmax"),
+            )
+            .collect()
+        }
+
+    @staticmethod
+    def _skipped(ranges, dim, lo, hi):
+        i = 0 if dim == "a" else 1
+        return sum(1 for (ra, rb) in ranges.values() if (ra, rb)[i][1] < lo or (ra, rb)[i][0] > hi)
+
+    def test_zsort_prunes_both_dimensions(self, spark, tmp_path):
+        # 256x256 uniform grid
+        grid = spark.range(65536).select(
+            (F.col("id") % 256).alias("a"), (F.col("id") / 256).cast("long").alias("b")
+        )
+        z = grid.withColumn("zkey", zorder_key(F.col("a"), F.col("b"), 8))
+
+        lin = str(tmp_path / "linear")
+        zo = str(tmp_path / "zorder")
+        grid.repartitionByRange(8, "a").write.parquet(lin)
+        z.repartitionByRange(8, "zkey").drop("zkey").write.parquet(zo)
+
+        lin_r = self._per_file_ranges(spark, lin)
+        zo_r = self._per_file_ranges(spark, zo)
+        assert len(lin_r) == 8 and len(zo_r) == 8
+
+        # predicate b in [0, 31]: the linear (a-sorted) layout cannot
+        # skip anything (every file spans all of b); the z-order layout
+        # skips every file whose rectangle lives in the b >= 32 half
+        assert self._skipped(lin_r, "b", 0, 31) == 0
+        assert self._skipped(zo_r, "b", 0, 31) >= 2
+        # and z-order still prunes on a too — tight rectangles, not slabs
+        assert self._skipped(zo_r, "a", 0, 31) >= 2
