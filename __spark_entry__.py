@@ -2865,6 +2865,75 @@ def q_sample_weighted_priority(spark, sf):
     )
 
 
+def _pagerank_oracle_sql(iters: int = 3, scale: int = 10**9, damp: int = 85) -> str:
+    """Unrolled-CTE DuckDB mirror of operators/graph.py:pagerank over
+    the symmetric customer<->supplier graph. Integer algebra (// and
+    div are both floor division on positive BIGINTs) makes every rank
+    bit-identical across engines."""
+    base = ((100 - damp) * scale) // 100
+    ctes = [
+        """pairs AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                      's' || CAST(l_suppkey AS VARCHAR) AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )""",
+        """edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL SELECT s AS src, c AS dst FROM pairs
+    )""",
+        """nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)""",
+        """outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1)""",
+        f"""r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""c{i} AS (
+      SELECT e.dst AS node, SUM(r.r // o.od) AS s
+      FROM edges e JOIN r{i-1} r ON r.node = e.src
+      JOIN outdeg o ON o.src = e.src GROUP BY 1
+    )"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+      SELECT n.node,
+             CAST({base} + ({damp} * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+      FROM nodes n LEFT JOIN c{i} c USING (node)
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node, r AS rank_scaled FROM r{iters}"
+    )
+
+
+@_q("graph_pagerank", _pagerank_oracle_sql())
+def q_graph_pagerank(spark, sf):
+    """Fixed-iteration PageRank (operators/graph.py:pagerank) over the
+    symmetric customer<->supplier purchase graph — the quality-
+    weighting primitive of web-corpus curation. Integer-exact ranks
+    (BIGINT at scale 1e9, div-based redistribution and damping) make
+    the iterative algorithm partition-order independent, so the DuckDB
+    oracle — the three iterations unrolled as CTEs — reproduces every
+    rank bit-for-bit. Per-iteration materialization keeps the plan
+    O(1) deep (the dedupe_clusters lineage lesson)."""
+    from filters_spark.operators.graph import pagerank
+
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    pairs = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, iters=3)
+
+
 @_q(
     "sort_zorder_key",
     f"""
