@@ -2865,6 +2865,36 @@ def q_sample_weighted_priority(spark, sf):
     )
 
 
+@_q(
+    "profile_events",
+    """
+    WITH p AS (
+      SELECT 'event_id' AS "column", CAST(event_id AS VARCHAR) AS value FROM events
+      UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+      UNION ALL SELECT 'event_type', event_type FROM events
+      UNION ALL SELECT 'props', props FROM events
+    )
+    SELECT "column", count(*) AS n_rows,
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           count(DISTINCT value) AS n_distinct,
+           min(value) AS min_value, max(value) AS max_value
+    FROM p GROUP BY 1
+    """,
+)
+def q_profile_events(spark, sf):
+    """One-pass column profiling (operators/profile.py): per-column
+    row/null/distinct counts + lexicographic min/max for any number of
+    columns in ONE aggregation (map-side explode to (column, value)
+    pairs, one shuffle on the column name) — the backfill-observability
+    primitive. String-cast comparisons keep it type-agnostic and make
+    both engines compare identically."""
+    from filters_spark.operators.profile import profile
+
+    return profile(
+        _t(spark, sf, "events"), ["event_id", "user_id", "event_type", "props"]
+    )
+
+
 def _pagerank_oracle_sql(iters: int = 3, scale: int = 10**9, damp: int = 85) -> str:
     """Unrolled-CTE DuckDB mirror of operators/graph.py:pagerank over
     the symmetric customer<->supplier graph. Integer algebra (// and

@@ -359,6 +359,18 @@ def heavy_hitters(
        with at least that local frequency (else the global sum would be
        short). The candidate set is tiny — at most ~partitions/min_frac
        values — and false positives are harmless.
+
+       Per-partition memory is BOUNDED (``local_cap`` counters, default
+       ~8/min_frac) by Misra-Gries-style uniform decrement: when the
+       counter table overflows, subtract the smallest count that
+       brings it back under the cap from EVERYTHING and drop the
+       non-positives — and record the total subtracted. A value's
+       stored count undercounts its true local count by at most that
+       ledger, so emitting everything with ``count >= f*n - ledger -
+       local_slack`` keeps the no-false-negative guarantee EXACTLY
+       (the ledger is tracked, not bounded by faith), while memory
+       stays O(local_cap) no matter how many distinct values stream
+       through the partition.
     2. **Exact verify**: broadcast the candidates, leftsemi-join (row
        filter, no shuffle of ``df``), and exact-count ONLY the
        candidates; the exchange carries <= candidates x partitions
@@ -376,24 +388,34 @@ def heavy_hitters(
     """
     if not 0.0 < min_frac <= 1.0:
         raise ValueError("min_frac must be in (0, 1]")
+    import math
+
     import pandas as pd
     from pyspark.sql import types as T
 
     out_schema = T.StructType([df.schema[value_col]])
     f = float(min_frac)
     slack = float(local_slack)
+    cap = max(64, math.ceil(8.0 / f))
     col_name = value_col
 
     def local_candidates(batches):
         counts = None
         n = 0
+        shaved = 0.0  # exact undercount ledger (total uniform decrement)
         for pdf in batches:
             n += len(pdf)
             vc = pdf[col_name].value_counts()  # dropna=True
             counts = vc if counts is None else counts.add(vc, fill_value=0)
+            if len(counts) > cap:
+                # uniform decrement by the smallest count whose removal
+                # fits the cap; every survivor undercounts by <= shaved
+                cut = counts.nsmallest(len(counts) - cap).iloc[-1]
+                shaved += float(cut)
+                counts = counts[counts > cut] - cut
         if counts is None or n == 0:
             return
-        keep = counts[counts >= f * n - slack]
+        keep = counts[counts >= f * n - shaved - slack]
         yield pd.DataFrame({col_name: keep.index})
 
     cands = df.select(col_name).mapInPandas(local_candidates, out_schema).distinct()

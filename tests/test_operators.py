@@ -1155,3 +1155,38 @@ class TestSessionWindowBatch:
             (1, "2026-01-01T11:20:01", "2026-01-01T11:50:01"): (1, 16.0),
             (2, "2026-01-01T09:00:00", "2026-01-01T09:30:00"): (1, 8.0),
         }
+
+
+class TestProfile:
+    def test_counts_nulls_distincts_minmax(self, spark):
+        from filters_spark.operators.profile import profile
+
+        df = spark.createDataFrame(
+            [("a", 1), ("b", None), ("a", 3), (None, 3)],
+            "s string, x int",
+        )
+        got = {r.column: (r.n_rows, r.n_null, r.n_distinct, r.min_value, r.max_value)
+               for r in profile(df, ["s", "x"]).collect()}
+        assert got == {
+            "s": (4, 1, 2, "a", "b"),
+            "x": (4, 1, 2, "1", "3"),
+        }
+
+    def test_all_null_column(self, spark):
+        from filters_spark.operators.profile import profile
+
+        df = spark.createDataFrame([(None,), (None,)], "y: string")
+        r = profile(df, ["y"]).head()
+        assert (r.n_rows, r.n_null, r.n_distinct, r.min_value, r.max_value) == (
+            2, 2, 0, None, None,
+        )
+
+    def test_validation(self, spark):
+        from filters_spark.operators.profile import profile
+
+        df = spark.createDataFrame([(1,)], "x: int")
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            profile(df, [])
+        with _pytest.raises(ValueError):
+            profile(df, ["nope"])

@@ -385,3 +385,34 @@ class TestBloom:
             bloom_build(events, "user_id", m_bits=100)  # not a multiple of 64
         with pytest.raises(ValueError):
             bloom_build(events, "user_id", k=0)
+
+
+class TestHeavyHittersBoundedMemory:
+    def test_capped_counters_keep_completeness(self, spark):
+        """Force the Misra-Gries decrement path: one partition, far
+        more distinct values than the counter cap — the heavy value
+        must still surface, and the result still equals the exact
+        GROUP BY/HAVING."""
+        from filters_spark.operators.sketches import heavy_hitters
+
+        rows = [(i,) for i in range(10_000, 11_000)] * 1  # 1000 singletons
+        rows += [(7,)] * 600
+        df = spark.createDataFrame(rows, "v: bigint").coalesce(1)
+        # f=0.3 -> cap = 64 counters << 1001 distinct values
+        out = {(r.v, r.n) for r in heavy_hitters(df, "v", 0.3).collect()}
+        assert out == {(7, 600)}
+
+    def test_many_moderate_values_survive_cuts(self, spark):
+        from filters_spark.operators.sketches import heavy_hitters
+
+        # 20 values x 50 rows (all heavy at f=0.02 of 1600) + 600 noise
+        # singletons, single partition, cap = max(64, 400) = 400 >
+        # distinct... use f small enough that cap < distinct: f=0.05 ->
+        # cap=160 < 620 distinct, every 50-count value must survive
+        rows = [(v,) for v in range(20) for _ in range(50)]
+        rows += [(i,) for i in range(50_000, 50_600)]
+        df = spark.createDataFrame(rows, "v: bigint").coalesce(1)
+        total = len(rows)
+        got = {(r.v, r.n) for r in heavy_hitters(df, "v", 0.02).collect()}
+        want = {(v, 50) for v in range(20) if 50 >= 0.02 * total}
+        assert got == want
