@@ -2866,6 +2866,44 @@ def q_sample_weighted_priority(spark, sf):
 
 
 @_q(
+    "sample_mixture",
+    f"""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n_s FROM documents GROUP BY 1
+    ), tot AS (SELECT CAST(sum(n_s) AS DOUBLE) AS n FROM c),
+    p AS (
+      SELECT source,
+             least(1.0,
+                   ((CAST(substr(source, 4) AS INT) + 1) / 210.0)
+                     * (0.4 * tot.n) / n_s) AS p
+      FROM c, tot
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN p USING (source)
+    WHERE (CAST({sha64_sql("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+             / 18446744073709551616.0 + 0.5) < p.p
+    """,
+)
+def q_sample_mixture(spark, sf):
+    """Dataset-mixture resampling (operators/sampling.py:
+    mixture_sample): keep per-source hash subsets so the output
+    composition matches target weights — here w_s proportional to the
+    source index + 1, out_frac 0.4, so keep probabilities span a real
+    range. The keep test u01(sha64(id)) < p_s uses exact doubles and
+    p_s is one float expression both engines spell identically, so the
+    kept SET is bit-deterministic (xxhash64 stays the scale
+    default)."""
+    from filters_spark.operators.hashing import sha64
+    from filters_spark.operators.sampling import mixture_sample
+
+    d = _t(spark, sf, "documents")
+    weights = {f"src{i}": (i + 1) / 210.0 for i in range(20)}
+    return mixture_sample(
+        d, "source", "doc_id", weights, out_frac=0.4, hash_fn=sha64
+    ).select("doc_id", "source")
+
+
+@_q(
     "profile_events",
     """
     WITH p AS (

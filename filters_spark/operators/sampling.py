@@ -348,3 +348,56 @@ def priority_sample(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weights: dict,
+    out_frac: float,
+    hash_fn=None,
+    counts: dict | None = None,
+) -> DataFrame:
+    """Deterministic dataset-mixture resampling: keep a per-source
+    hash-sampled subset so the OUTPUT's source composition matches the
+    target ``weights`` (the Pile/Dolma-style mixing step that turns a
+    crawled corpus into a training mixture). ``out_frac`` sets the
+    target output size as a fraction of the input; source ``s`` keeps
+    each row with probability ``p_s = min(1, w_s * out_frac * N /
+    n_s)`` — capped at 1, so an under-represented source contributes
+    everything it has (upsampling/repetition is a separate concern).
+
+    Deterministic and cross-engine: the keep test is ``u01(hash(id)) <
+    p_s`` with the same exact-double ``u01`` as priority sampling, and
+    ``p_s`` is computed driver-side with one float expression an
+    oracle can respell verbatim. Sources absent from ``weights`` are
+    dropped.
+
+    Scale shape: one tiny per-source count job (bounded by the number
+    of sources; pass ``counts`` to skip it), then a map-only filter —
+    nothing shuffles.
+    """
+    if not 0.0 < out_frac <= 1.0:
+        raise ValueError("out_frac must be in (0, 1]")
+    if counts is None:
+        counts = {
+            r[0]: r[1]
+            for r in df.groupBy(source_col).agg(F.count(F.lit(1))).collect()
+        }
+    n_total = sum(counts.values())
+    n_out = out_frac * float(n_total)
+    p = {
+        s: min(1.0, w * n_out / counts[s])
+        for s, w in weights.items()
+        if counts.get(s)
+    }
+    if not p:
+        raise ValueError("no weighted source present in the data")
+    hash_fn = hash_fn or F.xxhash64
+    u = (
+        hash_fn(F.col(id_col).cast("string")).cast("double")
+        / F.lit(float(1 << 64))
+    ) + F.lit(0.5)
+    p_of = F.create_map(*[x for s, v in p.items() for x in (F.lit(s), F.lit(v))])
+    return df.filter(u < p_of[F.col(source_col)])

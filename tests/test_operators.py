@@ -1190,3 +1190,48 @@ class TestProfile:
             profile(df, [])
         with _pytest.raises(ValueError):
             profile(df, ["nope"])
+
+
+class TestMixtureSample:
+    def test_composition_tracks_weights(self, spark):
+        from filters_spark.operators.sampling import mixture_sample
+
+        rows = [(i, f"s{i % 4}") for i in range(8000)]
+        df = spark.createDataFrame(rows, "id long, src string")
+        # heavily skewed target over 4 equal sources
+        w = {"s0": 0.6, "s1": 0.2, "s2": 0.15, "s3": 0.05}
+        out = mixture_sample(df, "src", "id", w, out_frac=0.5)
+        got = {r[0]: r[1] for r in out.groupBy("src").count().collect()}
+        n = sum(got.values())
+        for s, ws in w.items():
+            assert abs(got.get(s, 0) / n - ws) < 0.07  # hash-sample noise
+
+    def test_capped_source_keeps_everything(self, spark):
+        from filters_spark.operators.sampling import mixture_sample
+
+        rows = [(i, "rare") for i in range(50)] + [(1000 + i, "big") for i in range(5000)]
+        df = spark.createDataFrame(rows, "id long, src string")
+        # rare's target share (0.5 * 5050 * 0.5 = 1262) exceeds its 50
+        # rows -> p caps at 1, everything kept
+        out = mixture_sample(df, "src", "id", {"rare": 0.5, "big": 0.5}, 0.5)
+        kept_rare = out.filter("src = 'rare'").count()
+        assert kept_rare == 50
+
+    def test_unweighted_sources_dropped_and_deterministic(self, spark):
+        from filters_spark.operators.sampling import mixture_sample
+
+        rows = [(i, f"s{i % 3}") for i in range(300)]
+        df = spark.createDataFrame(rows, "id long, src string")
+        out1 = sorted(r.id for r in mixture_sample(df, "src", "id", {"s0": 1.0}, 0.3).collect())
+        out2 = sorted(r.id for r in mixture_sample(df, "src", "id", {"s0": 1.0}, 0.3).collect())
+        assert out1 == out2
+        assert all(i % 3 == 0 for i in out1)
+
+    def test_validation(self, spark):
+        from filters_spark.operators.sampling import mixture_sample
+
+        df = spark.createDataFrame([(1, "a")], "id long, src string")
+        with pytest.raises(ValueError):
+            mixture_sample(df, "src", "id", {"a": 1.0}, 0.0)
+        with pytest.raises(ValueError):
+            mixture_sample(df, "src", "id", {"zzz": 1.0}, 0.5)
