@@ -2961,10 +2961,13 @@ def _pagerank_oracle_sql(iters: int = 3, scale: int = 10**9, damp: int = 85) -> 
       JOIN outdeg o ON o.src = e.src GROUP BY 1
     )"""
         )
+        # same overflow-free decomposition as the operator:
+        # (d*s) div 100 == (s div 100)*d + ((s mod 100)*d) div 100
         ctes.append(
             f"""r{i} AS (
       SELECT n.node,
-             CAST({base} + ({damp} * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+             CAST({base} + (coalesce(c.s, 0) // 100) * {damp}
+                  + ((coalesce(c.s, 0) % 100) * {damp}) // 100 AS BIGINT) AS r
       FROM nodes n LEFT JOIN c{i} c USING (node)
     )"""
         )

@@ -91,6 +91,11 @@ class AggView:
                 raise ValueError(
                     f"view exists with group_cols={self.group_cols}"
                 )
+            if sum_exprs is not None and dict(sum_exprs) != self.sum_exprs:
+                raise ValueError(
+                    f"view exists with sum_exprs={self.sum_exprs}; "
+                    "create a new view root to change the aggregates"
+                )
 
     # -- state ---------------------------------------------------------------
 
@@ -133,28 +138,49 @@ class AggView:
             return {"source_snapshot_id": last, "refreshed": False}
 
         if last == 0:
-            view = self._aggregate(self.src.read(cur))
+            src_df = self.src.read(cur)
+            if src_df is None:
+                # empty table: a typed empty frame keeps the view's
+                # schema right so later incremental refreshes union
+                snap = self.src.snapshot(cur)
+                src_df = self.spark.createDataFrame(
+                    [], self.src._base_ddl(self.src.payload_cols(snap))
+                )
+            view = self._aggregate(src_df)
             mode = "full"
         else:
             ch = self.src.changes(last, cur)
-            snap = self.src.snapshot(cur)
+            if ch is None:
+                # only physical reorganizations (compact/rescale/...) in
+                # the range: no logical change — advance the state to cur
+                # re-referencing the existing view files
+                st = self._read_state()
+                st["source_snapshot_id"] = cur
+                self.io.write_text_atomic(self._state_path(), json.dumps(st))
+                return {"source_snapshot_id": cur, "refreshed": True, "mode": "noop"}
             keys = ch.select(*_KEY_COLS).distinct()
-            bkts = sorted(
-                r[0]
-                for r in keys.select(
-                    bucket_expr(
-                        F.col("repo"), F.col("path"),
-                        snap["num_buckets"], snap["path_salt"],
-                    ).alias("b")
+
+            def _bkts(snap: dict) -> list[int]:
+                return sorted(
+                    r[0]
+                    for r in keys.select(
+                        bucket_expr(
+                            F.col("repo"), F.col("path"),
+                            snap["num_buckets"], snap["path_salt"],
+                        ).alias("b")
+                    )
+                    .distinct()
+                    .collect()
                 )
-                .distinct()
-                .collect()
-            )
+
             # retraction = old image of the affected keys; addition =
             # their new image. Bucket-pruned reads + broadcast semi-join
-            # keep both O(affected buckets), never O(table).
-            old = self.src.read(last, buckets=bkts)
-            new = self.src.read(cur, buckets=bkts)
+            # keep both O(affected buckets), never O(table). Bucket ids
+            # are computed PER SNAPSHOT — a rescale between the two
+            # snapshots changes the key->bucket map, and pruning the old
+            # read with the new map would silently drop retractions.
+            old = self.src.read(last, buckets=_bkts(self.src.snapshot(last)))
+            new = self.src.read(cur, buckets=_bkts(self.src.snapshot(cur)))
             parts = []
             if new is not None:
                 parts.append(

@@ -1229,6 +1229,15 @@ def snapshot_diff(
     payload = t.payload_cols(new_snap)
     old_df = t.read(from_sid)
     new_df = t.read(to_sid)
+    if old_df is not None:
+        # schema evolution only ADDS columns: NULL-fill the older
+        # snapshot's frame up to the newer payload set (canonical
+        # columns are strings by the WAL contract), so an added column
+        # that is non-NULL in the new state diffs as U
+        old_payload = set(t.payload_cols(t.snapshot(from_sid)))
+        for c in payload:
+            if c not in old_payload:
+                old_df = old_df.withColumn(c, F.lit(None).cast("string"))
     keys = ["repo", "path"]
     # compare sha for content; every other payload column null-safely
     cmp_cols = ["content_sha"] + [c for c in payload if c != "content"]

@@ -68,7 +68,11 @@ def pagerank(
         .distinct()
     )
     nodes = materialize(nodes, checkpoint_dir)
-    outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_od"))
+    # materialized: every iteration's job would otherwise re-scan and
+    # re-shuffle the full edge frame just to recount out-degrees
+    outdeg = materialize(
+        e.groupBy("_src").agg(F.count(F.lit(1)).alias("_od")), checkpoint_dir
+    )
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank_scaled"))
     for _ in range(iters):
         contrib = (
@@ -80,12 +84,18 @@ def pagerank(
             )
         )
         inbound = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
+        # (d*s) div 100 == (s div 100)*d + ((s mod 100)*d) div 100 for
+        # positive ints — the decomposed form never multiplies the full
+        # sum, so a high-in-degree hub cannot overflow BIGINT (d*s wraps
+        # silently past 2^63 at web-graph scale); the oracle spells the
+        # identical decomposition
+        damp_expr = (
+            f"(coalesce(_s, 0L) div 100) * {damping_pct} "
+            f"+ ((coalesce(_s, 0L) % 100) * {damping_pct}) div 100"
+        )
         ranks = nodes.join(inbound, "node", "left").select(
             "node",
-            (
-                F.lit(base)
-                + F.expr(f"({damping_pct} * coalesce(_s, 0L)) div 100")
-            ).cast("long").alias("rank_scaled"),
+            (F.lit(base) + F.expr(damp_expr)).cast("long").alias("rank_scaled"),
         )
         ranks = materialize(ranks, checkpoint_dir)
     return ranks

@@ -34,6 +34,11 @@ def profile(df: DataFrame, cols: list[str]) -> DataFrame:
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"unknown columns: {missing}")
+    spark = df.sparkSession
+    # the contract is one row per REQUESTED column even over an empty
+    # input (a backfill that wrote nothing is exactly what a profile
+    # check must be able to see) — left-join the literal column list
+    names = spark.createDataFrame([(c,) for c in cols], "column string")
     pairs = F.explode(
         F.array(
             *[
@@ -45,7 +50,7 @@ def profile(df: DataFrame, cols: list[str]) -> DataFrame:
             ]
         )
     )
-    return (
+    stats = (
         df.select(pairs.alias("p"))
         .select("p.*")
         .groupBy("column")
@@ -56,4 +61,13 @@ def profile(df: DataFrame, cols: list[str]) -> DataFrame:
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
         )
+    )
+    zero = F.lit(0).cast("long")
+    return names.join(stats, "column", "left").select(
+        "column",
+        F.coalesce("n_rows", zero).alias("n_rows"),
+        F.coalesce("n_null", zero).alias("n_null"),
+        F.coalesce("n_distinct", zero).alias("n_distinct"),
+        "min_value",
+        "max_value",
     )

@@ -316,8 +316,12 @@ def cms_estimate(
     from filters_spark.operators.hashing import mixp31
 
     base = hash_fn(F.col(value_col).cast("string"))
-    probes = items.select(
-        F.struct("*").alias("_item"), base.alias("_h"),
+    # _rid keeps duplicate item rows distinct through the probe
+    # regroup (grouping on the struct alone would collapse them);
+    # monotonically_increasing_id is deterministic for a fixed
+    # partition layout, and it never leaves this plan
+    probes = items.withColumn("_rid", F.monotonically_increasing_id()).select(
+        "_rid", F.struct(*items.columns).alias("_item"), base.alias("_h"),
         *[F.col(g) for g in group_cols],
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("_row"),
     ).withColumn("_col", F.pmod(mixp31(F.col("_h"), F.col("_row")), F.lit(width)))
@@ -326,7 +330,7 @@ def cms_estimate(
     )
     # an absent cell means nothing ever hashed there: count 0
     return (
-        joined.groupBy("_item")
+        joined.groupBy("_rid", "_item")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
         .select("_item.*", "est")
     )
@@ -518,17 +522,20 @@ def bloom_might_contain(
     from filters_spark.operators.hashing import mixp31
 
     base = hash_fn(F.col(value_col).cast("string"))
-    probes = items.select(
-        F.struct("*").alias("_item"), base.alias("_h"),
+    # _rid: see cms_estimate — duplicate item rows must survive the
+    # probe regroup one-to-one
+    probes = items.withColumn("_rid", F.monotonically_increasing_id()).select(
+        "_rid", F.struct(*items.columns).alias("_item"), base.alias("_h"),
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_k"),
     )
     bit = F.pmod(mixp31(F.col("_h"), F.col("_k")), F.lit(m_bits))
     probed = probes.select(
-        "_item", F.shiftright(bit, 6).alias("word_idx"), _bit_mask(bit).alias("_m")
+        "_rid", "_item",
+        F.shiftright(bit, 6).alias("word_idx"), _bit_mask(bit).alias("_m"),
     ).join(F.broadcast(bloom), ["word_idx"], "left")
     hit = (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_m")) != 0).cast("int")
     return (
-        probed.groupBy("_item")
+        probed.groupBy("_rid", "_item")
         .agg((F.sum(hit) == k).alias("might_contain"))
         .select("_item.*", "might_contain")
     )

@@ -133,3 +133,33 @@ class TestAggView:
         v.refresh()
         got = {tuple(r) for r in v.current().collect()}
         assert got == {("py", 1, 2)}
+
+
+class TestMaintenanceInteraction:
+    def test_compact_only_range_is_a_noop_refresh(self, spark, tmp_path, src):
+        t, eng, ev1, ev2 = src
+        eng.replay(ev1, num_batches=1)
+        v = AggView(spark, t, str(tmp_path / "view"), GROUP, SUMS)
+        v.refresh()
+        before = _view_rows(v)
+        # compaction is a physical reorg: changes() skips it, and the
+        # refresh must advance state without touching the view
+        assert t.compact() is not None
+        r = v.refresh()
+        assert r["mode"] == "noop" and r["refreshed"]
+        assert v.last_refreshed_snapshot() == t.current_snapshot_id()
+        assert _view_rows(v) == before == _recompute(t)
+        # and a LATER data commit still folds in incrementally
+        eng.replay(ev2, num_batches=1)
+        assert v.refresh()["mode"] == "incremental"
+        assert _view_rows(v) == _recompute(t)
+
+    def test_sum_exprs_mismatch_rejected(self, spark, tmp_path, src):
+        t, eng, ev1, ev2 = src
+        eng.replay(ev1, num_batches=1)
+        AggView(spark, t, str(tmp_path / "view"), GROUP, SUMS).refresh()
+        with pytest.raises(ValueError):
+            AggView(
+                spark, t, str(tmp_path / "view"), GROUP,
+                {"total_bytes": "length(content) * 2"},
+            )

@@ -1235,3 +1235,13 @@ class TestMixtureSample:
             mixture_sample(df, "src", "id", {"a": 1.0}, 0.0)
         with pytest.raises(ValueError):
             mixture_sample(df, "src", "id", {"zzz": 1.0}, 0.5)
+
+
+class TestProfileEmptyInput:
+    def test_empty_input_still_reports_columns(self, spark):
+        from filters_spark.operators.profile import profile
+
+        df = spark.createDataFrame([], "s string, x int")
+        got = {r.column: (r.n_rows, r.n_null, r.n_distinct, r.min_value, r.max_value)
+               for r in profile(df, ["s", "x"]).collect()}
+        assert got == {"s": (0, 0, 0, None, None), "x": (0, 0, 0, None, None)}

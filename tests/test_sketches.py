@@ -416,3 +416,21 @@ class TestHeavyHittersBoundedMemory:
         got = {(r.v, r.n) for r in heavy_hitters(df, "v", 0.02).collect()}
         want = {(v, 50) for v in range(20) if 50 >= 0.02 * total}
         assert got == want
+
+
+class TestProbeRowMultiplicity:
+    def test_cms_estimate_keeps_duplicate_items(self, spark, events):
+        from filters_spark.operators.sketches import cms_build, cms_estimate
+
+        counters = cms_build(events, "user_id", depth=4, width=64)
+        dup = spark.createDataFrame([(3,), (3,), (7,)], "user_id: bigint")
+        out = cms_estimate(counters, dup, "user_id", 4, 64).collect()
+        assert len(out) == 3  # one output row per INPUT row, not per distinct
+
+    def test_bloom_probe_keeps_duplicate_items(self, spark, events):
+        from filters_spark.operators.sketches import bloom_build, bloom_might_contain
+
+        bloom = bloom_build(events, "user_id", m_bits=4096, k=3)
+        dup = spark.createDataFrame([(3,), (3,)], "user_id: bigint")
+        out = bloom_might_contain(bloom, dup, "user_id", 4096, 3).collect()
+        assert len(out) == 2 and all(r.might_contain for r in out)
