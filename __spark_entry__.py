@@ -3006,6 +3006,37 @@ def q_graph_pagerank(spark, sf):
 
 
 @_q(
+    "sort_zorder_quantized",
+    f"""
+    WITH q AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey)
+                        * 255.0 + 0.5) AS BIGINT) AS price_q
+      FROM orders
+    )
+    SELECT o_orderkey, price_q,
+           {zorder_sql("o_custkey % 256", "price_q", 8)} AS zkey
+    FROM q
+    """,
+)
+def q_sort_zorder_quantized(spark, sf):
+    """The full 2-D clustering-key pipeline: rank-quantize a skewed
+    unbounded column into [0, 256) (operators/zorder.py:quantize_rank
+    — equal-mass buckets via percent_rank, deterministic under ties),
+    then Morton-interleave it with a bounded dimension. percent_rank
+    is exact double arithmetic over integer ranks, so quantiles and
+    keys are bit-identical cross-engine."""
+    from filters_spark.operators.zorder import quantize_rank, zorder_key
+
+    o = _t(spark, sf, "orders")
+    q = quantize_rank(
+        o, "o_totalprice", bits=8, out_col="price_q", tiebreak=["o_orderkey"]
+    )
+    zk = zorder_key(F.pmod(F.col("o_custkey"), F.lit(256)), F.col("price_q"), bits=8)
+    return q.select("o_orderkey", "price_q", zk.alias("zkey"))
+
+
+@_q(
     "sort_zorder_key",
     f"""
     SELECT o_orderkey,

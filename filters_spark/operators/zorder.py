@@ -67,3 +67,39 @@ def zorder_py(a: int, b: int, bits: int = 16) -> int:
         out |= ((a >> i) & 1) << (2 * i + 1)
         out |= ((b >> i) & 1) << (2 * i)
     return out
+
+
+def quantize_rank(
+    df,
+    col: str,
+    bits: int = 8,
+    out_col: str | None = None,
+    tiebreak: list | None = None,
+    group_cols: tuple = (),
+):
+    """Rank-normalize a column into ``[0, 2^bits)`` — the practical
+    front-end for :func:`zorder_key`, whose Morton locality needs
+    bounded uniform coordinates while real columns are skewed and
+    unbounded. ``q = floor(percent_rank * (2^bits - 1) + 0.5)``: equal
+    mass per bucket regardless of the value distribution (a min/max
+    scale would collapse under outliers).
+
+    One window (= one shuffle, on ``group_cols`` if given — pass the
+    write-partition column so the sort is per-partition and the window
+    never sees the whole table in one task). ``tiebreak`` columns make
+    the rank — and therefore the quantile — deterministic under equal
+    values; percent_rank is exact double arithmetic on integer ranks,
+    so the result is engine-portable (DuckDB spells the identical
+    formula).
+    """
+    from pyspark.sql import Window
+
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    out_col = out_col or f"{col}_q{bits}"
+    order = [F.col(col).asc(), *[F.col(c).asc() for c in (tiebreak or [])]]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    q = F.floor(
+        F.percent_rank().over(w) * F.lit(float((1 << bits) - 1)) + F.lit(0.5)
+    ).cast("long")
+    return df.withColumn(out_col, q)

@@ -70,3 +70,38 @@ class TestZorderPruning:
         assert self._skipped(zo_r, "b", 0, 31) >= 2
         # and z-order still prunes on a too — tight rectangles, not slabs
         assert self._skipped(zo_r, "a", 0, 31) >= 2
+
+
+class TestQuantizeRank:
+    def test_equal_mass_buckets_on_skewed_data(self, spark):
+        from filters_spark.operators.zorder import quantize_rank
+
+        # heavily skewed: exponential-ish values
+        df = spark.createDataFrame(
+            [(i, float(2 ** (i % 40))) for i in range(4000)], "id long, v double"
+        )
+        q = quantize_rank(df, "v", bits=3, tiebreak=["id"])
+        sizes = [r[1] for r in q.groupBy("v_q3").count().orderBy("v_q3").collect()]
+        assert len(sizes) == 8
+        # round-to-nearest makes the two EDGE buckets half-mass by
+        # design; interior buckets carry ~N/7 each regardless of skew
+        interior, edge = 4000 / 7, 4000 / 14
+        assert all(abs(c - interior) < 0.2 * interior for c in sizes[1:-1])
+        assert all(abs(c - edge) < 0.3 * edge for c in (sizes[0], sizes[-1]))
+
+    def test_bounds_and_determinism(self, spark):
+        from filters_spark.operators.zorder import quantize_rank
+
+        df = spark.createDataFrame([(i, float(i % 5)) for i in range(100)], "id long, v double")
+        a = sorted(map(tuple, quantize_rank(df, "v", 4, tiebreak=["id"]).collect()))
+        b = sorted(map(tuple, quantize_rank(df, "v", 4, tiebreak=["id"]).collect()))
+        assert a == b
+        qs = [t[2] for t in a]
+        assert min(qs) == 0 and max(qs) == 15
+
+    def test_validation(self, spark):
+        from filters_spark.operators.zorder import quantize_rank
+
+        df = spark.createDataFrame([(1.0,)], "v: double")
+        with pytest.raises(ValueError):
+            quantize_rank(df, "v", bits=0)
