@@ -2529,6 +2529,30 @@ def q_lake_rollback_read(spark, sf):
 
 
 @_q(
+    "lake_tag_read",
+    f"""
+    WITH {_LAKE_BASE_CTE}
+    SELECT repo, path, "commit", event_seq, lang, content,
+           sha256(content) AS content_sha
+    FROM base
+    """,
+)
+def q_lake_tag_read(spark, sf):
+    """Named snapshot refs (lake/table.py create_tag/resolve_tag,
+    Iceberg tag semantics): pin snapshot 1 as 'v1', commit the delta
+    slice on top, then expire_snapshots(keep_last=1) — which would
+    expire snapshot 1 were it not TAGGED. Reading through the tag must
+    still return the exact base state, certifying both the ref
+    resolution and the tag's expiry protection."""
+    t = _lake_build(spark, sf, deltas=False)
+    t.create_tag("v1")
+    _lake_commit_delta_slice(t, spark, sf)
+    expired = t.expire_snapshots(keep_last=1)
+    assert 1 not in expired, "tagged snapshot must survive expiry"
+    return t.read(t.resolve_tag("v1")).select(*_LAKE_STATE_COLS)
+
+
+@_q(
     "lake_snapshot_diff",
     f"""
     WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE},

@@ -1059,6 +1059,55 @@ class LakeTable:
 
     # -- maintenance ----------------------------------------------------------
 
+    # -- named refs (Iceberg tag semantics) ---------------------------------
+
+    def _refs_path(self) -> str:
+        return os.path.join(self.meta_dir, "refs.json")
+
+    def tags(self) -> dict:
+        """Named snapshot refs: ``{name: snapshot_id}``."""
+        p = self._refs_path()
+        if not self.io.exists(p):
+            return {}
+        return {k: int(v["snapshot_id"]) for k, v in json.loads(self.io.read_text(p)).items()}
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Pin a snapshot under a stable name (Iceberg tag): readers
+        resolve the name instead of hardcoding an id (release pins,
+        audit marks, model-training dataset versions), and
+        :meth:`expire_snapshots` will NOT expire a tagged snapshot.
+        Metadata-only. Returns the pinned snapshot id."""
+        if not name or "/" in name or name != name.strip():
+            raise ValueError(f"bad tag name: {name!r}")
+        sid = self.current_snapshot_id() if snapshot_id is None else int(snapshot_id)
+        try:
+            self.snapshot(sid)
+        except Exception as exc:
+            raise ValueError(f"snapshot {sid} does not exist or was expired") from exc
+        p = self._refs_path()
+        refs = json.loads(self.io.read_text(p)) if self.io.exists(p) else {}
+        if name in refs:
+            raise ValueError(f"tag {name!r} already exists (drop_tag first)")
+        refs[name] = {"snapshot_id": sid, "created_ms": int(time.time() * 1000)}
+        self.io.write_text_atomic(p, json.dumps(refs))
+        return sid
+
+    def drop_tag(self, name: str) -> None:
+        p = self._refs_path()
+        refs = json.loads(self.io.read_text(p)) if self.io.exists(p) else {}
+        if name not in refs:
+            raise ValueError(f"no such tag: {name!r}")
+        del refs[name]
+        self.io.write_text_atomic(p, json.dumps(refs))
+
+    def resolve_tag(self, name: str) -> int:
+        """Tag name -> snapshot id (use with ``read(snapshot_id=...)``,
+        ``changes``, ``snapshot_diff``...)."""
+        tags = self.tags()
+        if name not in tags:
+            raise ValueError(f"no such tag: {name!r}")
+        return tags[name]
+
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop snapshot manifests older than the newest ``keep_last``
         (Iceberg ``expire_snapshots`` semantics): time travel to the
@@ -1074,6 +1123,9 @@ class LakeTable:
         ids = self.snapshots()
         keep = set(ids[-max(int(keep_last), 1):])
         keep.add(self.current_snapshot_id())
+        # Iceberg ref semantics: a tagged snapshot never expires — tags
+        # are exactly the promise that this state stays readable
+        keep.update(self.tags().values())
         expired = [i for i in ids if i not in keep]
 
         def refs(sid: int) -> set[str]:

@@ -418,3 +418,56 @@ class TestSnapshotDiff:
 
         t = self._mk(spark, str(tmp_path / "sd2"))
         assert snapshot_diff(t, 2, 2).count() == 0
+
+
+class TestTags:
+    """Named snapshot refs (Iceberg tag semantics): stable names for
+    snapshots, protected from expire_snapshots."""
+
+    def _table(self, spark, root):
+        from filters_spark.lake.table import LakeTable, bucket_expr
+        import pyspark.sql.functions as F
+
+        t = LakeTable.create(spark, root, ["repo", "path"], num_buckets=4)
+        ddl = ("repo string, path string, commit string, event_seq long, "
+               "lang string, content string, op string")
+        for wm in (3, 7):
+            df = spark.createDataFrame(
+                [("r1", f"p{wm}", f"{wm:012x}", wm, "go", f"c{wm}", "I")], ddl
+            ).select(
+                "*", bucket_expr(F.col("repo"), F.col("path"), 4, 16).alias("_bucket")
+            )
+            touched = [r[0] for r in df.select("_bucket").distinct().collect()]
+            t.commit_deltas(df, touched, {b: f"{wm:012x}:0000000000" for b in touched})
+        return t
+
+    def test_create_resolve_drop(self, spark, tmp_path):
+        t = self._table(spark, str(tmp_path / "t1"))
+        sid = t.create_tag("rel-1", 1)
+        assert sid == 1 and t.tags() == {"rel-1": 1}
+        assert t.resolve_tag("rel-1") == 1
+        t.drop_tag("rel-1")
+        assert t.tags() == {}
+        with pytest.raises(ValueError):
+            t.resolve_tag("rel-1")
+
+    def test_tagged_snapshot_survives_expiry(self, spark, tmp_path):
+        t = self._table(spark, str(tmp_path / "t2"))
+        t.create_tag("pin", 1)
+        expired = t.expire_snapshots(keep_last=1)
+        assert 1 not in expired
+        # readable through the tag after expiry of everything untagged
+        assert t.read(t.resolve_tag("pin")) is not None
+        # dropping the tag releases it for the next expiry
+        t.drop_tag("pin")
+        assert 1 in t.expire_snapshots(keep_last=1)
+
+    def test_validation(self, spark, tmp_path):
+        t = self._table(spark, str(tmp_path / "t3"))
+        t.create_tag("a")
+        with pytest.raises(ValueError):
+            t.create_tag("a")  # duplicate
+        with pytest.raises(ValueError):
+            t.create_tag("bad/name")
+        with pytest.raises(ValueError):
+            t.create_tag("ghost", 99)  # nonexistent snapshot
