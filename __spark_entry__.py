@@ -230,6 +230,129 @@ def q_cdc_patch_merge(spark, sf):
     )
 
 
+_EVO_SPECS_V1 = {
+    "repo": {"chain": ["required", "strip"]},
+    "path": {"chain": ["required", "strip"]},
+    "lang": {"chain": ["strip", "ascii_lower"]},
+    "content": {"chain": ["required", "strip"]},
+}
+
+
+@_q(
+    "cdc_schema_evolution",
+    """
+    WITH ev AS (
+      SELECT printf('%012x', o_orderkey) AS "commit",
+             o_orderkey AS event_seq, 'U' AS op,
+             'r' || CAST(o_custkey % 25 AS VARCHAR) AS repo,
+             'p' || CAST(o_orderkey AS VARCHAR) AS path,
+             lower(o_orderstatus) AS lang,
+             'v1:' || o_orderpriority AS content,
+             CAST(NULL AS VARCHAR) AS license
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT printf('%012x', o_orderkey + 1073741824),
+             o_orderkey, 'U',
+             'r' || CAST(o_custkey % 25 AS VARCHAR),
+             'p' || CAST(o_orderkey AS VARCHAR),
+             lower(o_orderstatus),
+             'v2:' || o_orderpriority,
+             CASE o_orderkey % 3 WHEN 0 THEN 'mit' WHEN 1 THEN 'apache-2.0'
+                  ELSE 'bsd-3-clause' END
+      FROM orders WHERE o_orderkey % 2 = 1
+      UNION ALL
+      SELECT printf('%012x', o_orderkey + 2147483648),
+             o_orderkey + 4000000, 'D',
+             'r' || CAST(o_custkey % 25 AS VARCHAR),
+             'p' || CAST(o_orderkey AS VARCHAR),
+             'py', 'del', 'mit'
+      FROM orders WHERE o_orderkey % 8 = 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY repo, path ORDER BY "commit" DESC, event_seq DESC
+      ) AS rn FROM ev
+    )
+    SELECT repo, path, "commit", event_seq, lang, content, license,
+           sha256(content) AS content_sha
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_schema_evolution(spark, sf):
+    """Mid-stream schema evolution through the FULL engine (engine/
+    evolution.py SpecRegistry/VersionSpec + engine/cdc.py apply_batch):
+    batch 1 arrives under v1; the registry then widens — v2 RENAMES the
+    incoming column ``language`` to canonical ``lang`` and ADDS a new
+    canonical column ``license`` — and batch 2 (updates + deletes)
+    arrives under v2. The validation chains here (strip/ascii_lower)
+    are deliberately SQL-mirrorable, so the oracle respells the whole
+    lifecycle declaratively: rename applied, pre-widening rows read
+    ``license`` as NULL, tombstones drop, LWW on (commit, event_seq).
+    A green hash value-checks the engine's evolution semantics
+    end-to-end, not just the final merge."""
+    from filters_spark.engine.cdc import CDCEngine
+    from filters_spark.engine.evolution import SpecRegistry, VersionSpec
+    from filters_spark.lake.table import LakeTable
+
+    o = _t(spark, sf, "orders")
+    reg = SpecRegistry(["repo", "path", "lang", "content"])
+    reg.register(VersionSpec(1, _EVO_SPECS_V1))
+    root = tempfile.mkdtemp(prefix="filters_spark_evoq_")
+    t = LakeTable.create(spark, os.path.join(root, "lake"), ["repo", "path"], num_buckets=8)
+    eng = CDCEngine(spark, t, reg)
+
+    repo = F.concat(F.lit("r"), (F.col("o_custkey") % 25).cast("string"))
+    path = F.concat(F.lit("p"), F.col("o_orderkey").cast("string"))
+    ev1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.format_string("%012x", F.col("o_orderkey")).alias("commit"),
+        F.col("o_orderkey").alias("event_seq"),
+        F.lit("U").alias("op"),
+        repo.alias("repo"), path.alias("path"),
+        F.col("o_orderstatus").alias("lang"),
+        F.concat(F.lit("  v1:"), F.col("o_orderpriority"), F.lit(" ")).alias("content"),
+        F.lit(1).alias("schema_version"),
+    )
+    m1 = eng.apply_batch(ev1)
+
+    # WIDEN mid-stream: v2 renames incoming 'language' -> lang, adds 'license'
+    reg.register(VersionSpec(
+        2, {**_EVO_SPECS_V1, "license": {"chain": ["strip", "ascii_lower"]}},
+        renames={"language": "lang"},
+    ))
+    lic = (
+        F.when(F.col("o_orderkey") % 3 == 0, "  MIT ")
+        .when(F.col("o_orderkey") % 3 == 1, "Apache-2.0")
+        .otherwise("BSD-3-Clause")
+    )
+    upd = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.format_string("%012x", F.col("o_orderkey") + F.lit(1073741824)).alias("commit"),
+        F.col("o_orderkey").alias("event_seq"),
+        F.lit("U").alias("op"),
+        repo.alias("repo"), path.alias("path"),
+        F.col("o_orderstatus").alias("language"),
+        F.concat(F.lit("v2:"), F.col("o_orderpriority")).alias("content"),
+        lic.alias("license"),
+        F.lit(2).alias("schema_version"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 8 == 2).select(
+        F.format_string("%012x", F.col("o_orderkey") + F.lit(2147483648)).alias("commit"),
+        (F.col("o_orderkey") + F.lit(4000000)).alias("event_seq"),
+        F.lit("D").alias("op"),
+        repo.alias("repo"), path.alias("path"),
+        F.lit("py").alias("language"),
+        F.lit("del").alias("content"),
+        F.lit("mit").alias("license"),
+        F.lit(2).alias("schema_version"),
+    )
+    m2 = eng.apply_batch(upd.unionByName(dels))
+    if m1["dead_lettered"] or m2["dead_lettered"]:
+        raise AssertionError("evolution stream must validate clean")
+    return t.read().select(
+        "repo", "path", "commit", "event_seq", "lang", "content",
+        "license", "content_sha",
+    )
+
+
 # --- filter layer: reference operator semantics over testdata ----------------
 
 
@@ -2008,6 +2131,104 @@ def q_agg_rollup(spark, sf):
 
 
 @_q(
+    "agg_cube_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_totalprice) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_cube(spark, sf):
+    """Full cross-dimensional subtotals (F.cube == GROUP BY CUBE) with
+    ``grouping_id`` disambiguating genuine NULL group values from
+    subtotal rows — the standard OLAP cube over a fact table. Like
+    rollup, Spark expands the grouping sets inside ONE shuffle with
+    map-side partial aggregation; the revenue sum stays DECIMAL-exact
+    until the final cast so partition order can't perturb the double."""
+    o = _t(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").alias("n"),
+        F.sum("o_totalprice").cast("double").alias("revenue"),
+    ).select("o_orderstatus", "o_orderpriority", "gid", "n", "revenue")
+
+
+@_q(
+    "agg_pivot_status",
+    """
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS open_n,
+           CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS done_n,
+           CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS part_n,
+           CAST(sum(o_totalprice) FILTER (o_orderstatus = 'F') AS DOUBLE)
+             AS done_revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_pivot_status(spark, sf):
+    """Pivot (long -> wide) via ``DataFrame.pivot`` with an EXPLICIT
+    value list — the scale-safe spelling: without it Spark runs an
+    extra distinct job over the pivot column and the output schema
+    depends on the data. The oracle respells it as conditional
+    aggregation (FILTER clauses), which is exactly the physical plan
+    Spark compiles a pivot to — one shuffle, map-side partials, no
+    per-value scan."""
+    o = _t(spark, sf, "orders")
+    wide = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            # count(*) is rejected inside a pivot agg — count(1) is the
+            # same aggregate and pivot-legal
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").cast("double").alias("rev"),
+        )
+    )
+    return wide.select(
+        "priority",
+        F.coalesce("O_n", F.lit(0)).alias("open_n"),
+        F.coalesce("F_n", F.lit(0)).alias("done_n"),
+        F.coalesce("P_n", F.lit(0)).alias("part_n"),
+        F.col("F_rev").alias("done_revenue"),
+    )
+
+
+@_q(
+    "join_anti_idle_customers",
+    """
+    SELECT c_custkey, c_name, c_mktsegment,
+           CAST(c_acctbal AS DOUBLE) AS acctbal
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def q_join_anti_idle_customers(spark, sf):
+    """Anti join (customers with no urgent order — the TPC-H Q22
+    shape) as a native ``left_anti`` join: Catalyst plans NOT EXISTS
+    and left_anti identically. The priority predicate is pushed below
+    the join into the orders scan, and the build side is pruned to the
+    join key only — at scale the anti join's shuffle carries one
+    column, not the orders table."""
+    c = _t(spark, sf, "customer")
+    o = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+    )
+
+
+@_q(
     "agg_value_percentiles",
     """
     SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -2550,6 +2771,70 @@ def q_lake_tag_read(spark, sf):
     expired = t.expire_snapshots(keep_last=1)
     assert 1 not in expired, "tagged snapshot must survive expiry"
     return t.read(t.resolve_tag("v1")).select(*_LAKE_STATE_COLS)
+
+
+@_q(
+    "lake_wap_publish",
+    f"""
+    WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE},
+    unioned AS (
+      SELECT repo, path, "commit", event_seq, lang, content, 'K' AS op FROM base
+      UNION ALL
+      SELECT repo, path, "commit", event_seq, lang, content, op FROM deltas
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY repo, path ORDER BY "commit" DESC, event_seq DESC
+      ) AS rn FROM unioned
+    )
+    SELECT repo, path, "commit", event_seq, lang, content,
+           sha256(content) AS content_sha
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_lake_wap_publish(spark, sf):
+    """Write-audit-publish lifecycle (lake/table.py stage_deltas /
+    read(wap_id=...) / abandon_wap / publish_wap — the Iceberg WAP
+    pattern): stage a CORRUPTED delta batch, audit it through the
+    staged read (the poison rows are visible there and ONLY there —
+    the table head never moves), abandon it, stage the clean batch,
+    audit passes, publish. The oracle is the clean merged state, so a
+    green hash certifies both that the abandoned stage left zero
+    residue and that publish is byte-identical to a direct commit."""
+    from filters_spark.lake.table import bucket_expr
+
+    t = _lake_build(spark, sf, deltas=False)
+    bkt = bucket_expr(F.col("repo"), F.col("path"), 8, 16).cast("int").alias("_bucket")
+    d = _lake_delta_df(spark, sf).select("*", bkt)
+    dtouched = sorted(r[0] for r in d.select("_bucket").distinct().collect())
+    wm = {b: "000000000002:0000000000" for b in dtouched}
+    head = t.current_snapshot_id()
+
+    bad = d.withColumn(
+        "content",
+        F.when(
+            F.col("op") != "D",
+            F.concat(F.lit("CORRUPT:"), F.coalesce(F.col("content"), F.lit(""))),
+        ),
+    )
+    t.stage_deltas(bad, dtouched, wm, "batch2-try1")
+    poisoned = (
+        t.read(wap_id="batch2-try1")
+        .filter(F.col("content").startswith("CORRUPT:"))
+        .count()
+    )
+    if poisoned == 0:
+        raise AssertionError("audit should see the corrupted staged rows")
+    t.abandon_wap("batch2-try1")
+
+    t.stage_deltas(d, dtouched, wm, "batch2-try2")
+    clean = t.read(wap_id="batch2-try2")
+    if clean.filter(F.col("content").startswith("CORRUPT:")).count():
+        raise AssertionError("clean stage failed its audit")
+    if t.current_snapshot_id() != head:
+        raise AssertionError("staging must not advance the table head")
+    t.publish_wap("batch2-try2")
+    return t.read().select(*_LAKE_STATE_COLS)
 
 
 @_q(

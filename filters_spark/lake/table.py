@@ -488,6 +488,7 @@ class LakeTable:
         snapshot_id: int | None = None,
         buckets: Iterable[int] | None = None,
         where: tuple | None = None,
+        wap_id: str | None = None,
     ) -> DataFrame | None:
         """Read the table at a snapshot (time travel); optionally only
         the given buckets (bucket pruning — the physical analog of
@@ -507,8 +508,16 @@ class LakeTable:
         Merge-on-read: buckets that carry delta files (commit_deltas)
         are merged lazily — base ∪ deltas, one last-writer-wins window
         keyed on the physical ``_bucket`` partitioning, delete
-        tombstones dropped. Buckets without deltas stay a bare scan."""
-        snap = self.snapshot(snapshot_id)
+        tombstones dropped. Buckets without deltas stay a bare scan.
+
+        ``wap_id`` reads a staged (write-audit-publish) commit instead —
+        the audit step's view of what publishing would make current."""
+        if wap_id is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or wap_id, not both")
+            snap = self.wap_snapshot(wap_id)
+        else:
+            snap = self.snapshot(snapshot_id)
         wanted = None if buckets is None else {str(b) for b in buckets}
         base_files: list[str] = []
         for b, fl in snap["buckets"].items():
@@ -732,7 +741,24 @@ class LakeTable:
         prev = self.current()
         sid = prev["snapshot_id"] + 1
         out_dir = os.path.join(self.data_dir, f"snap-{sid:08d}")
-        sort_cols = prev.get("sort_cols")
+        new_files = self._write_bucket_data(
+            df, out_dir, touched_buckets, prev.get("sort_cols")
+        )
+        return self.commit_bucket_files(
+            new_files, new_watermarks, stats=stats,
+            schema_version=schema_version, columns=columns, operation=operation,
+        )
+
+    def _write_bucket_data(
+        self,
+        df: DataFrame,
+        out_dir: str,
+        touched_buckets: list[int],
+        sort_cols: list[str] | None,
+    ) -> dict[str, list[str]]:
+        """Write ``df`` partitioned by ``_bucket`` under ``out_dir`` and
+        return the per-bucket file lists (driver-side listing of a
+        metadata-scale directory tree)."""
         if sort_cols:
             # cluster inside each bucket so per-file min/max ranges are
             # tight — partitionBy splits a sorted task stream into
@@ -745,8 +771,6 @@ class LakeTable:
             .partitionBy("_bucket")
             .parquet(out_dir)
         )
-        # collect written files per bucket (driver-side listing of
-        # metadata-scale directory tree)
         new_files: dict[str, list[str]] = {}
         for b in touched_buckets:
             bdir = os.path.join(out_dir, f"_bucket={b}")
@@ -755,10 +779,7 @@ class LakeTable:
                 for f in self.io.listdir(bdir)  # [] when bucket became empty
                 if f.endswith(".parquet")
             )
-        return self.commit_bucket_files(
-            new_files, new_watermarks, stats=stats,
-            schema_version=schema_version, columns=columns, operation=operation,
-        )
+        return new_files
 
     def commit_bucket_files(
         self,
@@ -776,6 +797,28 @@ class LakeTable:
         replay computes every batch's post-state in one Spark job, then
         finalizes the strictly-ordered commits through here with zero
         further executor work."""
+        snapshot = self._next_bucket_snapshot(
+            new_files, new_watermarks, stats=stats,
+            schema_version=schema_version, columns=columns, operation=operation,
+        )
+        self._write_snapshot(snapshot)
+        return snapshot
+
+    def _next_bucket_snapshot(
+        self,
+        new_files: dict[str, list[str]],
+        new_watermarks: dict[int, str],
+        stats: dict | None = None,
+        schema_version: int | None = None,
+        columns: list[str] | None = None,
+        operation: str = "overwrite",
+    ) -> dict:
+        """Build (but do not persist) the snapshot dict a bucket-rewrite
+        commit of ``new_files`` on top of the current head would
+        produce; also harvests file footer stats when the table tracks
+        ``stats_cols``. Shared by :meth:`commit_bucket_files` (persist +
+        advance head) and :meth:`stage_buckets` (persist as a staged
+        write-audit-publish header, head unchanged)."""
         prev = self.current()
         sid = prev["snapshot_id"] + 1
         if prev.get("stats_cols"):
@@ -811,7 +854,6 @@ class LakeTable:
             "watermarks": watermarks,
             "stats": stats or prev["stats"],
         }
-        self._write_snapshot(snapshot)
         return snapshot
 
     def commit_deltas(
@@ -864,6 +906,23 @@ class LakeTable:
         touched buckets. Enables the engine's grouped merge-on-read
         replay (one dedupe job for all batches, per-batch driver-side
         commits)."""
+        snapshot = self._next_delta_snapshot(
+            new_files, new_watermarks, stats=stats,
+            schema_version=schema_version, columns=columns,
+        )
+        self._write_snapshot(snapshot)
+        return snapshot
+
+    def _next_delta_snapshot(
+        self,
+        new_files: dict[str, list[str]],
+        new_watermarks: dict[int, str],
+        stats: dict | None = None,
+        schema_version: int | None = None,
+        columns: list[str] | None = None,
+    ) -> dict:
+        """Delta-append twin of :meth:`_next_bucket_snapshot` (see
+        there): the snapshot dict, built but not persisted."""
         prev = self.current()
         sid = prev["snapshot_id"] + 1
         if prev.get("stats_cols"):
@@ -894,7 +953,6 @@ class LakeTable:
             "watermarks": watermarks,
             "stats": stats or prev["stats"],
         }
-        self._write_snapshot(snapshot)
         return snapshot
 
     def buckets_needing_compaction(self, max_delta_files: int) -> list[int]:
@@ -1108,6 +1166,187 @@ class LakeTable:
             raise ValueError(f"no such tag: {name!r}")
         return tags[name]
 
+    # -- write-audit-publish (Iceberg WAP pattern) ---------------------------
+    #
+    # A staged commit persists its data files and a full snapshot
+    # header, but the header lives under ``wap-<id>.json`` and the
+    # version hint does NOT advance: readers of the table see nothing.
+    # An auditor reads the staged state via ``read(wap_id=...)``
+    # (row counts, invariant checks, dead-letter ratios), then either
+    # ``publish_wap`` (metadata-only rename into the snapshot chain,
+    # atomic via the create-exclusive header write) or ``abandon_wap``
+    # (header + unshared manifests dropped; data files become vacuum
+    # orphans). Manifests are content-addressed and shared with the
+    # parent snapshot, so staging an N-bucket table that touches k
+    # buckets costs O(k) metadata, same as a commit.
+
+    def _wap_path(self, wap_id: str) -> str:
+        return os.path.join(self.meta_dir, f"wap-{wap_id}.json")
+
+    @staticmethod
+    def _check_wap_id(wap_id: str) -> str:
+        if (
+            not wap_id
+            or wap_id != wap_id.strip()
+            or any(c in wap_id for c in "/\\")
+            or wap_id.startswith(".")
+        ):
+            raise ValueError(f"bad wap id: {wap_id!r}")
+        return wap_id
+
+    def wap_ids(self) -> list[str]:
+        """Ids of pending (staged, unpublished) commits."""
+        return sorted(
+            name[4:-5]
+            for name in self.io.listdir(self.meta_dir)
+            if name.startswith("wap-") and name.endswith(".json")
+        )
+
+    def _wap_raw(self, wap_id: str) -> dict:
+        p = self._wap_path(self._check_wap_id(wap_id))
+        if not self.io.exists(p):
+            raise ValueError(f"no such staged commit: {wap_id!r}")
+        return json.loads(self.io.read_text(p))
+
+    def wap_snapshot(self, wap_id: str) -> dict:
+        """The staged snapshot, manifests resolved (same shape as
+        :meth:`snapshot` — feed it to auditing reads)."""
+        snap = self._wap_raw(wap_id)
+        snap["buckets"] = self._resolve_manifests(snap["buckets"])
+        snap["deltas"] = self._resolve_manifests(snap.get("deltas", {}))
+        snap.pop("format", None)
+        return snap
+
+    def _write_wap_header(self, snapshot: dict, wap_id: str) -> dict:
+        header = dict(snapshot)
+        header["format"] = 2
+        header["wap_id"] = wap_id
+        header["buckets"] = self._write_manifests(snapshot["buckets"])
+        header["deltas"] = self._write_manifests(snapshot.get("deltas", {}))
+        # create-exclusive: two stagers racing the same wap id is a
+        # caller bug surfaced here, not silently last-writer-wins
+        self.io.write_text_atomic(
+            self._wap_path(wap_id),
+            json.dumps(header, indent=1, sort_keys=True),
+            fail_if_exists=True,
+        )
+        self._name_by_list.clear()
+        return header
+
+    def stage_buckets(
+        self,
+        df: DataFrame,
+        touched_buckets: list[int],
+        new_watermarks: dict[int, str],
+        wap_id: str,
+        stats: dict | None = None,
+        schema_version: int | None = None,
+        columns: list[str] | None = None,
+        operation: str = "overwrite",
+    ) -> dict:
+        """:meth:`commit_buckets` with the publish withheld: write the
+        bucket rewrite's data files (under ``data/wap-<id>``) and a
+        staged header; the table head does not move until
+        :meth:`publish_wap`."""
+        self._check_wap_id(wap_id)
+        if self.io.exists(self._wap_path(wap_id)):
+            raise ValueError(f"staged commit {wap_id!r} already exists")
+        out_dir = os.path.join(self.data_dir, f"wap-{wap_id}")
+        new_files = self._write_bucket_data(
+            df, out_dir, touched_buckets, self.current().get("sort_cols")
+        )
+        snapshot = self._next_bucket_snapshot(
+            new_files, new_watermarks, stats=stats,
+            schema_version=schema_version, columns=columns, operation=operation,
+        )
+        self._write_wap_header(snapshot, wap_id)
+        return snapshot
+
+    def stage_deltas(
+        self,
+        df: DataFrame,
+        touched_buckets: list[int],
+        new_watermarks: dict[int, str],
+        wap_id: str,
+        stats: dict | None = None,
+        schema_version: int | None = None,
+        columns: list[str] | None = None,
+    ) -> dict:
+        """:meth:`commit_deltas` with the publish withheld (see
+        :meth:`stage_buckets`)."""
+        self._check_wap_id(wap_id)
+        if self.io.exists(self._wap_path(wap_id)):
+            raise ValueError(f"staged commit {wap_id!r} already exists")
+        out_dir = os.path.join(self.data_dir, f"wap-delta-{wap_id}")
+        df.write.mode("error").partitionBy("_bucket").parquet(out_dir)
+        new_files: dict[str, list[str]] = {}
+        for b in touched_buckets:
+            bdir = os.path.join(out_dir, f"_bucket={b}")
+            new_files[str(b)] = sorted(
+                os.path.join(bdir, f)
+                for f in self.io.listdir(bdir)
+                if f.endswith(".parquet")
+            )
+        snapshot = self._next_delta_snapshot(
+            new_files, new_watermarks, stats=stats,
+            schema_version=schema_version, columns=columns,
+        )
+        self._write_wap_header(snapshot, wap_id)
+        return snapshot
+
+    def publish_wap(self, wap_id: str) -> dict:
+        """Fast-forward the table head to a staged commit. Metadata-only
+        (the data files and manifests are already in place): writes the
+        staged header into the snapshot chain and advances the hint.
+
+        Raises ``ValueError`` if the head moved since staging — the
+        staged rewrite was computed against a parent state that is no
+        longer current, so publishing it would silently drop the
+        intervening commit (Iceberg's non-fast-forward cherry-pick is
+        deliberately NOT attempted: re-stage against the new head).
+        The create-exclusive snapshot write also loses cleanly to a
+        racing concurrent commit of the same id."""
+        raw = self._wap_raw(wap_id)
+        cur = self.current_snapshot_id()
+        if raw["parent_id"] != cur:
+            raise ValueError(
+                f"cannot publish {wap_id!r}: staged on parent "
+                f"{raw['parent_id']} but head is {cur} — re-stage"
+            )
+        sid = raw["snapshot_id"]
+        header = {k: v for k, v in raw.items() if k != "wap_id"}
+        self.io.write_text_atomic(
+            self._snap_path(sid),
+            json.dumps(header, indent=1, sort_keys=True),
+            fail_if_exists=True,
+        )
+        self.io.write_text_atomic(
+            os.path.join(self.meta_dir, "version-hint.text"), str(sid)
+        )
+        self.io.remove(self._wap_path(wap_id))
+        return self.snapshot(sid)
+
+    def abandon_wap(self, wap_id: str) -> None:
+        """Drop a staged commit: delete its header and any manifests no
+        retained snapshot or other staged commit references. Its data
+        files become orphans that :meth:`vacuum` removes (min-age
+        guarded, same as expired-snapshot data)."""
+        raw = self._wap_raw(wap_id)
+        dead = set(raw["buckets"].values()) | set(raw.get("deltas", {}).values())
+        for sid in self.snapshots():
+            s = self._raw_snapshot(sid)
+            if s.get("format") == 2:
+                dead -= set(s["buckets"].values()) | set(s.get("deltas", {}).values())
+        for other in self.wap_ids():
+            if other == wap_id:
+                continue
+            o = self._wap_raw(other)
+            dead -= set(o["buckets"].values()) | set(o.get("deltas", {}).values())
+        self.io.remove(self._wap_path(wap_id))
+        for name in dead:
+            self.io.remove(os.path.join(self.meta_dir, name))
+            self._manifest_cache.pop(name, None)
+
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop snapshot manifests older than the newest ``keep_last``
         (Iceberg ``expire_snapshots`` semantics): time travel to the
@@ -1139,6 +1378,11 @@ class LakeTable:
             dead_refs |= refs(sid)
         for sid in keep & set(ids):
             dead_refs -= refs(sid)
+        # staged (write-audit-publish) commits share content-addressed
+        # manifests with their parent — keep those alive too
+        for wap_id in self.wap_ids():
+            w = self._wap_raw(wap_id)
+            dead_refs -= set(w["buckets"].values()) | set(w.get("deltas", {}).values())
         for sid in expired:
             self.io.remove(self._snap_path(sid))
         for name in dead_refs:
@@ -1147,10 +1391,13 @@ class LakeTable:
         return expired
 
     def live_files(self) -> set[str]:
-        """Every data file referenced by any retained snapshot."""
+        """Every data file referenced by any retained snapshot or any
+        pending staged (write-audit-publish) commit — vacuum must not
+        sweep data that is still awaiting its audit."""
         live: set[str] = set()
-        for sid in self.snapshots():
-            snap = self.snapshot(sid)
+        snaps = [self.snapshot(sid) for sid in self.snapshots()]
+        snaps.extend(self.wap_snapshot(w) for w in self.wap_ids())
+        for snap in snaps:
             for fl in snap["buckets"].values():
                 live.update(fl)
             for fl in snap.get("deltas", {}).values():
@@ -1222,8 +1469,11 @@ class LakeTable:
                 empty_dirs.append(ddir)
         # metadata sweep: manifest files no retained header references
         live_manifests: set[str] = set()
-        for sid in self.snapshots():
-            snap = self._raw_snapshot(sid)
+        headers = [self._raw_snapshot(sid) for sid in self.snapshots()]
+        # pending staged (write-audit-publish) commits reference
+        # manifests too — sweeping them would corrupt an audit in flight
+        headers.extend(self._wap_raw(w) for w in self.wap_ids())
+        for snap in headers:
             if snap.get("format") == 2:
                 live_manifests |= set(snap["buckets"].values())
                 live_manifests |= set(snap.get("deltas", {}).values())
