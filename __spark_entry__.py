@@ -2608,7 +2608,8 @@ def _lake_delta_df(spark, sf) -> DataFrame:
 _LAKE_STATE_COLS = ["repo", "path", "commit", "event_seq", "lang", "content", "content_sha"]
 
 
-def _lake_build(spark, sf, deltas: bool = True, skipping: bool = False):
+def _lake_build(spark, sf, deltas: bool = True, skipping: bool = False,
+                fragment: bool = False):
     """Create a throwaway LakeTable, commit the base slice (snapshot 1)
     and, optionally, the delta slice as a merge-on-read commit
     (snapshot 2). ``skipping=True`` declares event_seq stats+sort
@@ -2627,6 +2628,10 @@ def _lake_build(spark, sf, deltas: bool = True, skipping: bool = False):
     base = _lake_base_df(spark, sf).select("*", bkt)
     if skipping:
         base = base.repartitionByRange(8, "event_seq")
+    elif fragment:
+        # scatter each bucket across tasks so every bucket lands as
+        # several small files (the rewrite_data_files fixture shape)
+        base = base.repartition(8)
     touched = sorted(r[0] for r in base.select("_bucket").distinct().collect())
     t.commit_buckets(base, touched, {b: "000000000001:0000000000" for b in touched})
     if deltas:
@@ -2746,6 +2751,33 @@ def q_lake_rollback_read(spark, sf):
     delta commit) stays intact for audit."""
     t = _lake_build(spark, sf, deltas=True)
     t.rollback(1)
+    return t.read().select(*_LAKE_STATE_COLS)
+
+
+@_q(
+    "lake_rewrite_read",
+    f"""
+    WITH {_LAKE_BASE_CTE}
+    SELECT repo, path, "commit", event_seq, lang, content,
+           sha256(content) AS content_sha
+    FROM base
+    """,
+)
+def q_lake_rewrite_read(spark, sf):
+    """Small-file bin-packing compaction (lake/table.py
+    rewrite_data_files — Iceberg rewrite_data_files binpack): the base
+    commit deliberately fragments each bucket across tasks, the rewrite
+    packs every bucket back to ~one file, and the query raises unless
+    the file count actually dropped — so a green hash certifies the
+    physical reorg happened AND was byte-lossless."""
+    t = _lake_build(spark, sf, deltas=False, fragment=True)
+    before = sum(len(fl) for fl in t.current()["buckets"].values())
+    snap = t.rewrite_data_files(target_file_bytes=1 << 30)
+    if snap is None:
+        raise AssertionError("rewrite found no candidate buckets")
+    after = sum(len(fl) for fl in snap["buckets"].values())
+    if after >= before:
+        raise AssertionError(f"rewrite did not shrink files: {before} -> {after}")
     return t.read().select(*_LAKE_STATE_COLS)
 
 

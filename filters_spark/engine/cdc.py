@@ -307,9 +307,19 @@ class CDCEngine:
             staged.write.partitionBy(*parts).parquet(scratch)
         return scratch
 
-    def apply_batch(self, events: DataFrame) -> dict:
+    def apply_batch(self, events: DataFrame, audit_fn=None) -> dict:
         """Apply one event batch; returns metrics. Idempotent: replaying
-        any subset of already-applied events is a no-op."""
+        any subset of already-applied events is a no-op.
+
+        ``audit_fn(table, wap_id) -> bool``: write-audit-publish gate.
+        When given, the batch's merge is STAGED (lake/table.py
+        stage_buckets/stage_deltas) instead of committed; the callback
+        audits the staged state — ``table.read(wap_id=wap_id)``, row
+        counts, invariant checks — and returns True to publish. False
+        (or an exception) abandons the stage: the table head, the
+        watermarks and the dead-letter table are all untouched, so
+        re-applying the batch after fixing the producer is NOT treated
+        as a replay. Metrics gain ``"audit": "published"|"rejected"``."""
         t0 = time.time()
         snap = self.table.current()
         scratch = self._stage(events, snap)
@@ -326,7 +336,8 @@ class CDCEngine:
                 .withColumn("_dead", F.col("_dead").cast("boolean"))
             )
             return self._apply_staged(
-                staged, os.path.join(scratch, "_dead=true"), os.path.basename(scratch), t0
+                staged, os.path.join(scratch, "_dead=true"), os.path.basename(scratch), t0,
+                audit_fn=audit_fn,
             )
         finally:
             self.io.rmtree(scratch)
@@ -348,7 +359,8 @@ class CDCEngine:
     def _apply_staged(self, staged: DataFrame, dead_src: str, adopt_name: str, t0: float,
                       lineage_sink: list | None = None,
                       wm_map: Mapping | None = None,
-                      stats_rows: list | None = None) -> dict:
+                      stats_rows: list | None = None,
+                      audit_fn=None) -> dict:
         """Watermark-filter, merge and commit one staged (already
         validated + bucketed) batch. All plans here are small — a
         staged-parquet scan, a broadcast anti-join, one window — so the
@@ -407,6 +419,14 @@ class CDCEngine:
             "rows_applied": applied_events,
             "batch_dead_lettered": n_dead,
         }
+        # write-audit-publish: stage under a deterministic id (head+1 is
+        # unique per parent; adopt_name disambiguates callers)
+        wap_id = None if audit_fn is None else f"audit-{snap['snapshot_id'] + 1}-{adopt_name}"
+        commit_kw = dict(
+            stats=stats,
+            schema_version=self.registry.latest,
+            columns=self.registry.canonical_columns,
+        )
 
         if self.write_mode == "mor":
             # merge-on-read: in-batch LWW dedupe only (KEEPING delete
@@ -425,11 +445,13 @@ class CDCEngine:
                 .filter(F.col("_head"))
                 .drop("_head", "_wm")  # _wm re-derives from (commit, event_seq) at read
             )
-            new_snap = self.table.commit_deltas(
-                deduped, touched, new_wms, stats=stats,
-                schema_version=self.registry.latest,
-                columns=self.registry.canonical_columns,
-            )
+            if wap_id is None:
+                new_snap = self.table.commit_deltas(deduped, touched, new_wms, **commit_kw)
+            else:
+                self.table.stage_deltas(deduped, touched, new_wms, wap_id, **commit_kw)
+                new_snap = self._audit_publish(audit_fn, wap_id)
+                if new_snap is None:
+                    return self._rejected_metrics(events_in, skipped, snap, t0)
             ripe = self.table.buckets_needing_compaction(self.compact_after)
             if ripe:
                 self.table.compact(ripe)
@@ -460,11 +482,13 @@ class CDCEngine:
             merged = lww_merge(merged_src, payload)
 
             # 7. atomic commit (copy-on-write of touched buckets only)
-            new_snap = self.table.commit_buckets(
-                merged, touched, new_wms, stats=stats,
-                schema_version=self.registry.latest,
-                columns=self.registry.canonical_columns,
-            )
+            if wap_id is None:
+                new_snap = self.table.commit_buckets(merged, touched, new_wms, **commit_kw)
+            else:
+                self.table.stage_buckets(merged, touched, new_wms, wap_id, **commit_kw)
+                new_snap = self._audit_publish(audit_fn, wap_id)
+                if new_snap is None:
+                    return self._rejected_metrics(events_in, skipped, snap, t0)
 
         # 3b (deferred until after the merge executed, so the clean
         # scan never races the move): adopt the staged _dead=true
@@ -487,7 +511,7 @@ class CDCEngine:
         else:
             self._write_lineage(lineage_rows)
 
-        return {
+        out = {
             "events_in": events_in,
             "applied": applied_events,
             "dead_lettered": n_dead,
@@ -495,6 +519,37 @@ class CDCEngine:
             "touched_buckets": len(touched),
             "snapshot_id": new_snap["snapshot_id"],
             "seconds": time.time() - t0,
+        }
+        if wap_id is not None:
+            out["audit"] = "published"
+        return out
+
+    def _audit_publish(self, audit_fn, wap_id: str):
+        """Run the write-audit-publish gate over a staged commit: True
+        publishes and returns the new snapshot; False abandons and
+        returns None; an exception abandons and propagates (the stage
+        must never outlive its audit — an orphaned pending stage pins
+        manifests and data against GC forever)."""
+        try:
+            ok = bool(audit_fn(self.table, wap_id))
+        except Exception:
+            self.table.abandon_wap(wap_id)
+            raise
+        if ok:
+            return self.table.publish_wap(wap_id)
+        self.table.abandon_wap(wap_id)
+        return None
+
+    @staticmethod
+    def _rejected_metrics(events_in: int, skipped: int, snap: dict, t0: float) -> dict:
+        """Metrics for an audit-rejected batch: nothing applied, nothing
+        dead-lettered (the staged dead letters are discarded with the
+        scratch dir — the batch is rejected as a unit and will be
+        re-submitted), watermarks and head unchanged."""
+        return {
+            "events_in": events_in, "applied": 0, "dead_lettered": 0,
+            "skipped_replays": skipped, "audit": "rejected",
+            "snapshot_id": snap["snapshot_id"], "seconds": time.time() - t0,
         }
 
     def _apply_staged_group_cow(

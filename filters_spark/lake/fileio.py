@@ -71,6 +71,10 @@ class FileIO:
         """Modification time (epoch seconds)."""
         raise NotImplementedError
 
+    def size(self, path: str) -> int:
+        """File length in bytes."""
+        raise NotImplementedError
+
     def tree_has_suffix(self, path: str, suffix: str) -> bool:
         """True if any file under ``path`` (recursive) ends in suffix."""
         raise NotImplementedError
@@ -124,6 +128,9 @@ class LocalFileIO(FileIO):
 
     def mtime(self, path: str) -> float:
         return os.path.getmtime(path)
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
 
     def tree_has_suffix(self, path: str, suffix: str) -> bool:
         for _, _, files in os.walk(path):
@@ -222,6 +229,9 @@ class HadoopFileIO(FileIO):
 
     def mtime(self, path: str) -> float:
         return self._fs.getFileStatus(self._path(path)).getModificationTime() / 1000.0
+
+    def size(self, path: str) -> int:
+        return int(self._fs.getFileStatus(self._path(path)).getLen())
 
     def tree_has_suffix(self, path: str, suffix: str) -> bool:
         p = self._path(path)

@@ -981,6 +981,70 @@ class LakeTable:
         ).repartition("_bucket")
         return self.commit_buckets(merged, wanted, {}, operation="compact")
 
+    def rewrite_data_files(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        min_input_files: int = 2,
+        buckets: Iterable[int] | None = None,
+    ) -> dict | None:
+        """Bin-pack small base files into ~target-size files (Iceberg
+        ``rewrite_data_files`` binpack strategy). Many-delta ingest +
+        compaction cycles and low-parallelism commits leave buckets
+        holding long tails of small parquet files; each file is a scan
+        task + a footer read + a manifest entry, so at 10^5+ files the
+        small-file tax dominates scan setup. Per bucket: when it holds
+        at least ``min_input_files`` base files of which at least two
+        are under the target, its rows are rewritten into about
+        ``ceil(bucket_bytes / target)`` files.
+
+        Pure physical reorg: ``read()`` results are identical before
+        and after (pinned by tests), ``changes()`` skips the rewrite
+        snapshot exactly like ``compact``/``rescale``, file stats are
+        re-harvested so data skipping keeps working, and the replaced
+        files become vacuum orphans. Buckets with PENDING DELTAS are
+        skipped — folding deltas changes merge state, which is
+        :meth:`compact`'s job, and a maintenance rewrite must never
+        change what a reader sees.
+
+        Packing is approximate (hash of (bucket, slot) into one shuffle
+        of ``total_slots`` partitions): two packs may collide into one
+        file, as Iceberg's binpack may also over/under-fill — the
+        invariant is the data, not an exact file count. Returns the new
+        snapshot, or None when nothing qualifies."""
+        snap = self.current()
+        pending = {b for b, fl in snap.get("deltas", {}).items() if fl}
+        wanted_set = None if buckets is None else {int(b) for b in buckets}
+        slots: dict[int, int] = {}
+        for b, fl in snap["buckets"].items():
+            if b in pending or (wanted_set is not None and int(b) not in wanted_set):
+                continue
+            if len(fl) < max(int(min_input_files), 2):
+                continue
+            sizes = [self.io.size(f) for f in fl]
+            if sum(1 for s in sizes if s < target_file_bytes) < 2:
+                continue  # nothing worth packing together
+            slots[int(b)] = max(1, -(-sum(sizes) // int(target_file_bytes)))
+        if not slots:
+            return None
+        wanted = sorted(slots)
+        df = self.read(buckets=wanted)
+        payload = self.payload_cols(snap)
+        slot_map = F.create_map(*[F.lit(x) for kv in slots.items() for x in kv])
+        total_slots = sum(slots.values())
+        df = (
+            df.select(
+                "repo", "path", "commit", "event_seq", *payload, "content_sha",
+                F.col("_bucket").cast("int").alias("_bucket"),
+            )
+            .withColumn(
+                "_slot",
+                F.pmod(F.xxhash64("path"), slot_map[F.col("_bucket")]).cast("int"),
+            )
+            .repartition(max(total_slots, 1), "_bucket", "_slot")
+            .drop("_slot")
+        )
+        return self.commit_buckets(df, wanted, {}, operation="rewrite")
+
     def changes(
         self, since_snapshot_id: int, to_snapshot_id: int | None = None
     ) -> DataFrame | None:
@@ -1015,7 +1079,7 @@ class LakeTable:
                 continue
             snap = self.snapshot(sid)
             op = snap.get("operation", "overwrite")
-            if op in ("create", "compact", "rescale"):
+            if op in ("create", "compact", "rescale", "rewrite"):
                 continue  # physical reorganizations: no logical change
             if op != "append-deltas":
                 raise ValueError(
