@@ -2870,6 +2870,57 @@ def q_lake_wap_publish(spark, sf):
 
 
 @_q(
+    "lake_wap_audit_diff",
+    f"""
+    WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE},
+    unioned AS (
+      SELECT repo, path, "commit", event_seq, lang, content, 'K' AS op FROM base
+      UNION ALL
+      SELECT repo, path, "commit", event_seq, lang, content, op FROM deltas
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY repo, path ORDER BY "commit" DESC, event_seq DESC
+      ) AS rn FROM unioned
+    ),
+    old_state AS (SELECT repo, path, lang, content FROM base),
+    new_state AS (
+      SELECT repo, path, lang, content FROM ranked WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT coalesce(n.repo, o.repo) AS repo,
+           coalesce(n.path, o.path) AS path,
+           CASE WHEN o.repo IS NULL THEN 'I'
+                WHEN n.repo IS NULL THEN 'D' ELSE 'U' END AS op,
+           n.lang AS lang, n.content AS content
+    FROM old_state o FULL JOIN new_state n
+      ON o.repo = n.repo AND o.path = n.path
+    WHERE o.repo IS NULL OR n.repo IS NULL
+       OR o.lang IS DISTINCT FROM n.lang
+       OR o.content IS DISTINCT FROM n.content
+    """,
+)
+def q_lake_wap_audit_diff(spark, sf):
+    """The write-audit-publish REVIEW primitive (lake/table.py
+    wap_diff): with the delta batch merely STAGED — the table head
+    never moves — the auditor reads the exact row-level I/U/D set that
+    publishing would apply. The oracle recomputes that set from the raw
+    slices, so a green hash certifies the staged read, the LWW fold
+    inside it, and the state diff in one check."""
+    from filters_spark.lake.table import bucket_expr, wap_diff
+
+    t = _lake_build(spark, sf, deltas=False)
+    bkt = bucket_expr(F.col("repo"), F.col("path"), 8, 16).cast("int").alias("_bucket")
+    d = _lake_delta_df(spark, sf).select("*", bkt)
+    dtouched = sorted(r[0] for r in d.select("_bucket").distinct().collect())
+    t.stage_deltas(
+        d, dtouched, {b: "000000000002:0000000000" for b in dtouched}, "review"
+    )
+    if t.current_snapshot_id() != 1:
+        raise AssertionError("staging must not advance the table head")
+    return wap_diff(t, "review")
+
+
+@_q(
     "lake_snapshot_diff",
     f"""
     WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE},

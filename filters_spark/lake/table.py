@@ -1595,12 +1595,36 @@ def snapshot_diff(
     payload = t.payload_cols(new_snap)
     old_df = t.read(from_sid)
     new_df = t.read(to_sid)
+    old_payload = set(t.payload_cols(t.snapshot(from_sid)))
+    return _state_diff(old_df, new_df, payload, old_payload)
+
+
+def wap_diff(t: "LakeTable", wap_id: str) -> DataFrame:
+    """Audit diff of a pending staged commit: the row-level I/U/D set
+    that PUBLISHING ``wap_id`` would apply to the current head — the
+    write-audit-publish review primitive (inspect exactly what would
+    change, not the whole staged state). Same output contract and same
+    O(both states) cost as :func:`snapshot_diff`; an auditor that only
+    needs counts should aggregate this frame rather than re-deriving."""
+    staged = t.wap_snapshot(wap_id)
+    payload = t.payload_cols(staged)
+    old_df = t.read()
+    new_df = t.read(wap_id=wap_id)
+    old_payload = set(t.payload_cols(t.current()))
+    return _state_diff(old_df, new_df, payload, old_payload)
+
+
+def _state_diff(
+    old_df: DataFrame | None,
+    new_df: DataFrame | None,
+    payload: list[str],
+    old_payload: set[str],
+) -> DataFrame:
     if old_df is not None:
         # schema evolution only ADDS columns: NULL-fill the older
         # snapshot's frame up to the newer payload set (canonical
         # columns are strings by the WAL contract), so an added column
         # that is non-NULL in the new state diffs as U
-        old_payload = set(t.payload_cols(t.snapshot(from_sid)))
         for c in payload:
             if c not in old_payload:
                 old_df = old_df.withColumn(c, F.lit(None).cast("string"))
