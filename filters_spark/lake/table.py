@@ -299,12 +299,7 @@ class LakeTable:
             return ids[-1]
 
     def snapshot(self, snapshot_id: int | None = None) -> dict:
-        snap = self._raw_snapshot(snapshot_id)
-        if snap.get("format") == 2:
-            snap["buckets"] = self._resolve_manifests(snap["buckets"])
-            snap["deltas"] = self._resolve_manifests(snap.get("deltas", {}))
-            snap.pop("format", None)
-        return snap
+        return self._resolve_header(self._raw_snapshot(snapshot_id))
 
     def _raw_snapshot(self, snapshot_id: int | None = None) -> dict:
         """The snapshot header as persisted (format-2 headers hold
@@ -789,6 +784,7 @@ class LakeTable:
         schema_version: int | None = None,
         columns: list[str] | None = None,
         operation: str = "overwrite",
+        retry_conflicts: int = 0,
     ) -> dict:
         """Metadata-only half of :meth:`commit_buckets`: commit
         ALREADY-WRITTEN data files (``{bucket: [paths]}``; an empty list
@@ -796,13 +792,73 @@ class LakeTable:
         Enables write-then-commit pipelines — e.g. the engine's grouped
         replay computes every batch's post-state in one Spark job, then
         finalizes the strictly-ordered commits through here with zero
-        further executor work."""
-        snapshot = self._next_bucket_snapshot(
-            new_files, new_watermarks, stats=stats,
-            schema_version=schema_version, columns=columns, operation=operation,
-        )
-        self._write_snapshot(snapshot)
-        return snapshot
+        further executor work.
+
+        ``retry_conflicts``: optimistic-concurrency retries (Iceberg
+        commit-retry semantics). When a concurrent writer wins the
+        create-exclusive header race, the commit REBASES onto the new
+        head and retries — but only after validating the racer did not
+        touch any of OUR buckets (base or delta refs unchanged) and did
+        not rescale the table (our ``_bucket`` ids would be stale).
+        A genuine overlap raises immediately: a CoW rewrite computed
+        against a stale bucket state would silently drop the racer's
+        rows. 0 (default) = raise on any race, single-writer behavior.
+
+        Soundness: each attempt PINS the head it builds on (sid read →
+        raw header → build), and the create-exclusive write of sid+1
+        loses to any racer that landed after the pin — so every rebase
+        is validated against the exact basis it replaced, no
+        read-validate-build window."""
+        prev_raw = self._raw_snapshot()  # the caller's compute basis
+        for attempt in range(int(retry_conflicts) + 1):
+            sid = self.current_snapshot_id()
+            head_raw = self._raw_snapshot(sid)
+            if head_raw["snapshot_id"] != prev_raw["snapshot_id"]:
+                self._check_disjoint(prev_raw, head_raw, set(new_files))
+            snapshot = self._next_bucket_snapshot(
+                new_files, new_watermarks, stats=stats,
+                schema_version=schema_version, columns=columns, operation=operation,
+                prev=self._resolve_header(head_raw),
+            )
+            try:
+                self._write_snapshot(snapshot)
+                return snapshot
+            except FileExistsError:
+                if attempt >= int(retry_conflicts):
+                    raise
+        raise AssertionError("unreachable")
+
+    def _check_disjoint(self, prev_raw: dict, head_raw: dict, touched: set) -> None:
+        """Raise unless the head that beat us is DISJOINT from our
+        commit: same bucket layout, and none of our touched buckets'
+        base/delta manifest refs moved since the compute basis."""
+        if (
+            head_raw["num_buckets"] != prev_raw["num_buckets"]
+            or head_raw["path_salt"] != prev_raw["path_salt"]
+        ):
+            raise ValueError(
+                "concurrent rescale: bucket ids in this commit are stale — recompute"
+            )
+
+        def ref(raw: dict, b: str):
+            return (raw["buckets"].get(b), raw.get("deltas", {}).get(b))
+
+        overlap = [b for b in touched if ref(head_raw, b) != ref(prev_raw, b)]
+        if overlap:
+            raise ValueError(
+                f"concurrent writer modified bucket(s) {sorted(overlap)}; "
+                "this commit was computed against a stale state — recompute"
+            )
+
+    def _resolve_header(self, raw: dict) -> dict:
+        """Raw header -> resolved snapshot (manifest refs -> file
+        lists), without re-reading the header from disk."""
+        snap = dict(raw)
+        if snap.get("format") == 2:
+            snap["buckets"] = self._resolve_manifests(snap["buckets"])
+            snap["deltas"] = self._resolve_manifests(snap.get("deltas", {}))
+            snap.pop("format", None)
+        return snap
 
     def _next_bucket_snapshot(
         self,
@@ -812,14 +868,17 @@ class LakeTable:
         schema_version: int | None = None,
         columns: list[str] | None = None,
         operation: str = "overwrite",
+        prev: dict | None = None,
     ) -> dict:
         """Build (but do not persist) the snapshot dict a bucket-rewrite
-        commit of ``new_files`` on top of the current head would
-        produce; also harvests file footer stats when the table tracks
-        ``stats_cols``. Shared by :meth:`commit_bucket_files` (persist +
-        advance head) and :meth:`stage_buckets` (persist as a staged
-        write-audit-publish header, head unchanged)."""
-        prev = self.current()
+        commit of ``new_files`` on top of ``prev`` (default: the current
+        head) would produce; also harvests file footer stats when the
+        table tracks ``stats_cols``. Shared by
+        :meth:`commit_bucket_files` (persist + advance head) and
+        :meth:`stage_buckets` (persist as a staged write-audit-publish
+        header, head unchanged)."""
+        if prev is None:
+            prev = self.current()
         sid = prev["snapshot_id"] + 1
         if prev.get("stats_cols"):
             self._collect_file_stats(
@@ -900,18 +959,44 @@ class LakeTable:
         stats: dict | None = None,
         schema_version: int | None = None,
         columns: list[str] | None = None,
+        retry_conflicts: int = 0,
     ) -> dict:
         """Metadata-only half of :meth:`commit_deltas`: append
         ALREADY-WRITTEN delta files (``{bucket: [paths]}``) to the
         touched buckets. Enables the engine's grouped merge-on-read
         replay (one dedupe job for all batches, per-batch driver-side
-        commits)."""
-        snapshot = self._next_delta_snapshot(
-            new_files, new_watermarks, stats=stats,
-            schema_version=schema_version, columns=columns,
-        )
-        self._write_snapshot(snapshot)
-        return snapshot
+        commits).
+
+        ``retry_conflicts``: delta appends are COMMUTATIVE (read-time
+        LWW merges base ∪ all deltas, order-free), so losing the header
+        race rebases unconditionally — even same-bucket concurrent
+        appends merge correctly; the rebase re-appends our files to the
+        new head's lists. The only fatal race is a concurrent rescale
+        (our ``_bucket`` ids go stale), which raises. Same pinned-head
+        attempt structure as :meth:`commit_bucket_files`."""
+        prev_raw = self._raw_snapshot()
+        for attempt in range(int(retry_conflicts) + 1):
+            sid = self.current_snapshot_id()
+            head_raw = self._raw_snapshot(sid)
+            if (
+                head_raw["num_buckets"] != prev_raw["num_buckets"]
+                or head_raw["path_salt"] != prev_raw["path_salt"]
+            ):
+                raise ValueError(
+                    "concurrent rescale: bucket ids in this commit are stale"
+                )
+            snapshot = self._next_delta_snapshot(
+                new_files, new_watermarks, stats=stats,
+                schema_version=schema_version, columns=columns,
+                prev=self._resolve_header(head_raw),
+            )
+            try:
+                self._write_snapshot(snapshot)
+                return snapshot
+            except FileExistsError:
+                if attempt >= int(retry_conflicts):
+                    raise
+        raise AssertionError("unreachable")
 
     def _next_delta_snapshot(
         self,
@@ -920,10 +1005,12 @@ class LakeTable:
         stats: dict | None = None,
         schema_version: int | None = None,
         columns: list[str] | None = None,
+        prev: dict | None = None,
     ) -> dict:
         """Delta-append twin of :meth:`_next_bucket_snapshot` (see
         there): the snapshot dict, built but not persisted."""
-        prev = self.current()
+        if prev is None:
+            prev = self.current()
         sid = prev["snapshot_id"] + 1
         if prev.get("stats_cols"):
             self._collect_file_stats(
@@ -1275,11 +1362,7 @@ class LakeTable:
     def wap_snapshot(self, wap_id: str) -> dict:
         """The staged snapshot, manifests resolved (same shape as
         :meth:`snapshot` — feed it to auditing reads)."""
-        snap = self._wap_raw(wap_id)
-        snap["buckets"] = self._resolve_manifests(snap["buckets"])
-        snap["deltas"] = self._resolve_manifests(snap.get("deltas", {}))
-        snap.pop("format", None)
-        return snap
+        return self._resolve_header(self._wap_raw(wap_id))
 
     def _write_wap_header(self, snapshot: dict, wap_id: str) -> dict:
         header = dict(snapshot)
