@@ -1261,6 +1261,74 @@ def q_events_interval_count(spark, sf):
 
 
 @_q(
+    "events_funnel",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) FILTER (event_type = 'view') AS stage1_ts
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, s.stage1_ts,
+             min(e.ts) FILTER (e.event_type = 'click' AND e.ts > s.stage1_ts)
+               AS stage2_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      GROUP BY e.user_id, s.stage1_ts
+    ),
+    p AS (
+      SELECT e.user_id, c.stage1_ts, c.stage2_ts,
+             min(e.ts) FILTER (e.event_type = 'purchase' AND e.ts > c.stage2_ts)
+               AS stage3_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      GROUP BY e.user_id, c.stage1_ts, c.stage2_ts
+    )
+    SELECT user_id, stage1_ts, stage2_ts, stage3_ts,
+           CAST(CASE WHEN stage3_ts IS NOT NULL THEN 3
+                     WHEN stage2_ts IS NOT NULL THEN 2 ELSE 1 END AS INT)
+             AS funnel_stage
+    FROM p WHERE stage1_ts IS NOT NULL
+    """,
+)
+def q_events_funnel(spark, sf):
+    """Ordered conversion funnel view -> click -> purchase
+    (operators/events.py:funnel): per user, each stage's earliest time
+    STRICTLY AFTER the previous stage. The Spark plan is N stacked
+    conditional-min windows over ONE user-key exchange (no joins, one
+    scan); the oracle recomputes each stage as a join-and-filter
+    aggregation chain — agreement certifies the ordering semantics,
+    not just the counts."""
+    from filters_spark.operators.events import funnel
+
+    return funnel(_t(spark, sf, "events"), ["view", "click", "purchase"])
+
+
+@_q(
+    "events_retention_cohorts",
+    """
+    WITH f AS (
+      SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort,
+           date_diff('day', f.cohort,
+                     CAST(date_trunc('day', e.ts) AS DATE)) AS period_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e JOIN f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_events_retention_cohorts(spark, sf):
+    """Cohort retention triangle (operators/events.py:
+    retention_cohorts): users cohorted by first-event day; each
+    (cohort, day-offset) cell counts distinct returning users. Two
+    shuffles — per-user first-event min, then the distinct count on
+    the cell key — with the user-cardinality cohort frame joined back
+    under AQE's broadcast decision."""
+    from filters_spark.operators.events import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf, "events"))
+
+
+@_q(
     "ann_cosine_topk",
     """
     WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)

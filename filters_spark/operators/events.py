@@ -248,3 +248,90 @@ def rolling_features(
         .cast("double")
         .alias("sum_span"),
     )
+
+
+def funnel(
+    df: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered N-stage funnel: per user, the earliest time each stage
+    was reached STRICTLY AFTER the previous stage (the standard
+    product-analytics funnel — a purchase before the first view does
+    not count as conversion).
+
+    One exchange on ``user_col``: every stage is a conditional
+    ``min(...) over (partition by user)`` window over the SAME
+    partitioning, so Catalyst stacks the N window operators on one
+    shuffle; no joins, no N scans. Output: one row per user that
+    reached stage 1, columns ``stage<i>_ts`` (NULL once the funnel
+    broke) and ``funnel_stage`` (deepest stage reached, 1-based).
+
+    Reference parity tier: engine-layer analytics over the event
+    stream; no reference analog (the reference is a validation
+    library)."""
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    w = Window.partitionBy(user_col)
+    out = df.select(user_col, type_col, ts_col)
+    names: list[str] = []
+    prev: str | None = None
+    for i, s in enumerate(stages):
+        name = f"stage{i + 1}_ts"
+        cond = F.col(type_col) == s
+        if prev is not None:
+            cond = cond & F.col(prev).isNotNull() & (F.col(ts_col) > F.col(prev))
+        out = out.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        names.append(name)
+        prev = name
+    res = (
+        out.select(user_col, *names)
+        .distinct()
+        .filter(F.col(names[0]).isNotNull())
+    )
+    stage = F.when(F.col(names[-1]).isNotNull(), len(names))
+    for i in range(len(names) - 2, -1, -1):
+        stage = stage.when(F.col(names[i]).isNotNull(), i + 1)
+    return res.withColumn("funnel_stage", stage.cast("int"))
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "day",
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the period of
+    their FIRST event; each (cohort, period_offset) cell counts the
+    distinct users of that cohort active that many periods later —
+    the classic retention triangle.
+
+    Two aggregations: one per-user min (shuffled on the user key) and
+    the final distinct-count (shuffled on the cell key); the cohort
+    frame is user-cardinality and joins back broadcast-or-shuffle as
+    AQE decides. ``granularity``: any ``date_trunc`` unit ('day',
+    'week', 'month')."""
+    first = df.groupBy(user_col).agg(
+        # DATE-typed cohort: date_trunc returns a timestamp in Spark but
+        # a date in several SQL engines — a date is the portable label
+        F.date_trunc(granularity, F.min(ts_col)).cast("date").alias("cohort")
+    )
+    offset = F.datediff(
+        F.date_trunc(granularity, F.col(ts_col)), F.col("cohort")
+    )
+    if granularity == "week":
+        offset = (offset / 7).cast("long")
+    elif granularity == "month":
+        offset = (
+            (F.year(ts_col) - F.year("cohort")) * 12
+            + (F.month(ts_col) - F.month("cohort"))
+        ).cast("long")
+    else:
+        offset = offset.cast("long")
+    return (
+        df.join(first, user_col)
+        .groupBy(F.col("cohort"), offset.alias("period_offset"))
+        .agg(F.countDistinct(user_col).alias("active_users"))
+    )
