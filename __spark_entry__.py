@@ -1329,6 +1329,36 @@ def q_events_retention_cohorts(spark, sf):
 
 
 @_q(
+    "events_transitions",
+    """
+    WITH pairs AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(count(*)) OVER (PARTITION BY from_type) AS BIGINT)
+             AS from_total
+    FROM pairs WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def q_events_transitions(spark, sf):
+    """Event-sequence transition matrix (operators/events.py:
+    transition_counts): consecutive-pair counts per (from, to) event
+    type with the per-from-state total alongside (P(to|from) = n /
+    from_total). The lead window is the only data-scale shuffle; the
+    pair groupBy is constant-width (|types|²) with map-side partials,
+    and the from_total window runs over that constant-width frame."""
+    from filters_spark.operators.events import transition_counts
+
+    return transition_counts(_t(spark, sf, "events"))
+
+
+@_q(
     "ann_cosine_topk",
     """
     WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)

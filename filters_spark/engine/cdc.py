@@ -527,16 +527,18 @@ class CDCEngine:
     def _audit_publish(self, audit_fn, wap_id: str):
         """Run the write-audit-publish gate over a staged commit: True
         publishes and returns the new snapshot; False abandons and
-        returns None; an exception abandons and propagates (the stage
-        must never outlive its audit — an orphaned pending stage pins
-        manifests and data against GC forever)."""
+        returns None; an exception — from the audit OR from the publish
+        itself (a concurrent commit moved the head mid-audit, so the
+        stage can never fast-forward) — abandons and propagates. The
+        stage must never outlive its audit: an orphaned pending stage
+        pins manifests and data against GC forever."""
         try:
             ok = bool(audit_fn(self.table, wap_id))
+            if ok:
+                return self.table.publish_wap(wap_id)
         except Exception:
             self.table.abandon_wap(wap_id)
             raise
-        if ok:
-            return self.table.publish_wap(wap_id)
         self.table.abandon_wap(wap_id)
         return None
 
@@ -545,10 +547,13 @@ class CDCEngine:
         """Metrics for an audit-rejected batch: nothing applied, nothing
         dead-lettered (the staged dead letters are discarded with the
         scratch dir — the batch is rejected as a unit and will be
-        re-submitted), watermarks and head unchanged."""
+        re-submitted), watermarks and head unchanged. Carries every key
+        the published-path metrics dict has, so callers can read a
+        uniform schema."""
         return {
             "events_in": events_in, "applied": 0, "dead_lettered": 0,
-            "skipped_replays": skipped, "audit": "rejected",
+            "skipped_replays": skipped, "touched_buckets": 0,
+            "audit": "rejected",
             "snapshot_id": snap["snapshot_id"], "seconds": time.time() - t0,
         }
 

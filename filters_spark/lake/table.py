@@ -742,6 +742,10 @@ class LakeTable:
         return self.commit_bucket_files(
             new_files, new_watermarks, stats=stats,
             schema_version=schema_version, columns=columns, operation=operation,
+            # the data write above can take minutes: the conflict basis
+            # is the head the merge was computed against, not whatever
+            # head exists when the metadata call finally runs
+            basis_snapshot_id=prev["snapshot_id"],
         )
 
     def _write_bucket_data(
@@ -785,6 +789,7 @@ class LakeTable:
         columns: list[str] | None = None,
         operation: str = "overwrite",
         retry_conflicts: int = 0,
+        basis_snapshot_id: int | None = None,
     ) -> dict:
         """Metadata-only half of :meth:`commit_buckets`: commit
         ALREADY-WRITTEN data files (``{bucket: [paths]}``; an empty list
@@ -802,14 +807,25 @@ class LakeTable:
         not rescale the table (our ``_bucket`` ids would be stale).
         A genuine overlap raises immediately: a CoW rewrite computed
         against a stale bucket state would silently drop the racer's
-        rows. 0 (default) = raise on any race, single-writer behavior.
+        rows. With 0 retries (default) any mid-call race raises; a
+        pre-call racer declared via ``basis_snapshot_id`` still rebases
+        when provably disjoint (the validation, not the retry count, is
+        the safety).
+
+        ``basis_snapshot_id``: the head the caller COMPUTED its new
+        bucket contents against. Pass it whenever compute and commit
+        are separated by real work (``commit_buckets`` threads its own
+        read basis through) — a racer landing in that window is then
+        caught by the disjointness check even on the FIRST attempt;
+        without it the basis defaults to the head at call time and a
+        pre-call racer is invisible.
 
         Soundness: each attempt PINS the head it builds on (sid read →
         raw header → build), and the create-exclusive write of sid+1
         loses to any racer that landed after the pin — so every rebase
         is validated against the exact basis it replaced, no
         read-validate-build window."""
-        prev_raw = self._raw_snapshot()  # the caller's compute basis
+        prev_raw = self._raw_snapshot(basis_snapshot_id)  # compute basis
         for attempt in range(int(retry_conflicts) + 1):
             sid = self.current_snapshot_id()
             head_raw = self._raw_snapshot(sid)
@@ -937,8 +953,20 @@ class LakeTable:
         prev = self.current()
         sid = prev["snapshot_id"] + 1
         out_dir = os.path.join(self.data_dir, f"delta-{sid:08d}")
-        df.write.mode("error").partitionBy("_bucket").parquet(out_dir)
+        new_files = self._write_delta_data(df, out_dir, touched_buckets)
+        return self.commit_delta_files(
+            new_files, new_watermarks, stats=stats,
+            schema_version=schema_version, columns=columns,
+            basis_snapshot_id=prev["snapshot_id"],
+        )
 
+    def _write_delta_data(
+        self, df: DataFrame, out_dir: str, touched_buckets: list[int]
+    ) -> dict[str, list[str]]:
+        """Write ``df`` as delta files under ``out_dir`` and return the
+        per-bucket file lists (shared by commit_deltas/stage_deltas so
+        staged and committed delta layouts can never diverge)."""
+        df.write.mode("error").partitionBy("_bucket").parquet(out_dir)
         new_files: dict[str, list[str]] = {}
         for b in touched_buckets:
             bdir = os.path.join(out_dir, f"_bucket={b}")
@@ -947,10 +975,7 @@ class LakeTable:
                 for f in self.io.listdir(bdir)
                 if f.endswith(".parquet")
             )
-        return self.commit_delta_files(
-            new_files, new_watermarks, stats=stats,
-            schema_version=schema_version, columns=columns,
-        )
+        return new_files
 
     def commit_delta_files(
         self,
@@ -960,6 +985,7 @@ class LakeTable:
         schema_version: int | None = None,
         columns: list[str] | None = None,
         retry_conflicts: int = 0,
+        basis_snapshot_id: int | None = None,
     ) -> dict:
         """Metadata-only half of :meth:`commit_deltas`: append
         ALREADY-WRITTEN delta files (``{bucket: [paths]}``) to the
@@ -973,8 +999,11 @@ class LakeTable:
         appends merge correctly; the rebase re-appends our files to the
         new head's lists. The only fatal race is a concurrent rescale
         (our ``_bucket`` ids go stale), which raises. Same pinned-head
-        attempt structure as :meth:`commit_bucket_files`."""
-        prev_raw = self._raw_snapshot()
+        attempt structure and ``basis_snapshot_id`` contract as
+        :meth:`commit_bucket_files` — ``commit_deltas`` threads its
+        write-time basis through so a rescale landing during the data
+        write is caught too."""
+        prev_raw = self._raw_snapshot(basis_snapshot_id)
         for attempt in range(int(retry_conflicts) + 1):
             sid = self.current_snapshot_id()
             head_raw = self._raw_snapshot(sid)
@@ -1110,7 +1139,13 @@ class LakeTable:
             sizes = [self.io.size(f) for f in fl]
             if sum(1 for s in sizes if s < target_file_bytes) < 2:
                 continue  # nothing worth packing together
-            slots[int(b)] = max(1, -(-sum(sizes) // int(target_file_bytes)))
+            n_slots = max(1, -(-sum(sizes) // int(target_file_bytes)))
+            # convergence guard: a rewrite must REDUCE the file count,
+            # else buckets sitting just under target requalify and the
+            # same bytes rewrite on every maintenance run forever
+            if n_slots >= len(fl):
+                continue
+            slots[int(b)] = n_slots
         if not slots:
             return None
         wanted = sorted(slots)
@@ -1118,15 +1153,23 @@ class LakeTable:
         payload = self.payload_cols(snap)
         slot_map = F.create_map(*[F.lit(x) for kv in slots.items() for x in kv])
         total_slots = sum(slots.values())
+        sort_cols = snap.get("sort_cols")
+        if sort_cols:
+            # preserve range clustering: slot by position in the bucket's
+            # sort order, so packed files keep tight min/max rectangles
+            # and data skipping stays selective after the rewrite
+            wsort = Window.partitionBy("_bucket").orderBy(*sort_cols)
+            slot = F.floor(
+                F.percent_rank().over(wsort) * (slot_map[F.col("_bucket")] - F.lit(0.5))
+            ).cast("int")
+        else:
+            slot = F.pmod(F.xxhash64("path"), slot_map[F.col("_bucket")]).cast("int")
         df = (
             df.select(
                 "repo", "path", "commit", "event_seq", *payload, "content_sha",
                 F.col("_bucket").cast("int").alias("_bucket"),
             )
-            .withColumn(
-                "_slot",
-                F.pmod(F.xxhash64("path"), slot_map[F.col("_bucket")]).cast("int"),
-            )
+            .withColumn("_slot", slot)
             .repartition(max(total_slots, 1), "_bucket", "_slot")
             .drop("_slot")
         )
@@ -1398,16 +1441,30 @@ class LakeTable:
         self._check_wap_id(wap_id)
         if self.io.exists(self._wap_path(wap_id)):
             raise ValueError(f"staged commit {wap_id!r} already exists")
-        out_dir = os.path.join(self.data_dir, f"wap-{wap_id}")
+        prev = self.current()
+        out_dir = self._fresh_stage_dir(f"wap-{wap_id}")
         new_files = self._write_bucket_data(
-            df, out_dir, touched_buckets, self.current().get("sort_cols")
+            df, out_dir, touched_buckets, prev.get("sort_cols")
         )
         snapshot = self._next_bucket_snapshot(
             new_files, new_watermarks, stats=stats,
             schema_version=schema_version, columns=columns, operation=operation,
+            prev=prev,
         )
         self._write_wap_header(snapshot, wap_id)
         return snapshot
+
+    def _fresh_stage_dir(self, base: str) -> str:
+        """An unused data dir for a staged write. Re-staging a
+        previously abandoned wap id must not collide with the abandoned
+        attempt's data files (they await vacuum, min-age guarded) — the
+        manifests record full paths, so the dir name is free to vary."""
+        cand = os.path.join(self.data_dir, base)
+        k = 1
+        while self.io.exists(cand):
+            k += 1
+            cand = os.path.join(self.data_dir, f"{base}-r{k}")
+        return cand
 
     def stage_deltas(
         self,
@@ -1424,16 +1481,8 @@ class LakeTable:
         self._check_wap_id(wap_id)
         if self.io.exists(self._wap_path(wap_id)):
             raise ValueError(f"staged commit {wap_id!r} already exists")
-        out_dir = os.path.join(self.data_dir, f"wap-delta-{wap_id}")
-        df.write.mode("error").partitionBy("_bucket").parquet(out_dir)
-        new_files: dict[str, list[str]] = {}
-        for b in touched_buckets:
-            bdir = os.path.join(out_dir, f"_bucket={b}")
-            new_files[str(b)] = sorted(
-                os.path.join(bdir, f)
-                for f in self.io.listdir(bdir)
-                if f.endswith(".parquet")
-            )
+        out_dir = self._fresh_stage_dir(f"wap-delta-{wap_id}")
+        new_files = self._write_delta_data(df, out_dir, touched_buckets)
         snapshot = self._next_delta_snapshot(
             new_files, new_watermarks, stats=stats,
             schema_version=schema_version, columns=columns,

@@ -335,3 +335,33 @@ def retention_cohorts(
         .groupBy(F.col("cohort"), offset.alias("period_offset"))
         .agg(F.countDistinct(user_col).alias("active_users"))
     )
+
+
+def transition_counts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-user event-sequence transition matrix: for each ordered pair
+    of consecutive events (by ``order_cols``, default ``[ts,
+    event_id]`` — the tiebreaker makes simultaneous events
+    deterministic), count (from_type -> to_type) transitions across all
+    users, with the per-from-state total alongside so P(to|from) is a
+    single division away.
+
+    One exchange on the user key (the lead window), then a
+    constant-width groupBy on the (from, to) pair with map-side
+    partials — the session-path/Markov-chain building block."""
+    order_cols = order_cols or ["ts", "event_id"]
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    pairs = (
+        df.select(user_col, type_col, *order_cols)
+        .withColumn("_to", F.lead(type_col).over(w))
+        .filter(F.col("_to").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col(type_col).alias("from_type"), F.col("_to").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    wf = Window.partitionBy("from_type")
+    return counts.withColumn("from_total", F.sum("n").over(wf))

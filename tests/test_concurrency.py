@@ -118,3 +118,39 @@ class TestDeltaRetry:
                 {"0": ["data/delta-9/b0-mine.parquet"]}, {0: "c02:0000000002"},
                 retry_conflicts=3,
             )
+
+
+class TestComputeBasis:
+    """A racer landing between the caller's COMPUTE and the metadata
+    call is invisible to head-at-call-time checks; basis_snapshot_id
+    declares the true basis so the disjointness validation still runs."""
+
+    def test_pre_call_overlapping_racer_caught_via_basis(self, spark, tmp_path):
+        a = _mk(spark, tmp_path, "lake")
+        basis = a.current_snapshot_id()
+        b = LakeTable.load(spark, a.root)
+        # racer commits to bucket 0 BEFORE a's metadata call
+        b.commit_bucket_files(
+            {"0": ["data/snap-9/b0-racer.parquet"]}, {0: "c05:0000000001"}
+        )
+        with pytest.raises(ValueError, match="concurrent writer modified"):
+            a.commit_bucket_files(
+                {"0": ["data/snap-9/b0-mine.parquet"]}, {0: "c05:0000000002"},
+                basis_snapshot_id=basis,
+            )
+
+    def test_pre_call_disjoint_racer_rebases_via_basis(self, spark, tmp_path):
+        a = _mk(spark, tmp_path, "lake")
+        basis = a.current_snapshot_id()
+        b = LakeTable.load(spark, a.root)
+        b.commit_bucket_files(
+            {"1": ["data/snap-9/b1-racer.parquet"]}, {1: "c05:0000000001"}
+        )
+        snap = a.commit_bucket_files(
+            {"0": ["data/snap-9/b0-mine.parquet"]}, {0: "c05:0000000002"},
+            basis_snapshot_id=basis,
+        )
+        cur = a.current()
+        assert snap["snapshot_id"] == 3
+        assert cur["buckets"]["0"] == ["data/snap-9/b0-mine.parquet"]
+        assert cur["buckets"]["1"] == ["data/snap-9/b1-racer.parquet"]

@@ -110,3 +110,27 @@ def test_publish_path_equals_direct_commit(eng, spark, tmp_path):
     e2.apply_batch(_ev(spark, BATCH1))
     e2.apply_batch(_ev(spark, BATCH2))
     assert audited == _state(t2)
+
+
+def test_publish_failure_mid_audit_abandons_stage(eng, spark):
+    """A concurrent commit during the audit makes the publish
+    impossible; the stage must be abandoned, never orphaned."""
+    t = eng.table
+
+    def audit_and_race(table, wap_id):
+        # concurrent writer advances the head while the audit runs
+        table.commit_delta_files(
+            {"0": ["data/delta-race/f.parquet"]}, {0: "zzzzzzzzzzzz:0000000000"}
+        )
+        return True  # approve -> publish will fail on the moved head
+
+    with pytest.raises(ValueError, match="re-stage"):
+        eng.apply_batch(_ev(spark, BATCH2), audit_fn=audit_and_race)
+    assert t.wap_ids() == []
+
+
+def test_rejected_metrics_schema_uniform(eng, spark):
+    m = eng.apply_batch(_ev(spark, BATCH2), audit_fn=lambda tb, w: False)
+    ok = eng.apply_batch(_ev(spark, BATCH2), audit_fn=lambda tb, w: True)
+    assert set(m) == set(ok), (set(m), set(ok))
+    assert m["touched_buckets"] == 0

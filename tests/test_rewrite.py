@@ -117,3 +117,44 @@ def test_rewrite_orphans_swept_and_stats_reharvested(spark, tmp_path):
     # skipping stats exist for the NEW files (re-harvested at commit)
     rep = t.prune_report(("event_seq", 0, 10))
     assert rep["files_total"] > 0
+
+
+def test_rewrite_converges_no_repeated_churn(spark, tmp_path):
+    """A bucket whose planned slot count would not REDUCE its file
+    count must not qualify — otherwise just-under-target buckets
+    rewrite the same bytes on every maintenance run forever."""
+    t = _mk(spark, tmp_path, n=120)
+    files = [f for fl in t.current()["buckets"].values() for f in fl]
+    # target below every file size -> slots >= len(files) per bucket
+    tiny_target = min(t.io.size(f) for f in files) // 2 or 1
+    assert t.rewrite_data_files(target_file_bytes=tiny_target) is None
+
+
+def test_rewrite_preserves_sort_clustering(spark, tmp_path):
+    """On a sort_cols table the pack slots follow the sort order, so
+    packed files keep tight min/max ranges and skipping stays
+    selective after the rewrite."""
+    import pyspark.sql.functions as F
+    from filters_spark.lake.table import bucket_expr
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "lakez"), ["repo", "path"], num_buckets=1,
+        path_salt=1, stats_cols=["event_seq"], sort_cols=["event_seq"],
+    )
+    rows = [("r0", f"p{i}", "c00", i, "py", f"b{i}") for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, event_seq long, "
+        "lang string, content string",
+    ).withColumn("content_sha", F.sha2("content", 256))
+    bkt = bucket_expr(F.col("repo"), F.col("path"), 1, 1).cast("int").alias("_bucket")
+    df = df.select("*", bkt).repartition(8)  # 8 fragmented files
+    t.commit_buckets(df, [0], {0: "c00:0000000001"})
+    before = _state(t.read())
+
+    sizes = [t.io.size(f) for f in t.current()["buckets"]["0"]]
+    # pack 8 files -> ~4: every output file should span ~1/4 of the range
+    snap = t.rewrite_data_files(target_file_bytes=max(1, sum(sizes) // 4))
+    assert snap is not None
+    assert _state(t.read()) == before
+    rep = t.prune_report(("event_seq", 0, 40))
+    assert rep["files_skipped"] > 0, rep  # clustering survived the rewrite

@@ -176,3 +176,15 @@ class TestAbandonAndGC:
             _stage_full(t, spark, "dup")
         with pytest.raises(ValueError, match="no such staged"):
             t.publish_wap("ghost")
+
+
+def test_restage_same_id_after_abandon(spark, tmp_path):
+    """An abandoned stage's data files await vacuum; re-staging the
+    SAME wap id must not collide with them."""
+    t = _mk(spark, tmp_path)
+    _stage_full(t, spark, "retry-me")
+    t.abandon_wap("retry-me")
+    _stage_full(t, spark, "retry-me")  # must not raise path-exists
+    assert _state(t.read(wap_id="retry-me")) == _state(_df(spark, STAGED))
+    t.publish_wap("retry-me")
+    assert _state(t.read()) == _state(_df(spark, STAGED))
