@@ -1175,6 +1175,47 @@ class LakeTable:
         )
         return self.commit_buckets(df, wanted, {}, operation="rewrite")
 
+    def maintain(
+        self,
+        max_delta_files: int = 8,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        keep_last: int = 3,
+        min_age_seconds: float = 3600.0,
+        dry_run: bool = False,
+    ) -> dict:
+        """One-call background maintenance, in dependency order:
+
+        1. :meth:`compact` buckets whose delta backlog exceeds
+           ``max_delta_files`` (MoR read cost back to a bare scan);
+        2. :meth:`rewrite_data_files` small-file bin-packing (compaction
+           and CoW ingest both leave fragment tails);
+        3. :meth:`expire_snapshots` beyond ``keep_last`` (tagged
+           snapshots and pending staged commits always survive);
+        4. :meth:`vacuum` the orphans (``min_age_seconds`` guarded).
+
+        Idempotent and safe to run on a schedule next to a single
+        writer: every step is either metadata-only or commits through
+        the same optimistic protocol as ingest. ``dry_run`` reports
+        what WOULD happen (vacuum list, candidate buckets) without
+        writing. Returns a report dict."""
+        report: dict = {}
+        ripe = self.buckets_needing_compaction(max_delta_files)
+        report["compacted_buckets"] = ripe
+        if ripe and not dry_run:
+            self.compact(ripe)
+        if dry_run:
+            report["rewrote"] = None
+        else:
+            snap = self.rewrite_data_files(target_file_bytes=target_file_bytes)
+            report["rewrote"] = None if snap is None else snap["snapshot_id"]
+        report["expired_snapshots"] = (
+            [] if dry_run else self.expire_snapshots(keep_last=keep_last)
+        )
+        report["vacuumed"] = self.vacuum(
+            dry_run=dry_run, min_age_seconds=min_age_seconds
+        )
+        return report
+
     def changes(
         self, since_snapshot_id: int, to_snapshot_id: int | None = None
     ) -> DataFrame | None:

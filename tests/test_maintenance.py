@@ -471,3 +471,41 @@ class TestTags:
             t.create_tag("bad/name")
         with pytest.raises(ValueError):
             t.create_tag("ghost", 99)  # nonexistent snapshot
+
+
+class TestMaintainOrchestrator:
+    def test_maintain_runs_full_cycle(self, spark, tmp_path_factory):
+        """maintain(): compact ripe MoR buckets, pack small files,
+        expire old snapshots, vacuum orphans — one idempotent call."""
+        import pyspark.sql.functions as F
+        from filters_spark.lake.table import LakeTable, bucket_expr
+
+        root = str(tmp_path_factory.mktemp("morch") / "lake")
+        t = LakeTable.create(spark, root, ["repo", "path"], num_buckets=2)
+        bkt = bucket_expr(F.col("repo"), F.col("path"), 2, 16).cast("int").alias("_bucket")
+        for i in range(3):  # build a delta backlog + snapshot history
+            d = spark.createDataFrame(
+                [(f"r{j%4}", f"p{j}", f"c{i:02d}", i * 100 + j, "py", f"v{i}-{j}", "U")
+                 for j in range(40)],
+                "repo string, path string, commit string, event_seq long, "
+                "lang string, content string, op string",
+            ).select("*", bkt).repartition(4)
+            touched = sorted(r[0] for r in d.select("_bucket").distinct().collect())
+            t.commit_deltas(d, touched, {b: f"c{i:02d}:0000000001" for b in touched})
+        before = sorted(tuple(r) for r in t.read().collect())
+
+        dry = t.maintain(max_delta_files=1, keep_last=1, min_age_seconds=0,
+                         dry_run=True)
+        assert dry["compacted_buckets"] and dry["expired_snapshots"] == []
+        assert t.current().get("deltas")  # dry run changed nothing
+
+        rep = t.maintain(max_delta_files=1, keep_last=1, min_age_seconds=0)
+        assert rep["compacted_buckets"]
+        assert rep["expired_snapshots"]
+        assert rep["vacuumed"]
+        assert not t.current()["deltas"]  # backlog folded
+        assert sorted(tuple(r) for r in t.read().collect()) == before
+
+        # idempotent steady state: second run finds nothing to do
+        rep2 = t.maintain(max_delta_files=1, keep_last=1, min_age_seconds=0)
+        assert rep2["compacted_buckets"] == [] and rep2["rewrote"] is None
