@@ -121,3 +121,59 @@ def test_mor_read_single_shuffle(spark, tmp_path):
     df = t.read()
     assert exchange_count(df) == 1, formatted_plan(df)
     assert not has_python_eval(df)
+
+
+def test_funnel_single_user_exchange(spark):
+    """funnel(): N stacked conditional-min windows must share ONE
+    exchange on the user key — a per-stage shuffle would make funnel
+    depth multiply network cost at corpus scale."""
+    from filters_spark.operators.events import funnel
+
+    ev = spark.createDataFrame(
+        [(i % 7, ["view", "click", "purchase"][i % 3], float(i)) for i in range(60)],
+        "user_id long, event_type string, ts double",
+    )
+    out = funnel(ev, ["view", "click", "purchase"])
+    out.collect()
+    # one shuffle for the windows + one for the distinct on user rows
+    assert exchange_count(out) <= 2, formatted_plan(out)
+
+
+def test_transitions_one_data_scale_exchange(spark):
+    """transition_counts(): the lead window is the only data-scale
+    shuffle; the pair groupBy and from_total window run constant-width
+    (|types|^2 rows)."""
+    from filters_spark.operators.events import transition_counts
+
+    ev = spark.createDataFrame(
+        [(i % 7, ["a", "b", "c"][i % 3], float(i), i) for i in range(60)],
+        "user_id long, event_type string, ts double, event_id long",
+    )
+    out = transition_counts(ev)
+    out.collect()
+    # window(user) + groupBy(pair) + window(from) = 3 exchanges, but
+    # only the FIRST touches data-scale rows
+    assert exchange_count(out) <= 3, formatted_plan(out)
+
+
+def test_rewrite_read_stays_bare_scan(spark, tmp_path):
+    """After rewrite_data_files the bucket read must remain a bare
+    scan — the physical reorg must not introduce merge work."""
+    import pyspark.sql.functions as F
+    from filters_spark.lake.table import LakeTable, bucket_expr
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "lakerw"), ["repo", "path"], num_buckets=2
+    )
+    bkt = bucket_expr(F.col("repo"), F.col("path"), 2, 16).cast("int").alias("_bucket")
+    df = spark.createDataFrame(
+        [(f"r{i%3}", f"p{i}", "c00", i, "py", f"b{i}") for i in range(80)],
+        "repo string, path string, commit string, event_seq long, "
+        "lang string, content string",
+    ).withColumn("content_sha", F.sha2("content", 256)).select("*", bkt).repartition(6)
+    touched = sorted(r[0] for r in df.select("_bucket").distinct().collect())
+    t.commit_buckets(df, touched, {b: "c00:0000000001" for b in touched})
+    assert t.rewrite_data_files(target_file_bytes=1 << 30) is not None
+    rd = t.read()
+    rd.collect()
+    assert exchange_count(rd) == 0, formatted_plan(rd)
