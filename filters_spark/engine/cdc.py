@@ -557,6 +557,23 @@ class CDCEngine:
             "snapshot_id": snap["snapshot_id"], "seconds": time.time() - t0,
         }
 
+    @staticmethod
+    def _batch_stats(rows: list) -> dict:
+        """Fold one staged batch's per-(bucket, dead, survives) stat
+        rows into the counters the grouped finalize loops consume —
+        shared by the CoW and MoR group paths so the `_survives` /
+        dead-letter accounting can never diverge between modes."""
+        bucket_stats = [r for r in rows if not r["_dead"] and r["_survives"]]
+        return {
+            "events_in": int(sum(r["n"] for r in rows)),
+            "n_dead": int(sum(r["n"] for r in rows if r["_dead"] and r["_survives"])),
+            "skipped": int(sum(r["n"] for r in rows if not r["_survives"])),
+            "bucket_stats": bucket_stats,
+            "touched": sorted({int(r["_bucket"]) for r in bucket_stats}),
+            "new_wms": {int(r["_bucket"]): r["wm"] for r in bucket_stats},
+            "applied": int(sum(r["n"] for r in bucket_stats)),
+        }
+
     def _apply_staged_group_cow(
         self,
         staged_all: DataFrame,
@@ -590,19 +607,7 @@ class CDCEngine:
         metrics are identical to the sequential path (pinned by the
         replay-equality tests)."""
         t_group0 = time.time()
-        per: dict[int, dict] = {}
-        for i in batch_ids:
-            rows = stats_by_batch.get(i, [])
-            bucket_stats = [r for r in rows if not r["_dead"] and r["_survives"]]
-            per[i] = {
-                "events_in": int(sum(r["n"] for r in rows)),
-                "n_dead": int(sum(r["n"] for r in rows if r["_dead"] and r["_survives"])),
-                "skipped": int(sum(r["n"] for r in rows if not r["_survives"])),
-                "bucket_stats": bucket_stats,
-                "touched": sorted({int(r["_bucket"]) for r in bucket_stats}),
-                "new_wms": {int(r["_bucket"]): r["wm"] for r in bucket_stats},
-                "applied": int(sum(r["n"] for r in bucket_stats)),
-            }
+        per = {i: self._batch_stats(stats_by_batch.get(i, [])) for i in batch_ids}
         committing = [i for i in batch_ids if per[i]["touched"]]
         sid0 = self.table.current()["snapshot_id"]
         sid_of = {i: sid0 + 1 + k for k, i in enumerate(committing)}
@@ -649,6 +654,22 @@ class CDCEngine:
             (time.time() - t_group0) / len(committing) if committing else 0.0
         )
 
+        # rolling compute basis: the group's post-states were computed
+        # against the head at sid0 plus our OWN earlier batches. Overlay
+        # each finalized commit's bucket refs onto raw(sid0) and pass
+        # the synthetic header as basis_raw, so a FOREIGN commit landing
+        # anywhere in the (minutes-long) merge-and-finalize window trips
+        # commit_bucket_files' disjointness check instead of being
+        # silently overwritten — while our own strictly-ordered commits
+        # validate clean.
+        basis_src = self.table._raw_snapshot(sid0)
+        basis = {
+            **basis_src,
+            "buckets": dict(basis_src["buckets"]),
+            "deltas": dict(basis_src.get("deltas", {})),
+        }
+        group_tag = uuid.uuid4().hex[:8]
+
         metrics: list[dict] = []
         try:
             for i in batch_ids:
@@ -668,7 +689,16 @@ class CDCEngine:
                     continue
                 sid = sid_of[i]
                 src_dir = os.path.join(group_out, f"_snap={sid}")
-                dst_dir = os.path.join(self.table.data_dir, f"snap-{sid:08d}")
+                # group-unique dst name: a crashed prior run (or a
+                # disjoint foreign commit that claimed our precomputed
+                # sid) can leave data/snap-<sid> in place, and
+                # shutil/HDFS move would NEST src inside it — the
+                # subsequent listing would then commit the stale
+                # attempt's files. Dir names are labels; reads resolve
+                # files only through manifests.
+                dst_dir = os.path.join(
+                    self.table.data_dir, f"snap-{sid:08d}-{group_tag}"
+                )
                 if self.io.isdir(src_dir):
                     self.io.move(src_dir, dst_dir)
                 new_files: dict[str, list[str]] = {}
@@ -687,8 +717,22 @@ class CDCEngine:
                     },
                     schema_version=self.registry.latest,
                     columns=self.registry.canonical_columns,
+                    basis_raw=basis,
                 )
-                assert new_snap["snapshot_id"] == sid
+                sid = new_snap["snapshot_id"]  # actual (foreign disjoint
+                # racers may have consumed the precomputed id)
+                new_raw = self.table._raw_snapshot(sid)
+                basis["snapshot_id"] = sid
+                for b in p["touched"]:
+                    bs = str(b)
+                    if bs in new_raw["buckets"]:
+                        basis["buckets"][bs] = new_raw["buckets"][bs]
+                    else:
+                        basis["buckets"].pop(bs, None)
+                    if bs in new_raw.get("deltas", {}):
+                        basis["deltas"][bs] = new_raw["deltas"][bs]
+                    else:
+                        basis["deltas"].pop(bs, None)
                 self._adopt_dead_letters(dead_src, adopt_name, p["n_dead"])
                 lineage_rows.extend(
                     (
@@ -731,19 +775,7 @@ class CDCEngine:
         threshold compaction between batches inserts its own snapshots.
         Read-state equality with the sequential path is pinned by
         tests."""
-        per: dict[int, dict] = {}
-        for i in batch_ids:
-            rows = stats_by_batch.get(i, [])
-            bucket_stats = [r for r in rows if not r["_dead"] and r["_survives"]]
-            per[i] = {
-                "events_in": int(sum(r["n"] for r in rows)),
-                "n_dead": int(sum(r["n"] for r in rows if r["_dead"] and r["_survives"])),
-                "skipped": int(sum(r["n"] for r in rows if not r["_survives"])),
-                "bucket_stats": bucket_stats,
-                "touched": sorted({int(r["_bucket"]) for r in bucket_stats}),
-                "new_wms": {int(r["_bucket"]): r["wm"] for r in bucket_stats},
-                "applied": int(sum(r["n"] for r in bucket_stats)),
-            }
+        per = {i: self._batch_stats(stats_by_batch.get(i, [])) for i in batch_ids}
         committing = [i for i in batch_ids if per[i]["touched"]]
 
         t_group0 = time.time()
@@ -799,7 +831,13 @@ class CDCEngine:
                     continue
                 sid = self.table.current()["snapshot_id"] + 1
                 src_dir = os.path.join(group_out, f"_batch={i}")
-                dst_dir = os.path.join(self.table.data_dir, f"delta-{sid:08d}")
+                # unique suffix: see the CoW finalize — a pre-existing
+                # dst (crashed run, racer claiming the sid) would make
+                # move() NEST src inside it and commit stale files
+                dst_dir = os.path.join(
+                    self.table.data_dir,
+                    f"delta-{sid:08d}-{uuid.uuid4().hex[:8]}",
+                )
                 if self.io.isdir(src_dir):
                     self.io.move(src_dir, dst_dir)
                 new_files: dict[str, list[str]] = {}
@@ -878,6 +916,10 @@ class CDCEngine:
             r = events.select(
                 F.min("commit").alias("lo"), F.max("commit").alias("hi")
             ).first()
+            if r.lo is None:  # empty stream: one empty batch, not a
+                # TypeError — replay then reports zero-metrics like
+                # apply_batch does
+                return (0, 0)
             bounds = (int(r.lo, 16), int(r.hi, 16))
         return bounds
 
@@ -1054,7 +1096,15 @@ class CDCEngine:
             self.dead_letter_dir, ".parquet"
         ):  # absent OR fully drained by retry_dead_letters
             return None
-        df = self.spark.read.option("recursiveFileLookup", "true").parquet(self.dead_letter_dir)
+        df = (
+            self.spark.read.option("recursiveFileLookup", "true")
+            # batches dead-lettered before a schema-evolution column ADD
+            # lack the new raw columns; without mergeSchema Spark samples
+            # ONE footer for the unified schema and newer batches' extra
+            # columns can silently vanish from the read
+            .option("mergeSchema", "true")
+            .parquet(self.dead_letter_dir)
+        )
         raw_cols = [c for c in df.columns if c.startswith("_raw_")]
         for rc in raw_cols:
             orig = rc[len("_raw_"):]

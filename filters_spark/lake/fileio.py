@@ -79,6 +79,12 @@ class FileIO:
         """True if any file under ``path`` (recursive) ends in suffix."""
         raise NotImplementedError
 
+    def tree_newest_mtime(self, path: str) -> float | None:
+        """Newest file mtime under ``path`` (recursive); None when the
+        tree holds no files. Used by vacuum's min-age guards: a tree
+        containing any young file may be an in-flight write."""
+        raise NotImplementedError
+
 
 class LocalFileIO(FileIO):
     def exists(self, path: str) -> bool:
@@ -101,10 +107,20 @@ class LocalFileIO(FileIO):
             f.flush()
             os.fsync(f.fileno())
         if fail_if_exists:
-            if os.path.exists(path):
+            # create-EXCLUSIVE, not check-then-rename: os.rename atomically
+            # REPLACES an existing destination on POSIX, so two racing
+            # writers could both pass an exists() check and the loser's
+            # header would silently overwrite the winner's. link(2) fails
+            # with EEXIST atomically (same kernel op Iceberg's
+            # HadoopTableOperations relies on via rename-without-replace).
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                raise FileExistsError(
+                    f"{path} already exists (concurrent writer)"
+                )
+            finally:
                 os.unlink(tmp)
-                raise FileExistsError(f"{path} already exists (concurrent writer)")
-            os.rename(tmp, path)
         else:
             os.replace(tmp, path)
 
@@ -137,6 +153,18 @@ class LocalFileIO(FileIO):
             if any(f.endswith(suffix) for f in files):
                 return True
         return False
+
+    def tree_newest_mtime(self, path: str) -> float | None:
+        newest = None
+        for root, _, files in os.walk(path):
+            for f in files:
+                try:
+                    m = os.path.getmtime(os.path.join(root, f))
+                except FileNotFoundError:
+                    continue  # racing writer renamed its temp file
+                if newest is None or m > newest:
+                    newest = m
+        return newest
 
 
 class HadoopFileIO(FileIO):
@@ -242,6 +270,18 @@ class HadoopFileIO(FileIO):
             if it.next().getPath().getName().endswith(suffix):
                 return True
         return False
+
+    def tree_newest_mtime(self, path: str) -> float | None:
+        p = self._path(path)
+        if not self._fs.exists(p):
+            return None
+        newest = None
+        it = self._fs.listFiles(p, True)
+        while it.hasNext():
+            m = it.next().getModificationTime() / 1000.0
+            if newest is None or m > newest:
+                newest = m
+        return newest
 
 
 def _scheme(path: str) -> str | None:

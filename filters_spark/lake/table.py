@@ -667,6 +667,15 @@ class LakeTable:
             "deltas": target.get("deltas", {}),
             "watermarks": target["watermarks"],
             "stats": target["stats"],
+            # bucket layout + stats config travel WITH the manifests:
+            # rolling back across a rescale() must restore the layout
+            # the target's bucket->file map was built for, or
+            # lookup()/ingest would compute bucket ids against the
+            # wrong modulus and read/write the wrong buckets
+            "num_buckets": target["num_buckets"],
+            "path_salt": target["path_salt"],
+            "stats_cols": target.get("stats_cols"),
+            "sort_cols": target.get("sort_cols"),
         }
         self._write_snapshot(snapshot)
         return snapshot
@@ -790,6 +799,7 @@ class LakeTable:
         operation: str = "overwrite",
         retry_conflicts: int = 0,
         basis_snapshot_id: int | None = None,
+        basis_raw: dict | None = None,
     ) -> dict:
         """Metadata-only half of :meth:`commit_buckets`: commit
         ALREADY-WRITTEN data files (``{bucket: [paths]}``; an empty list
@@ -820,12 +830,28 @@ class LakeTable:
         without it the basis defaults to the head at call time and a
         pre-call racer is invisible.
 
+        ``basis_raw``: a SYNTHETIC raw header to validate against
+        instead of a stored snapshot — for strictly-ordered commit
+        sequences (the engine's grouped replay) where the caller's
+        compute basis is "snapshot S plus my own already-finalized
+        commits": the caller overlays the bucket/delta refs it
+        committed onto S's raw header, so a FOREIGN commit to any of
+        its buckets still trips the disjointness check while its own
+        prior commits don't. Mutually exclusive with
+        ``basis_snapshot_id``.
+
         Soundness: each attempt PINS the head it builds on (sid read →
         raw header → build), and the create-exclusive write of sid+1
         loses to any racer that landed after the pin — so every rebase
         is validated against the exact basis it replaced, no
         read-validate-build window."""
-        prev_raw = self._raw_snapshot(basis_snapshot_id)  # compute basis
+        if basis_raw is not None and basis_snapshot_id is not None:
+            raise ValueError("pass basis_raw OR basis_snapshot_id, not both")
+        prev_raw = (
+            basis_raw
+            if basis_raw is not None
+            else self._raw_snapshot(basis_snapshot_id)  # compute basis
+        )
         for attempt in range(int(retry_conflicts) + 1):
             sid = self.current_snapshot_id()
             head_raw = self._raw_snapshot(sid)
@@ -1729,7 +1755,20 @@ class LakeTable:
         if not dry_run:
             for p in orphans:
                 self.io.remove(p)
-            for d in empty_dirs:  # nothing live or young left -> drop the dir
+            for d in empty_dirs:  # no live or young data file at the
+                # committed depth — but an IN-FLIGHT Spark write keeps
+                # its output under _temporary/ (deeper), where the
+                # parquet walk above never looks. Min-age-guard the
+                # directory itself AND every nested file before
+                # sweeping: a young tree may be a commit whose
+                # manifest hasn't landed yet, and rmtree'ing it would
+                # fail (or silently truncate) that write.
+                if min_age_seconds:
+                    if now - self.io.mtime(d) < min_age_seconds:
+                        continue
+                    newest = self.io.tree_newest_mtime(d)
+                    if newest is not None and now - newest < min_age_seconds:
+                        continue
                 self.io.rmtree(d)
         return orphans
 

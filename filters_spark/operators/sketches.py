@@ -78,8 +78,13 @@ def kmv_distinct(
     u = _u01(hash_fn(F.col(value_col).cast("string"))).alias("_u")
     # distinct (group, u): map-side partial aggregation; KMV is defined
     # on the *hash* multiset, so collapsing equal hashes is the sketch's
-    # own semantics, not a shortcut
-    dedup = df.select(*group_cols, u).distinct()
+    # own semantics, not a shortcut. NULLs are excluded FIRST —
+    # count(DISTINCT) semantics; xxhash64(NULL) would otherwise mint a
+    # phantom distinct value (and a NULL custom hash would occupy the
+    # bottom-k's first rank, NULLS FIRST in the asc window)
+    dedup = (
+        df.filter(F.col(value_col).isNotNull()).select(*group_cols, u).distinct()
+    )
     if precap_salts:
         salt = F.pmod(F.xxhash64(F.col("_u")), F.lit(precap_salts))
         dedup = dedup.withColumn("_salt", salt)
@@ -156,7 +161,10 @@ def hll_registers(
     w = F.shiftright(h, p).bitwiseAND(F.lit((1 << wbits) - 1))
     rho = F.least(F.lit(rho_cap), F.lit(wbits) - _bit_length(w, wbits) + F.lit(1))
     return (
-        df.select(*group_cols, bucket.alias("_bucket"), rho.alias("_rho"))
+        # NULLs excluded: count(DISTINCT) semantics — hashing NULL
+        # would register one phantom distinct per group
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, bucket.alias("_bucket"), rho.alias("_rho"))
         .groupBy(*group_cols, "_bucket")
         .agg(F.max("_rho").alias("reg"))
     )
@@ -274,6 +282,9 @@ def cms_build(
     w = (
         F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     ).alias("_w")
+    # NULL values are not counted (matches Spark's own
+    # count_min_sketch aggregate, which skips null inputs)
+    df = df.filter(F.col(value_col).isNotNull())
     probes = df.select(
         *group_cols, base.alias("_h"), w,
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("_row"),
@@ -471,7 +482,9 @@ def bloom_build(
     from filters_spark.operators.hashing import mixp31
 
     base = hash_fn(F.col(value_col).cast("string"))
-    probes = df.select(
+    # NULLs are not members: hashing NULL would set k phantom bits and
+    # make bloom_might_contain(NULL) a guaranteed false positive
+    probes = df.filter(F.col(value_col).isNotNull()).select(
         base.alias("_h"),
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_k"),
     )

@@ -348,11 +348,12 @@ def pii_redact(
     for name, pat, repl in PII_PATTERNS:
         counts.append(F.regexp_count(t, F.lit(pat)).alias(f"n_{name}"))
         red = F.regexp_replace(red, pat, repl)
+    # n_pii sums the already-computed per-category columns in a second
+    # projection — the full-text regex scans (the dominant per-row
+    # cost) run exactly once per pattern
+    out = df.select(F.col(id_col), red.alias("redacted"), *counts)
     total = None
-    for name, pat, repl in PII_PATTERNS:
-        c = F.regexp_count(t, F.lit(pat))
+    for name, _pat, _repl in PII_PATTERNS:
+        c = F.col(f"n_{name}")
         total = c if total is None else total + c
-    return df.select(
-        F.col(id_col), red.alias("redacted"), *counts,
-        total.alias("n_pii"),
-    )
+    return out.withColumn("n_pii", total)
