@@ -28,6 +28,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _tmpdir(prefix: str) -> str:
+    """mkdtemp + atexit rmtree. Lake-fixture queries return LAZY
+    DataFrames the driver collects after the query function exits, so
+    the backing table must outlive the call — but without cleanup every
+    driver pass leaks a dozen multi-MB lake copies into /tmp (bench.py
+    uses try/finally because IT owns the collect; here the process
+    boundary is the only safe reclaim point)."""
+    import atexit
+    import shutil
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 # ---------------------------------------------------------------------------
 # flagship: full CDC replay into a lake table
 # ---------------------------------------------------------------------------
@@ -42,7 +57,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from filters_spark.lake.table import LakeTable
     from filters_spark.sources.datagen import gen_events
 
-    root = tempfile.mkdtemp(prefix="filters_spark_entry_")
+    root = _tmpdir("filters_spark_entry_")
     table = LakeTable.create(
         spark, os.path.join(root, "lake"), key_cols=["repo", "path"], num_buckets=8
     )
@@ -297,7 +312,7 @@ def q_cdc_schema_evolution(spark, sf):
     o = _t(spark, sf, "orders")
     reg = SpecRegistry(["repo", "path", "lang", "content"])
     reg.register(VersionSpec(1, _EVO_SPECS_V1))
-    root = tempfile.mkdtemp(prefix="filters_spark_evoq_")
+    root = _tmpdir("filters_spark_evoq_")
     t = LakeTable.create(spark, os.path.join(root, "lake"), ["repo", "path"], num_buckets=8)
     eng = CDCEngine(spark, t, reg)
 
@@ -857,13 +872,10 @@ def _fingerprint_sql(window: int = 8) -> str:
     )
 
 
-@_q(
-    "text_profile",
-    r"""
+_TEXT_PROFILE_ORACLE_TMPL = r"""
 WITH t AS (
   SELECT doc_id, text,
-         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks,
-         list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS fptoks,
+         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks,__FPTOKS__
          list_transform(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0),
                         x -> regexp_replace(x, '[^\p{L}]', '', 'g')) AS ltoks
   FROM documents WHERE doc_id < 1000
@@ -885,8 +897,7 @@ WITH t AS (
          len(list_filter(ltoks, x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x))) AS h_en,
          len(list_filter(ltoks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','den'], x))) AS h_de,
          len(list_filter(ltoks, x -> list_contains(['el','la','de','que','y','en','un','es','se','no'], x))) AS h_es,
-         len(list_filter(ltoks, x -> list_contains(['le','la','de','et','est','un','une','les','des','que'], x))) AS h_fr,
-         __FP__ AS fingerprint
+         len(list_filter(ltoks, x -> list_contains(['le','la','de','et','est','un','une','les','des','que'], x))) AS h_fr__FPCOL__
   FROM t
 )
 SELECT doc_id, n_tokens, bpe_tokens_est,
@@ -900,10 +911,37 @@ SELECT doc_id, n_tokens, bpe_tokens_est,
        WHEN h_fr = greatest(h_en, h_de, h_es, h_fr) THEN 'fr'
        WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
        WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
-       ELSE 'de' END AS lang_guess,
-  fingerprint
+       ELSE 'de' END AS lang_guess__FPSEL__
 FROM f
-    """.replace("__FP__", _fingerprint_sql()),
+"""
+
+
+def _text_profile_oracle(with_fingerprint: bool) -> str:
+    """One oracle body serves text_profile (fingerprint column driven
+    by the injected sha64 gram hash) and text_profile_core (no
+    fingerprint): the ~40-line quality/lang-id formula exists ONCE, so
+    an edit to it can never desynchronize the two variants."""
+    fptoks = (
+        "\n         list_filter(string_split_regex(lower(text), '\\s+'),"
+        " x -> len(x) > 0) AS fptoks,"
+        if with_fingerprint else ""
+    )
+    fpcol = (
+        ",\n         " + _fingerprint_sql() + " AS fingerprint"
+        if with_fingerprint else ""
+    )
+    fpsel = ",\n  fingerprint" if with_fingerprint else ""
+    return (
+        _TEXT_PROFILE_ORACLE_TMPL
+        .replace("__FPTOKS__", fptoks)
+        .replace("__FPCOL__", fpcol)
+        .replace("__FPSEL__", fpsel)
+    )
+
+
+@_q(
+    "text_profile",
+    _text_profile_oracle(with_fingerprint=True),
 )
 def q_text_profile(spark, sf):
     """Full curation profile INCLUDING the winnowing fingerprint,
@@ -922,48 +960,7 @@ def q_text_profile(spark, sf):
 
 @_q(
     "text_profile_core",
-    r"""
-WITH t AS (
-  SELECT doc_id, text,
-         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks,
-         list_transform(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0),
-                        x -> regexp_replace(x, '[^\p{L}]', '', 'g')) AS ltoks
-  FROM documents WHERE doc_id < 1000
-), f AS (
-  SELECT doc_id,
-         CAST(len(toks) AS INT) AS n_tokens,
-         length(text) AS n_chars,
-         length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS punct,
-         length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS alpha,
-         len(list_distinct(toks)) AS n_distinct,
-         len(list_filter(list_transform(toks, x -> lower(x)),
-             x -> list_contains(['the','a','and','of','to','in','is','that','it','for',
-                                 'der','die','das','und','ist','nicht','mit','ein','zu','den',
-                                 'el','la','de','que','y','en','un','es','se','no',
-                                 'le','et','est','une','les','des'], x))) AS n_stop,
-         CAST(list_sum(list_transform(toks, w ->
-             greatest(1, CAST(floor(length(w) / 4.0) AS INT)
-                        + length(regexp_replace(w, '[\w]', '', 'g'))))) AS INT) AS bpe_tokens_est,
-         len(list_filter(ltoks, x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x))) AS h_en,
-         len(list_filter(ltoks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','den'], x))) AS h_de,
-         len(list_filter(ltoks, x -> list_contains(['el','la','de','que','y','en','un','es','se','no'], x))) AS h_es,
-         len(list_filter(ltoks, x -> list_contains(['le','la','de','et','est','un','une','les','des','que'], x))) AS h_fr
-  FROM t
-)
-SELECT doc_id, n_tokens, bpe_tokens_est,
-  round(CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END, 4) AS stopword_ratio,
-  round(greatest(0.0,
-      0.4 * least(n_tokens / 50.0, 1.0)
-    + 0.3 * (CASE WHEN n_chars > 0 THEN alpha * 1.0 / n_chars ELSE 0.0 END)
-    + 0.3 * (CASE WHEN n_tokens > 0 THEN n_distinct * 1.0 / n_tokens ELSE 0.0 END)
-    - CASE WHEN n_chars > 0 AND punct * 1.0 / n_chars > 0.3 THEN 0.5 ELSE 0.0 END), 4) AS quality,
-  CASE WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
-       WHEN h_fr = greatest(h_en, h_de, h_es, h_fr) THEN 'fr'
-       WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
-       WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
-       ELSE 'de' END AS lang_guess
-FROM f
-    """,
+    _text_profile_oracle(with_fingerprint=False),
 )
 def q_text_profile_core(spark, sf):
     """The full curation profile minus the xxhash fingerprint — token
@@ -2388,8 +2385,8 @@ def q_stream_windowed_stats(spark, sf):
            CAST(count(*) OVER w AS BIGINT) AS n_span,
            CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_span
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-                 RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
     """,
 )
 def q_feature_rolling_counts(spark, sf):
@@ -2660,6 +2657,51 @@ _LAKE_DELTA_CTE = """
     )
 """
 
+# shared oracle tails over (base, deltas): several lake queries certify
+# the SAME final-state semantics through different engine surfaces
+# (MoR read vs WAP publish; staged wap_diff vs committed snapshot_diff)
+# — their oracles are ONE definition here, so a change to the LWW fold
+# can never desynchronize a pair of copies
+_LAKE_LWW_CTES = """
+    unioned AS (
+      SELECT repo, path, "commit", event_seq, lang, content, 'K' AS op FROM base
+      UNION ALL
+      SELECT repo, path, "commit", event_seq, lang, content, op FROM deltas
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY repo, path ORDER BY "commit" DESC, event_seq DESC
+      ) AS rn FROM unioned
+    )
+"""
+
+_LAKE_LWW_STATE_ORACLE = f"""
+    WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE},
+    {_LAKE_LWW_CTES}
+    SELECT repo, path, "commit", event_seq, lang, content,
+           sha256(content) AS content_sha
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+_LAKE_STATE_DIFF_ORACLE = f"""
+    WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE},
+    {_LAKE_LWW_CTES},
+    old_state AS (SELECT repo, path, lang, content FROM base),
+    new_state AS (
+      SELECT repo, path, lang, content FROM ranked WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT coalesce(n.repo, o.repo) AS repo,
+           coalesce(n.path, o.path) AS path,
+           CASE WHEN o.repo IS NULL THEN 'I'
+                WHEN n.repo IS NULL THEN 'D' ELSE 'U' END AS op,
+           n.lang AS lang, n.content AS content
+    FROM old_state o FULL JOIN new_state n
+      ON o.repo = n.repo AND o.path = n.path
+    WHERE o.repo IS NULL OR n.repo IS NULL
+       OR o.lang IS DISTINCT FROM n.lang
+       OR o.content IS DISTINCT FROM n.content
+"""
+
 
 def _lake_base_df(spark, sf) -> DataFrame:
     o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 3 == 0)
@@ -2716,7 +2758,7 @@ def _lake_build(spark, sf, deltas: bool = True, skipping: bool = False,
     min/max skipping needs to be selective)."""
     from filters_spark.lake.table import LakeTable, bucket_expr
 
-    root = os.path.join(tempfile.mkdtemp(prefix="filters_spark_lakeq_"), "lake")
+    root = os.path.join(_tmpdir("filters_spark_lakeq_"), "lake")
     t = LakeTable.create(
         spark, root, ["repo", "path"], num_buckets=8,
         stats_cols=["event_seq"] if skipping else None,
@@ -2785,22 +2827,7 @@ def q_lake_changes_feed(spark, sf):
 
 @_q(
     "lake_mor_read",
-    f"""
-    WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE},
-    unioned AS (
-      SELECT repo, path, "commit", event_seq, lang, content, 'K' AS op FROM base
-      UNION ALL
-      SELECT repo, path, "commit", event_seq, lang, content, op FROM deltas
-    ),
-    ranked AS (
-      SELECT *, row_number() OVER (
-        PARTITION BY repo, path ORDER BY "commit" DESC, event_seq DESC
-      ) AS rn FROM unioned
-    )
-    SELECT repo, path, "commit", event_seq, lang, content,
-           sha256(content) AS content_sha
-    FROM ranked WHERE rn = 1 AND op <> 'D'
-    """,
+    _LAKE_LWW_STATE_ORACLE,
 )
 def q_lake_mor_read(spark, sf):
     """Merge-on-read current-state read: base ∪ delta files, one
@@ -2899,28 +2926,15 @@ def q_lake_tag_read(spark, sf):
     t.create_tag("v1")
     _lake_commit_delta_slice(t, spark, sf)
     expired = t.expire_snapshots(keep_last=1)
-    assert 1 not in expired, "tagged snapshot must survive expiry"
+    if 1 in expired:  # explicit raise: a bare assert vanishes under -O
+        # and this certification IS the query's point
+        raise AssertionError("tagged snapshot must survive expiry")
     return t.read(t.resolve_tag("v1")).select(*_LAKE_STATE_COLS)
 
 
 @_q(
     "lake_wap_publish",
-    f"""
-    WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE},
-    unioned AS (
-      SELECT repo, path, "commit", event_seq, lang, content, 'K' AS op FROM base
-      UNION ALL
-      SELECT repo, path, "commit", event_seq, lang, content, op FROM deltas
-    ),
-    ranked AS (
-      SELECT *, row_number() OVER (
-        PARTITION BY repo, path ORDER BY "commit" DESC, event_seq DESC
-      ) AS rn FROM unioned
-    )
-    SELECT repo, path, "commit", event_seq, lang, content,
-           sha256(content) AS content_sha
-    FROM ranked WHERE rn = 1 AND op <> 'D'
-    """,
+    _LAKE_LWW_STATE_ORACLE,
 )
 def q_lake_wap_publish(spark, sf):
     """Write-audit-publish lifecycle (lake/table.py stage_deltas /
@@ -2969,33 +2983,7 @@ def q_lake_wap_publish(spark, sf):
 
 @_q(
     "lake_wap_audit_diff",
-    f"""
-    WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE},
-    unioned AS (
-      SELECT repo, path, "commit", event_seq, lang, content, 'K' AS op FROM base
-      UNION ALL
-      SELECT repo, path, "commit", event_seq, lang, content, op FROM deltas
-    ),
-    ranked AS (
-      SELECT *, row_number() OVER (
-        PARTITION BY repo, path ORDER BY "commit" DESC, event_seq DESC
-      ) AS rn FROM unioned
-    ),
-    old_state AS (SELECT repo, path, lang, content FROM base),
-    new_state AS (
-      SELECT repo, path, lang, content FROM ranked WHERE rn = 1 AND op <> 'D'
-    )
-    SELECT coalesce(n.repo, o.repo) AS repo,
-           coalesce(n.path, o.path) AS path,
-           CASE WHEN o.repo IS NULL THEN 'I'
-                WHEN n.repo IS NULL THEN 'D' ELSE 'U' END AS op,
-           n.lang AS lang, n.content AS content
-    FROM old_state o FULL JOIN new_state n
-      ON o.repo = n.repo AND o.path = n.path
-    WHERE o.repo IS NULL OR n.repo IS NULL
-       OR o.lang IS DISTINCT FROM n.lang
-       OR o.content IS DISTINCT FROM n.content
-    """,
+    _LAKE_STATE_DIFF_ORACLE,
 )
 def q_lake_wap_audit_diff(spark, sf):
     """The write-audit-publish REVIEW primitive (lake/table.py
@@ -3020,33 +3008,7 @@ def q_lake_wap_audit_diff(spark, sf):
 
 @_q(
     "lake_snapshot_diff",
-    f"""
-    WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE},
-    unioned AS (
-      SELECT repo, path, "commit", event_seq, lang, content, 'K' AS op FROM base
-      UNION ALL
-      SELECT repo, path, "commit", event_seq, lang, content, op FROM deltas
-    ),
-    ranked AS (
-      SELECT *, row_number() OVER (
-        PARTITION BY repo, path ORDER BY "commit" DESC, event_seq DESC
-      ) AS rn FROM unioned
-    ),
-    old_state AS (SELECT repo, path, lang, content FROM base),
-    new_state AS (
-      SELECT repo, path, lang, content FROM ranked WHERE rn = 1 AND op <> 'D'
-    )
-    SELECT coalesce(n.repo, o.repo) AS repo,
-           coalesce(n.path, o.path) AS path,
-           CASE WHEN o.repo IS NULL THEN 'I'
-                WHEN n.repo IS NULL THEN 'D' ELSE 'U' END AS op,
-           n.lang AS lang, n.content AS content
-    FROM old_state o FULL JOIN new_state n
-      ON o.repo = n.repo AND o.path = n.path
-    WHERE o.repo IS NULL OR n.repo IS NULL
-       OR o.lang IS DISTINCT FROM n.lang
-       OR o.content IS DISTINCT FROM n.content
-    """,
+    _LAKE_STATE_DIFF_ORACLE,
 )
 def q_lake_snapshot_diff(spark, sf):
     """State-comparison changefeed (lake/table.py:snapshot_diff): the
@@ -3066,16 +3028,7 @@ def q_lake_snapshot_diff(spark, sf):
     "lake_mview_by_lang",
     f"""
     WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE},
-    unioned AS (
-      SELECT repo, path, "commit", event_seq, lang, content, 'K' AS op FROM base
-      UNION ALL
-      SELECT repo, path, "commit", event_seq, lang, content, op FROM deltas
-    ),
-    ranked AS (
-      SELECT *, row_number() OVER (
-        PARTITION BY repo, path ORDER BY "commit" DESC, event_seq DESC
-      ) AS rn FROM unioned
-    ),
+    {_LAKE_LWW_CTES},
     state AS (
       SELECT lang, content FROM ranked WHERE rn = 1 AND op <> 'D'
     )
@@ -3101,10 +3054,15 @@ def q_lake_mview(spark, sf):
         group_cols=["lang"], sum_exprs={"total_bytes": "length(content)"},
     )
     r1 = v.refresh()
-    assert r1["mode"] == "full"
+    if r1["mode"] != "full":  # explicit raises: bare asserts vanish
+        # under -O, and "refresh 2 was INCREMENTAL" is the invariant
+        # this query exists to certify (a full rebuild would pass the
+        # oracle comparison while proving nothing)
+        raise AssertionError(f"refresh 1 expected full, got {r1}")
     _lake_commit_delta_slice(t, spark, sf)
     r2 = v.refresh()
-    assert r2["mode"] == "incremental", r2
+    if r2["mode"] != "incremental":
+        raise AssertionError(f"refresh 2 expected incremental, got {r2}")
     return v.current()
 
 

@@ -71,6 +71,11 @@ def _steal_pct(gap: float = 0.3) -> float:
         return 0.0
     time.sleep(gap)
     b = read()
+    if b is None:  # /proc/stat went away mid-sample (procfs restriction,
+        # fd exhaustion) — report "no steal observed", don't TypeError:
+        # inside StealMonitor a crash here kills the sampler thread
+        # silently and an empty sample set reads as a healthy run
+        return 0.0
     d = [y - x for x, y in zip(a, b)]
     tot = sum(d)
     return round(d[7] / tot * 100, 2) if tot and len(d) > 7 else 0.0
@@ -286,6 +291,24 @@ def run_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     return out
 
 
+def _sentinel_with_retry(label: str) -> dict:
+    """host_sentinel with one cooldown retry. Transient load (a Spark
+    JVM winding down — its GC/shutdown threads deflate the multithread
+    probe for several seconds — or another process's tail) clears in
+    seconds; genuine hypervisor throttling doesn't. The retried reading
+    is what's recorded. Applies to the AFTER probe too: it runs right
+    when the bench's own JVM is tearing down, the single most common
+    false-positive throttle flag."""
+    sent = host_sentinel()
+    if sentinel_degraded(sent):
+        print(f"# host sentinel ({label}) degraded ({sent}); retrying in 20s",
+              file=sys.stderr)
+        time.sleep(20)
+        sent = host_sentinel()
+    print(f"# host sentinel ({label}): {sent}", file=sys.stderr)
+    return sent
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -300,17 +323,7 @@ def main() -> None:
     sf = _sf_from_dir(args.sf)
     n_events = args.events or max(int(CDC_EVENTS_AT_SF01 * (sf / 0.1)), 10_000)
 
-    sent_before = host_sentinel()
-    if sentinel_degraded(sent_before):
-        # transient load (a JVM winding down, another process's tail)
-        # clears in seconds; genuine hypervisor throttling doesn't.
-        # One cooldown retry keeps transient noise from flagging an
-        # otherwise-healthy run; the retried reading is what's recorded.
-        print(f"# host sentinel degraded ({sent_before}); retrying in 20s",
-              file=sys.stderr)
-        time.sleep(20)
-        sent_before = host_sentinel()
-    print(f"# host sentinel (before): {sent_before}", file=sys.stderr)
+    sent_before = _sentinel_with_retry("before")
 
     if args.scaling:
         # scaling runs need the parallel fraction to dominate the fixed
@@ -333,23 +346,48 @@ def main() -> None:
         # both trials.
         results = {}
         cpe = args.cores_per_exec
-        for n_exec in (1, 4):
-            spark = make_spark(
-                f"local-cluster[{n_exec},{cpe},6144]",
-                shuffle_partitions=max(cpe * n_exec, 2),
-            )
-            trials = [
-                run_cdc_replay(spark, n_events, batches=2, write_mode=args.write_mode)
-                for _ in range(2)
-            ]
-            spark.stop()
-            r = max(trials, key=lambda t: t["events_per_sec"])
-            r["trial_seconds"] = [round(t["seconds"], 1) for t in trials]
-            results[n_exec] = r
-            print(f"# {n_exec} executor(s) x {cpe} cores: {r['events_per_sec']:,.0f} events/s "
-                  f"(best of {r['trial_seconds']}s)", file=sys.stderr)
+        # mid-run steal sampling: the scaling legs are the LONGEST runs
+        # this harness does (minutes per leg), i.e. the widest window
+        # for the endpoint-sentinel blind spot documented above — they
+        # need the passive monitor at least as much as the headline run
+        with StealMonitor() as mon:
+            for n_exec in (1, 4):
+                spark = make_spark(
+                    f"local-cluster[{n_exec},{cpe},6144]",
+                    shuffle_partitions=max(cpe * n_exec, 2),
+                )
+                trials = [
+                    run_cdc_replay(spark, n_events, batches=2, write_mode=args.write_mode)
+                    for _ in range(2)
+                ]
+                spark.stop()
+                r = max(trials, key=lambda t: t["events_per_sec"])
+                r["trial_seconds"] = [round(t["seconds"], 1) for t in trials]
+                results[n_exec] = r
+                print(f"# {n_exec} executor(s) x {cpe} cores: {r['events_per_sec']:,.0f} events/s "
+                      f"(best of {r['trial_seconds']}s)", file=sys.stderr)
         eff = (results[4]["events_per_sec"] / results[1]["events_per_sec"]) / 4
-        sent_after_for_md = host_sentinel()
+        sent_after = _sentinel_with_retry("after")
+        # per-leg plausibility floors: ref/8 of the recorded idle-host
+        # pairs (BENCH/BASELINE.md cow, BENCH/SCALING_MOR.md mor) —
+        # calibrated at the default volume (2.4M events at sf0.1), so
+        # the check is skipped under --events overrides, like the
+        # headline ceilings are skipped off sf0.1
+        REF_LEG_EPS = {"cow": {1: 13_000, 4: 45_000},
+                       "mor": {1: 15_000, 4: 51_000}}
+        implausible = []
+        if not args.events and abs(sf - 0.1) < 1e-9:
+            for n_exec, r in results.items():
+                floor = REF_LEG_EPS[args.write_mode][n_exec] / QUERY_CEILING_FACTOR
+                if r["events_per_sec"] < floor:
+                    implausible.append(
+                        f"{n_exec}-exec leg {r['events_per_sec']:,.0f} ev/s "
+                        f"< {floor:,.0f} floor"
+                    )
+        degraded = (
+            sentinel_degraded(sent_before) + sentinel_degraded(sent_after)
+            + mon.degraded() + implausible
+        )
         md = f"""# BENCH — CDC replay scaling (N vs 4N executors)
 
 Input: {n_events:,} deterministic change events (15% hot-repo skew,
@@ -374,24 +412,29 @@ tests/test_scaling.py via content_sha set comparison).
 
 Host sentinel (CPU delivery at measurement time; sha256 ops/sec — see
 bench.py host_sentinel, reference {SENTINEL_REF}):
-before {sent_before}, after {sent_after_for_md}. Numbers in this file are
+before {sent_before}, after {sent_after}. Numbers in this file are
 only comparable to runs whose sentinel is within {SENTINEL_FACTOR}x of the
 reference; bench.py exits non-zero and flags `"throttled": true` otherwise.
+Mid-run steal monitor: {mon.summary()}.
 """
-        os.makedirs("BENCH", exist_ok=True)
-        # the official (cow) pair owns BASELINE.md; other modes get their
-        # own ledger file so the headline never silently swaps semantics
-        out = "BENCH/BASELINE.md" if args.write_mode == "cow" else (
-            f"BENCH/SCALING_{args.write_mode.upper()}.md"
-        )
-        analysis = os.path.join("BENCH", "ANALYSIS.md")
-        if args.write_mode == "cow" and os.path.exists(analysis):
-            with open(analysis) as f:  # stable ledger survives regeneration
-                md += "\n" + f.read()
-        with open(out, "w") as f:
-            f.write(md)
-        sent_after = sent_after_for_md
-        degraded = sentinel_degraded(sent_before) + sentinel_degraded(sent_after)
+        if not degraded:
+            # the ledger write sits BEHIND the gate: a throttled run must
+            # never replace the last good official numbers ("never
+            # publish quietly" — the JSON line still reports the run,
+            # flagged throttled, but BASELINE.md stays authoritative)
+            os.makedirs("BENCH", exist_ok=True)
+            # the official (cow) pair owns BASELINE.md; other modes get
+            # their own ledger file so the headline never silently swaps
+            # semantics
+            out = "BENCH/BASELINE.md" if args.write_mode == "cow" else (
+                f"BENCH/SCALING_{args.write_mode.upper()}.md"
+            )
+            analysis = os.path.join("BENCH", "ANALYSIS.md")
+            if args.write_mode == "cow" and os.path.exists(analysis):
+                with open(analysis) as f:  # stable ledger survives regeneration
+                    md += "\n" + f.read()
+            with open(out, "w") as f:
+                f.write(md)
         print(json.dumps({
             "metric": "cdc_replay_events_per_sec",
             "write_mode": args.write_mode,
@@ -403,12 +446,14 @@ reference; bench.py exits non-zero and flags `"throttled": true` otherwise.
             "sf": sf,
             "sentinel_before": sent_before,
             "sentinel_after": sent_after,
+            "sentinel_midrun": mon.summary(),
             "sentinel_ref": SENTINEL_REF,
+            "implausible": implausible,
             "throttled": bool(degraded),
         }))
         if degraded:
-            print(f"# THROTTLED host — numbers above are NOT comparable: "
-                  f"{degraded}", file=sys.stderr)
+            print(f"# THROTTLED host — numbers above are NOT comparable "
+                  f"(ledger untouched): {degraded}", file=sys.stderr)
             sys.exit(3)
         return
 
@@ -446,7 +491,7 @@ reference; bench.py exits non-zero and flags `"throttled": true` otherwise.
         "cdc_replay_mor": round(cdc_mor["seconds"], 3),
         **qtimes,
     }
-    sent_after = host_sentinel()
+    sent_after = _sentinel_with_retry("after")
     implausible = implausible_queries(queries, sf)
     degraded = (
         sentinel_degraded(sent_before) + sentinel_degraded(sent_after)

@@ -216,7 +216,8 @@ def rolling_features(
     """Per-event trailing-window features: for every event, the count
     and exact value sum of the group's events in the time RANGE
     ``[ts - span_secs, ts]`` (feature-engineering staple: "user's
-    7-day activity as of this event").
+    7-day activity as of this event"). The frame edge is evaluated at
+    the timestamp's native microsecond precision.
 
     A range frame, not a row frame: the window closes over event TIME,
     so bursty and sparse users get the same semantics, and rows that
@@ -229,14 +230,16 @@ def rolling_features(
 
     Output: id_cols + group_cols + ts_col + ``n_span`` + ``sum_span``.
     """
-    # epoch seconds for the range frame; NTZ cannot cast to long
-    # directly, and the session timezone is pinned UTC (session.py), so
-    # the NTZ -> TS hop is the identity DuckDB's epoch(ts) also applies
-    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    # exact integer MICROSECONDS for the range frame: whole-second
+    # truncation (cast to long) would put a pair whose true gap is in
+    # (span, span+1) seconds inside the frame while any sub-second
+    # oracle excludes it — the frame edge must be computed at the
+    # timestamp's native precision (DuckDB twin: epoch_us(ts))
+    epoch = _us(F.col(ts_col))
     w = (
         Window.partitionBy(*group_cols)
         .orderBy(epoch)
-        .rangeBetween(-int(span_secs), 0)
+        .rangeBetween(-int(span_secs) * 1_000_000, 0)
     )
     return df.select(
         *id_cols,
