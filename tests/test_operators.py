@@ -1115,6 +1115,34 @@ class TestRollingFeatures:
             4: (2, 3.0), 5: (2, 3.0),
         }
 
+    def test_subsecond_frame_edge(self, spark):
+        """The frame edge is exact at microsecond precision: a pair
+        whose true gap is span + 0.4s sits OUTSIDE the trailing frame
+        even though the floored whole-second gap equals the span (the
+        truncation bug would include it), and a pair at exactly span
+        microseconds is inside (RANGE bounds are inclusive)."""
+        from filters_spark.operators.events import rolling_features
+
+        rows = [
+            # user 1: gap = 600.4s > span -> second event sees only itself
+            (1, 1, "2026-01-01 00:00:00.300000", 10.0),
+            (2, 1, "2026-01-01 00:10:00.700000", 20.0),
+            # user 2: gap = exactly 600.000000s -> inclusive edge, both
+            (3, 2, "2026-01-01 00:00:00.250000", 1.0),
+            (4, 2, "2026-01-01 00:10:00.250000", 2.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, value double"
+        ).select("event_id", "user_id", F.to_timestamp("ts").alias("ts"), "value")
+        out = {
+            r.event_id: (r.n_span, r.sum_span)
+            for r in rolling_features(df, span_secs=600).collect()
+        }
+        assert out == {
+            1: (1, 10.0), 2: (1, 20.0),
+            3: (1, 1.0), 4: (2, 3.0),
+        }
+
     def test_single_exchange(self, spark):
         from filters_spark.operators.events import rolling_features
         from filters_spark.plans.audit import exchange_count, has_python_eval
