@@ -35,6 +35,7 @@ import os
 import pyspark.sql.functions as F
 
 from filters_spark.lake.table import LakeTable, bucket_expr, lww_merge, watermark_str
+from filters_spark.operators.materialize import materialize
 
 _STATE_FILE = "sync-state.json"
 
@@ -75,6 +76,10 @@ def sync_incremental(src: LakeTable, dst: LakeTable) -> dict | None:
             "repo", "path", "commit", "event_seq", *src_payload, "op", bkt,
             watermark_str(F.col("commit"), F.col("event_seq")).alias("_wm"),
         )
+        # materialize once: the touched-bucket distinct below AND the
+        # merge job inside commit_buckets both consume ch — without a
+        # barrier each would re-scan every changefeed delta file
+        ch = materialize(ch)
         # touched buckets are bounded by the mirror's bucket count, not
         # by data size — a driver-side distinct is O(num_buckets)
         touched = sorted(

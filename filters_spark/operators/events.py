@@ -63,11 +63,15 @@ def asof_join(
     payload = F.struct(
         F.col(right_ts).alias("_mts"), *[F.col(c).alias(c) for c in right_cols]
     )
+    # the tiebreak keeps its NATIVE type (a cast to long would NULL out
+    # string/uuid ids and silently destroy the documented determinism);
+    # only the left side's placeholder is cast, to the same type
+    tie_type = right.schema[tiebreak].dataType if tiebreak else "long"
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_side"),
-        (F.col(tiebreak) if tiebreak else F.lit(None)).cast("long").alias("_tie"),
+        (F.col(tiebreak) if tiebreak else F.lit(None).cast("long")).alias("_tie"),
         payload.alias("_p"),
         F.lit(None).cast(left.select(F.struct("*")).schema[0].dataType).alias("_row"),
     )
@@ -75,7 +79,7 @@ def asof_join(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ats"),
         F.lit(1).alias("_side"),
-        F.lit(None).cast("long").alias("_tie"),
+        F.lit(None).cast(tie_type).alias("_tie"),
         F.lit(None).cast(r.schema["_p"].dataType).alias("_p"),
         F.struct("*").alias("_row"),
     )

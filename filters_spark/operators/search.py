@@ -43,6 +43,11 @@ def bm25_score(
     contributions are summed in fixed query-term order so the float
     result is reproducible across engines."""
     terms = _terms(query)
+    if not terms:
+        # an empty/whitespace query would otherwise surface as an
+        # unresolved-column AnalysisException on _tf_0 deep inside
+        # Spark; every document's score over zero terms is 0.0
+        return df.select(F.col(id_col), F.lit(0.0).alias("bm25"))
     toks = tokens(F.lower(F.col(text_col)))
 
     def _tf(term: str) -> Column:

@@ -66,24 +66,37 @@ def gen_repos(
     spark: SparkSession,
     n_rows: int,
     n_repos: int = 100,
+    n_paths: int = 1000,
     seed: int = 42,
 ) -> DataFrame:
-    """Seed snapshot of the repo lake table: one row per (repo, path)."""
+    """Seed snapshot of the repo lake table: one row per (repo, path),
+    unique by construction (``n_rows`` must not exceed
+    ``n_repos * n_paths``).
+
+    Keys come from the SAME (repo_id, path_id) → key-hash → path/lang
+    formula :func:`gen_events` uses, so a seeded table and an event
+    stream generated with matching ``(n_repos, n_paths, seed)`` share a
+    key space — events genuinely update and delete seeded rows, which
+    is what makes a seed-then-replay test exercise the merge paths
+    against pre-existing state (ids-only paths would make every event
+    an insert of a fresh key)."""
+    if n_rows > n_repos * n_paths:
+        raise ValueError(
+            f"n_rows={n_rows} exceeds the {n_repos}x{n_paths} key space"
+        )
     df = spark.range(n_rows)
-    repo_id = F.pmod(_h(seed, "id"), F.lit(n_repos))
-    key_h = _h(seed + 1, "id")
+    repo_id = F.pmod(F.col("id"), F.lit(n_repos))
+    path_id = (F.col("id") / n_repos).cast("long")
+    key_h = _h(seed + 1, repo_id, path_id)
+    lang = _pick(LANGS, key_h + F.lit(3))
     return df.select(
         F.concat(F.lit("repo-"), F.lpad(repo_id.cast("string"), 5, "0")).alias("repo"),
         F.concat(
-            F.lit("src/"),
-            _pick(_WORDS, key_h),
-            F.lit("/"),
-            F.col("id").cast("string"),
-            F.lit("."),
-            _pick(LANGS, key_h + F.lit(3)),
+            F.lit("src/"), _pick(_WORDS, key_h), F.lit("/"),
+            path_id.cast("string"), F.lit("."), lang,
         ).alias("path"),
         F.format_string("%012x", F.lit(0)).alias("commit"),
-        _pick(LANGS, key_h + F.lit(3)).alias("lang"),
+        lang.alias("lang"),
         _content_expr(key_h, F.lit(0)).alias("content"),
     )
 

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StringType, StructField, StructType
 
-from filters_spark.engine.cdc import watermark_str
+from filters_spark.lake.table import watermark_str
 
 _STATE_SCHEMA = StructType([StructField("max_wm", StringType())])
 
@@ -72,16 +72,30 @@ def stream_dedupe(
         if ttl_ms is not None and state.hasTimedOut:
             state.remove()
             return
-        max_wm = state.get[0] if state.exists else ""
+        # A key's micro-batch arrives as SEVERAL Arrow chunks (bounded
+        # by arrow.maxRecordsPerBatch, interleaved by the shuffle), in
+        # no particular watermark order. Filter every chunk against the
+        # FIXED state watermark — advancing it chunk-by-chunk would
+        # silently drop a genuinely-new lower-watermark event that
+        # lands in a later chunk — and dedupe across chunks with a
+        # seen-set (O(kept watermarks) strings, not buffered rows, so
+        # the generator stays streaming).
+        state_wm = state.get[0] if state.exists else ""
+        max_wm = state_wm
+        seen: set[str] = set()
         for pdf in pdf_iter:
             if pdf.empty:
                 continue
-            pdf = pdf.sort_values("_wm", kind="stable")
-            keep = pdf[pdf["_wm"] > max_wm]
-            # within-batch: keep the first row per watermark value
+            keep = pdf[pdf["_wm"] > state_wm]
+            # within-chunk: keep the first row per watermark value
             keep = keep[~keep["_wm"].duplicated()]
+            if seen:
+                keep = keep[~keep["_wm"].isin(seen)]
             if len(keep):
-                max_wm = str(keep["_wm"].max())
+                seen.update(keep["_wm"])
+                m = str(keep["_wm"].max())
+                if m > max_wm:
+                    max_wm = m
                 yield keep
         state.update((max_wm,))
         if ttl_ms is not None:

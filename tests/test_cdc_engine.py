@@ -10,6 +10,7 @@ import unicodedata
 import pandas as pd
 import pyspark.sql.functions as F
 import pytest
+from pyspark.sql import Window
 import regex as rx
 
 from filters_spark.engine.cdc import CDCEngine
@@ -505,3 +506,50 @@ def test_grouped_mor_applies_match_sequential(spark, tmp_path):
         rb = sorted((r.repo, r.path, r.content_sha)
                     for r in t_grp.read(snapshot_id=y).collect())
         assert ra == rb, (x, y)
+
+
+def test_seed_table_shares_event_key_space(spark, tmp_path):
+    """gen_repos and gen_events with matching (n_repos, n_paths, seed)
+    draw (repo, path) from the same formula, so a seed-then-replay run
+    exercises merge against PRE-EXISTING keys: seeded rows get updated
+    and deleted, not just accompanied by fresh inserts."""
+    from filters_spark.sources.datagen import gen_repos
+
+    seed_df = gen_repos(spark, 300, n_repos=20, n_paths=200, seed=7)
+    assert seed_df.count() == seed_df.select("repo", "path").distinct().count()
+    ev = events_df(spark)  # 4000 events, same n_repos/n_paths/seed
+    seed_keys = {(r.repo, r.path) for r in seed_df.select("repo", "path").collect()}
+    ev_keys = {
+        (r.repo, r.path)
+        for r in ev.filter(F.col("path").isNotNull()).select("repo", "path").collect()
+    }
+    overlap = len(seed_keys & ev_keys) / len(seed_keys)
+    assert overlap > 0.3, f"seed/event key overlap only {overlap:.2%}"
+
+    # full seed + replay: seed rows enter as commit-0 inserts, then the
+    # real stream (commits >= 1) replays over them
+    engine = make_engine(spark, str(tmp_path))
+    seed_events = seed_df.select(
+        "commit",
+        F.row_number().over(
+            Window.orderBy("repo", "path")
+        ).cast("long").alias("event_seq"),
+        F.lit("I").alias("op"),
+        "repo", "path", "lang", "content",
+        F.lit(1).alias("schema_version"),
+    )
+    engine.apply_batch(seed_events)
+    seed_state = {
+        (r.repo, r.path): r.content_sha for r in engine.table.read().collect()
+    }
+    engine.replay(ev, num_batches=2)
+    final_state = {
+        (r.repo, r.path): r.content_sha for r in engine.table.read().collect()
+    }
+    updated = sum(
+        1 for k, sha in seed_state.items()
+        if k in final_state and final_state[k] != sha
+    )
+    deleted = sum(1 for k in seed_state if k not in final_state)
+    assert updated > 0, "no seeded row was updated by the stream"
+    assert deleted > 0, "no seeded row was deleted by the stream"

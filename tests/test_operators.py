@@ -653,6 +653,28 @@ class TestEvents:
                        tiebreak="event_id", tolerance_secs=7200).collect()[0]
         assert r3.event_id_r == 101
 
+    def test_asof_join_string_tiebreak(self, spark):
+        """A non-numeric tiebreak column keeps its native type: the
+        regression cast it to long, NULLing out string ids and making
+        the tie resolution partition-order-dependent."""
+        from datetime import datetime
+
+        from filters_spark.operators.events import asof_join
+
+        T = lambda s: datetime.fromisoformat(s)
+        left = spark.createDataFrame(
+            [(1, 10, T("2024-01-01T10:00:00"))],
+            "event_id long, user_id long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [("a", 10, T("2024-01-01T09:00:00"), 1.0),
+             ("b", 10, T("2024-01-01T09:00:00"), 2.0)],
+            "uid string, user_id long, ts timestamp, value double",
+        )
+        r = asof_join(left, right, on="user_id", right_cols=["uid", "value"],
+                      tiebreak="uid").collect()[0]
+        assert (r.uid_r, r.value_r) == ("b", 2.0)
+
     def test_asof_join_single_shuffle_no_join(self, spark):
         from datetime import datetime
 
@@ -806,6 +828,17 @@ class TestSearch:
         # doc 2 hits both terms -> outranks the 3x single-term doc 1
         order = [r.doc_id for r in bm25_topk(df, "join merge", k=3).collect()]
         assert order[0] == 2 and order[-1] == 3
+
+    def test_bm25_empty_query_scores_zero(self, spark):
+        """An empty/whitespace query yields 0.0 for every document
+        (the regression was an unresolved-column AnalysisException)."""
+        from filters_spark.operators.search import bm25_score, bm25_topk
+
+        df = spark.createDataFrame(
+            [(1, "some text"), (2, "more text")], "doc_id long, text string")
+        got = {r.doc_id: r.bm25 for r in bm25_score(df, "   ").collect()}
+        assert got == {1: 0.0, 2: 0.0}
+        assert [r.doc_id for r in bm25_topk(df, "", k=1).collect()] == [1]
 
     def test_bm25_plan_is_single_scan_topk(self, spark):
         from filters_spark.operators.search import bm25_topk

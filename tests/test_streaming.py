@@ -336,3 +336,41 @@ def test_session_window_stream_merges_across_restart(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert rows == {(1, "2026-01-01T10:00:00", "2026-01-01T10:55:00"): (3, 7.0)}
+
+
+def test_stream_dedupe_key_spanning_multiple_arrow_chunks(spark, tmp_path):
+    """A hot key whose micro-batch spans SEVERAL Arrow chunks must not
+    lose events: chunks arrive in no particular watermark order, so a
+    genuinely-new lower-watermark event in a later chunk has to pass
+    (the regression was advancing the dedupe watermark chunk-by-chunk,
+    which silently dropped such events)."""
+    from filters_spark.streaming.stateful import stream_dedupe
+
+    ddl = ("commit string, event_seq long, op string, repo string, "
+           "path string, lang string, content string, schema_version int")
+    # ONE key, 40 distinct watermarks, written in DESCENDING order so
+    # later chunks carry lower watermarks than earlier ones
+    rows = [("%012x" % c, 0, "U", "r1", "a.py", "py", f"c{c}", 1)
+            for c in range(40, 0, -1)]
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal)
+    spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(wal + "/f1")
+
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(conf)
+    seen = []
+    try:
+        spark.conf.set(conf, "5")  # force ~8 chunks for the one key
+        q = (
+            stream_dedupe(tail_directory(spark, wal + "/*/"))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .foreachBatch(lambda df, bid: seen.extend(
+                r.commit for r in df.collect()))
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set(conf, prev)
+    assert sorted(seen) == sorted("%012x" % c for c in range(1, 41))
