@@ -368,6 +368,79 @@ def q_cdc_schema_evolution(spark, sf):
     )
 
 
+# Shared Spark-SQL == DuckDB-SQL fragments that synthesize a
+# deterministic Debezium JSON feed from the orders table (both engines
+# build byte-identical envelopes; each then parses with its OWN json
+# machinery, so a green hash value-checks from_json envelope decoding
+# plus the binlog ordering derivation end-to-end).
+_DBZ_ROW_EXPRS = [
+    "'repo-' || lpad(CAST(o_custkey % 50 AS STRING), 5, '0') AS repo",
+    "'orders/' || CAST(o_orderkey AS STRING) || '.json' AS path",
+    "'status=' || o_orderstatus || ';priority=' || o_orderpriority AS content",
+    "CASE o_orderkey % 7 WHEN 0 THEN 'd' WHEN 1 THEN 'r' WHEN 2 THEN 'c' "
+    "ELSE 'u' END AS dop",
+    "o_orderkey % 4 + 1 AS fileno",
+    "o_orderkey AS pos",
+    "o_orderkey % 3 AS rw",
+]
+_DBZ_IMAGE_SQL = (
+    """'{"repo":"' || repo || '","path":"' || path """
+    """|| '","lang":"json","content":"' || content || '"}'"""
+)
+_DBZ_VALUE_SQL = f"""
+    '{{"before":' || CASE WHEN dop = 'd' THEN {_DBZ_IMAGE_SQL} ELSE 'null' END
+    || ',"after":' || CASE WHEN dop = 'd' THEN 'null' ELSE {_DBZ_IMAGE_SQL} END
+    || ',"source":{{"file":"mysql-bin.' || lpad(CAST(fileno AS STRING), 6, '0')
+    || '","pos":' || CAST(pos AS STRING) || ',"row":' || CAST(rw AS STRING)
+    || '}},"op":"' || dop || '"}}'
+"""
+
+
+@_q(
+    "cdc_debezium_parse",
+    f"""
+    WITH r AS (SELECT {", ".join(_DBZ_ROW_EXPRS)} FROM orders),
+    v AS (SELECT {_DBZ_VALUE_SQL} AS value FROM r),
+    p AS (
+      SELECT value,
+             json_extract_string(value, '$.op') AS dop,
+             json_extract_string(value, '$.source.file') AS file,
+             CAST(json_extract_string(value, '$.source.pos') AS BIGINT) AS pos,
+             CAST(json_extract_string(value, '$.source.row') AS BIGINT) AS rw
+      FROM v
+    )
+    SELECT
+      printf('%012x', CAST(regexp_extract(file, '(\\d+)$', 1) AS BIGINT)) AS "commit",
+      pos * 65536 + rw AS event_seq,
+      CASE dop WHEN 'u' THEN 'U' WHEN 'd' THEN 'D' ELSE 'I' END AS op,
+      CASE WHEN dop = 'd' THEN json_extract_string(value, '$.before.repo')
+           ELSE json_extract_string(value, '$.after.repo') END AS repo,
+      CASE WHEN dop = 'd' THEN json_extract_string(value, '$.before.path')
+           ELSE json_extract_string(value, '$.after.path') END AS path,
+      CASE WHEN dop = 'd' THEN json_extract_string(value, '$.before.lang')
+           ELSE json_extract_string(value, '$.after.lang') END AS lang,
+      CASE WHEN dop = 'd' THEN json_extract_string(value, '$.before.content')
+           ELSE json_extract_string(value, '$.after.content') END AS content,
+      CAST(1 AS INTEGER) AS schema_version
+    FROM p
+    """,
+)
+def q_cdc_debezium_parse(spark, sf):
+    """Debezium envelope decode (sources/debezium.py parse_debezium):
+    the production binlog-tail input shape — both engines synthesize
+    the same JSON feed from orders; Spark decodes it with the adapter's
+    native from_json path (map-only, zero shuffle — pinned in
+    tests/test_debezium.py), DuckDB with json_extract_string."""
+    from filters_spark.sources.debezium import parse_debezium
+
+    envelopes = (
+        _t(spark, sf, "orders")
+        .selectExpr(*_DBZ_ROW_EXPRS)
+        .selectExpr(f"{_DBZ_VALUE_SQL} AS value")
+    )
+    return parse_debezium(envelopes, ["repo", "path", "lang", "content"])
+
+
 # --- filter layer: reference operator semantics over testdata ----------------
 
 

@@ -1,0 +1,168 @@
+"""Debezium change-event envelope → engine event frame.
+
+The production spelling of the binlog/WAL tail the north rule names is,
+in practice, Debezium-over-Kafka: each Kafka record's value is a JSON
+envelope
+
+    {"schema": {...},                      # only when schemas enabled
+     "payload": {
+       "before": {...} | null,             # row image before the change
+       "after":  {...} | null,             # row image after the change
+       "source": {"connector": "mysql", "db": ..., "table": ...,
+                  "file": "mysql-bin.000003", "pos": 154, "row": 0,
+                  "ts_ms": 1465581029523, "lsn": ..., "txId": ...},
+       "op": "c" | "u" | "d" | "r",        # create/update/delete/read
+       "ts_ms": 1465581029523}}
+
+:func:`parse_debezium` maps that envelope to the engine's canonical
+change-event frame ``(commit, event_seq, op, <payload cols>,
+schema_version)`` — the exact input contract of
+``CDCEngine.apply_batch`` / ``replay`` (engine/cdc.py) and the
+streaming source adapters (streaming/stream.py ``open_source``; a Kafka
+source's ``value`` column is exactly this function's input).
+
+Everything is native ``from_json`` + column algebra — no Python UDF,
+one map-only stage, so at 10^10 events the parse adds zero shuffles and
+stays inside whole-stage codegen. Row images are decoded as
+``map<string,string>``: the engine's canonical payload is all-string
+(BASELINE.json input_hint) and a map survives arbitrary/evolving
+source columns — schema evolution is the registry's job downstream,
+not the parser's.
+
+Ordering contract (what makes the watermark exactly-once): the default
+``(commit, event_seq)`` derivation is the MySQL binlog total order —
+``commit`` = the binlog file's numeric suffix as a 12-hex string
+(lexicographic == numeric), ``event_seq`` = ``pos * 2^16 + row`` (a
+binlog position is < 2^32 per file — the server's max_binlog_size cap
+— and ``row`` counts rows within one event, far below 2^16, so the
+packed long is collision-free and ordered). Postgres/Oracle feeds pass
+``commit_expr`` / ``seq_expr`` built on ``source.lsn`` / ``source.scn``
+instead.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# Explicit envelope schema (never inferred: inference would sample-scan
+# the stream and produce run-dependent shapes). `before`/`after` are
+# maps (see module docstring); `source` keeps only the fields the
+# default ordering derivation and lineage need — from_json NULL-fills
+# absent fields and ignores extras, so connector-specific additions
+# (gtid, sequence, xmin...) are harmless.
+_SOURCE_DDL = (
+    "struct<connector: string, name: string, db: string, `table`: string, "
+    "file: string, pos: bigint, row: int, ts_ms: bigint, "
+    "lsn: bigint, txId: bigint>"
+)
+_PAYLOAD_DDL = (
+    f"struct<before: map<string,string>, after: map<string,string>, "
+    f"source: {_SOURCE_DDL}, op: string, ts_ms: bigint>"
+)
+# top level carries BOTH spellings: schemas-enabled ({"payload": {...}})
+# and schemas-disabled (the value IS the payload object)
+ENVELOPE_DDL = (
+    f"struct<payload: {_PAYLOAD_DDL}, "
+    f"before: map<string,string>, after: map<string,string>, "
+    f"source: {_SOURCE_DDL}, op: string, ts_ms: bigint>"
+)
+
+# Debezium op -> engine op. "r" (snapshot read) is an upsert exactly
+# like "c": replaying a snapshot over existing state must be idempotent
+# under LWW, which upsert semantics give for free.
+_OP_MAP = {"c": "I", "r": "I", "u": "U", "d": "D"}
+
+
+def default_commit_expr(source: Column) -> Column:
+    """Binlog file suffix → zero-padded 12-hex commit string (the
+    engine's commit spelling; lexicographic == numeric order).
+    ``mysql-bin.000003`` → ``000000000003``."""
+    file_seq = F.regexp_extract(source["file"], r"(\d+)$", 1).cast("bigint")
+    return F.format_string("%012x", file_seq)
+
+
+def default_seq_expr(source: Column) -> Column:
+    """(pos, row) packed into one ordered long: ``pos * 2^16 + row``."""
+    return (
+        source["pos"] * F.lit(65536) + F.coalesce(source["row"], F.lit(0))
+    ).cast("long")
+
+
+def parse_debezium(
+    df: DataFrame,
+    fields: list[str],
+    value_col: str = "value",
+    schema_version: int = 1,
+    commit_expr=None,
+    seq_expr=None,
+    include_source: bool = False,
+) -> DataFrame:
+    """Decode a frame of Debezium JSON envelopes into engine events.
+
+    ``fields``: the payload columns to extract from the row image (for
+    the canonical repo table: ``["repo", "path", "lang", "content"]``
+    — but any registry schema works; absent keys arrive NULL and the
+    validation chain's presence filters decide their fate).
+
+    ``commit_expr`` / ``seq_expr``: callables ``source_struct_col →
+    Column`` overriding the MySQL-binlog default ordering derivation
+    (see module docstring) for LSN/SCN-ordered feeds.
+
+    Row-image choice: ``after`` for c/u/r; deletes carry only
+    ``before`` (Debezium emits ``after: null`` on delete), whose key
+    fields are what the engine's tombstone needs — payload cells of a
+    delete are never read by the LWW merge.
+
+    Dropped rows, by design: Kafka compaction tombstones (NULL value),
+    values that don't parse as a Debezium envelope (no ``op`` anywhere
+    — from_json yields NULL fields, never raises), and non-row ops
+    (``t`` truncate, ``m`` message) which carry no row image. Routing
+    *malformed-but-present* payloads to dead letters is the validation
+    chain's job downstream; the parser only drops what has no row to
+    validate.
+
+    ``include_source=True`` appends lineage columns ``(_src_db,
+    _src_table, _src_ts_ms)`` for multi-table fan-in routing.
+    """
+    env = F.from_json(F.col(value_col), ENVELOPE_DDL)
+    # schemas-enabled vs schemas-disabled: prefer the payload wrapper,
+    # fall back to the bare top-level fields
+    p = F.when(env["payload"].isNotNull(), env["payload"]).otherwise(
+        F.struct(
+            env["before"].alias("before"),
+            env["after"].alias("after"),
+            env["source"].alias("source"),
+            env["op"].alias("op"),
+            env["ts_ms"].alias("ts_ms"),
+        )
+    )
+    out = df.select(p.alias("_p")).filter(F.col("_p")["op"].isNotNull())
+    p = F.col("_p")
+    op = p["op"]
+    engine_op = F.when(op.isin("c", "r"), F.lit("I")).otherwise(
+        F.when(op == "u", F.lit("U")).otherwise(
+            F.when(op == "d", F.lit("D"))
+        )
+    )
+    image = F.when(op == "d", p["before"]).otherwise(
+        F.coalesce(p["after"], p["before"])
+    )
+    src = p["source"]
+    commit = (commit_expr or default_commit_expr)(src)
+    seq = (seq_expr or default_seq_expr)(src)
+    cols = [
+        commit.alias("commit"),
+        seq.alias("event_seq"),
+        engine_op.alias("op"),
+        *[F.element_at(image, f).alias(f) for f in fields],
+        F.lit(schema_version).alias("schema_version"),
+    ]
+    if include_source:
+        cols += [
+            src["db"].alias("_src_db"),
+            src["table"].alias("_src_table"),
+            src["ts_ms"].alias("_src_ts_ms"),
+        ]
+    # non-row ops (t/m) have a NULL engine op and no image
+    return out.filter(engine_op.isNotNull()).select(*cols)

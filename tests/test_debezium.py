@@ -1,0 +1,215 @@
+"""Debezium envelope adapter (sources/debezium.py): envelope decode,
+ordering derivation, drop semantics, and end-to-end composition with
+the CDC engine."""
+
+import json
+
+import pyspark.sql.functions as F
+
+from filters_spark.sources.debezium import (
+    default_commit_expr,
+    default_seq_expr,
+    parse_debezium,
+)
+
+FIELDS = ["repo", "path", "lang", "content"]
+
+
+def _env(op, after=None, before=None, file="mysql-bin.000003", pos=154,
+         row=0, wrap=True):
+    payload = {
+        "before": before,
+        "after": after,
+        "source": {"connector": "mysql", "db": "d", "table": "t",
+                   "file": file, "pos": pos, "row": row, "ts_ms": 1465581029523},
+        "op": op,
+        "ts_ms": 1465581029523,
+    }
+    return json.dumps({"schema": {"type": "struct"}, "payload": payload}
+                      if wrap else payload)
+
+
+def _values_df(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "value string")
+
+
+def test_parse_ops_and_images(spark):
+    row_after = {"repo": "r1", "path": "a.py", "lang": "py", "content": "x"}
+    row_key = {"repo": "r1", "path": "a.py"}
+    vals = [
+        _env("c", after=row_after),
+        _env("r", after=row_after, pos=10),
+        _env("u", after={**row_after, "content": "y"}, before=row_after, pos=20),
+        _env("d", before=row_key, after=None, pos=30),
+    ]
+    out = parse_debezium(_values_df(spark, vals), FIELDS).orderBy("event_seq")
+    rows = out.collect()  # ordered by pos: r(10), u(20), d(30), c(154)
+    assert [r["op"] for r in rows] == ["I", "U", "D", "I"]
+    # c/r/u read the after image; d reads before (key only, payload NULL)
+    assert rows[0]["content"] == "x" and rows[1]["content"] == "y"
+    assert rows[2]["repo"] == "r1" and rows[2]["content"] is None
+    assert all(r["schema_version"] == 1 for r in rows)
+    # binlog file suffix -> 12-hex commit; (pos, row) -> packed long
+    assert rows[3]["commit"] == "000000000003"
+    assert rows[3]["event_seq"] == 154 * 65536
+
+
+def test_schemas_disabled_spelling(spark):
+    """Without the schema wrapper the value IS the payload object."""
+    v = _env("c", after={"repo": "r", "path": "p", "lang": "go", "content": "c"},
+             wrap=False)
+    rows = parse_debezium(_values_df(spark, [v]), FIELDS).collect()
+    assert len(rows) == 1 and rows[0]["op"] == "I" and rows[0]["lang"] == "go"
+
+
+def test_drop_tombstones_garbage_and_nonrow_ops(spark):
+    vals = [
+        None,                       # Kafka compaction tombstone
+        "not json at all",          # unparseable
+        '{"weird": true}',          # parseable, not an envelope
+        _env("t"),                  # truncate: no row image
+        _env("m"),                  # message op
+        _env("c", after={"repo": "r", "path": "p"}),
+    ]
+    out = parse_debezium(_values_df(spark, vals), FIELDS)
+    assert out.count() == 1
+
+
+def test_ordering_matches_binlog_order(spark):
+    """Watermark string order over (commit, event_seq) == binlog
+    (file, pos, row) order — the exactly-once dedupe contract."""
+    vals = [
+        _env("c", after={"repo": "r", "path": "p1"}, file="mysql-bin.000009",
+             pos=5, row=1),
+        _env("c", after={"repo": "r", "path": "p2"}, file="mysql-bin.000009",
+             pos=5, row=0),
+        _env("c", after={"repo": "r", "path": "p3"}, file="mysql-bin.000010",
+             pos=1, row=0),
+        _env("c", after={"repo": "r", "path": "p4"}, file="mysql-bin.000009",
+             pos=4, row=9),
+    ]
+    out = parse_debezium(_values_df(spark, vals), FIELDS)
+    ordered = [r["path"] for r in out.orderBy("commit", "event_seq").collect()]
+    assert ordered == ["p4", "p2", "p1", "p3"]
+
+
+def test_missing_fields_arrive_null(spark):
+    """Absent image keys -> NULL columns (the validation chain's
+    presence filters route them, not the parser)."""
+    v = _env("c", after={"repo": "r", "path": "p"})
+    r = parse_debezium(_values_df(spark, [v]), FIELDS).collect()[0]
+    assert r["lang"] is None and r["content"] is None
+
+
+def test_include_source_lineage(spark):
+    v = _env("u", after={"repo": "r", "path": "p"}, before={"repo": "r"})
+    r = parse_debezium(_values_df(spark, [v]), FIELDS, include_source=True).collect()[0]
+    assert r["_src_db"] == "d" and r["_src_table"] == "t"
+    assert r["_src_ts_ms"] == 1465581029523
+
+
+def test_custom_order_exprs_lsn(spark):
+    """Postgres-shaped feed: commit/seq derived from source.lsn."""
+    payload = {
+        "before": None,
+        "after": {"repo": "r", "path": "p"},
+        "source": {"connector": "postgresql", "db": "d", "table": "t",
+                   "lsn": 123456789},
+        "op": "c",
+    }
+    df = _values_df(spark, [json.dumps(payload)])
+    out = parse_debezium(
+        df, FIELDS,
+        commit_expr=lambda s: F.format_string(
+            "%012x", (s["lsn"] / F.lit(4096)).cast("bigint")),
+        seq_expr=lambda s: s["lsn"].cast("long"),
+    )
+    r = out.collect()[0]
+    assert r["commit"] == "%012x" % (123456789 // 4096)
+    assert r["event_seq"] == 123456789
+
+
+def test_parse_is_map_only(spark):
+    """No shuffle, no Python UDF: the parse must stay one codegen'd
+    map stage at 10^10 events."""
+    v = _env("c", after={"repo": "r", "path": "p"})
+    plan = parse_debezium(_values_df(spark, [v] * 4), FIELDS)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_engine_end_to_end_vs_direct_apply(spark, tmp_path):
+    """gen_events -> wrap as Debezium envelopes -> parse -> apply_batch
+    produces byte-identical final state to applying the events
+    directly (the adapter composes with the whole engine)."""
+    from filters_spark.engine.cdc import CDCEngine
+    from filters_spark.engine.defaults import default_registry
+    from filters_spark.lake.table import LakeTable
+    from filters_spark.sources.datagen import gen_events
+
+    ev = gen_events(spark, n_events=2000, n_repos=20, n_paths=150,
+                    hot_frac=0.1, dirty_frac=0.05, seed=7)
+
+    # wrap into envelopes natively: commit hex -> binlog file suffix
+    # (decimal), event_seq -> pos; row images as maps
+    dbz_op = (
+        F.when(F.col("op") == "I", F.lit("c"))
+        .when(F.col("op") == "U", F.lit("u"))
+        .otherwise(F.lit("d"))
+    )
+    # deletes carry the FULL before image (MySQL's default
+    # binlog_row_image=FULL): the engine's validation chain runs on
+    # every event including tombstones, so a key-only before image
+    # would dead-letter the delete on the required-content filter
+    image = F.create_map(
+        F.lit("repo"), F.col("repo"), F.lit("path"), F.col("path"),
+        F.lit("lang"), F.col("lang"), F.lit("content"), F.col("content"),
+    )
+    src = F.struct(
+        F.concat(F.lit("mysql-bin."),
+                 F.lpad(F.conv(F.col("commit"), 16, 10), 9, "0")).alias("file"),
+        F.col("event_seq").alias("pos"),
+        F.lit(0).alias("row"),
+    )
+    envelopes = ev.select(
+        F.to_json(
+            F.struct(
+                F.when(F.col("op") == "D", image).alias("before"),
+                F.when(F.col("op") != "D", image).alias("after"),
+                src.alias("source"),
+                dbz_op.alias("op"),
+            )
+        ).alias("value")
+    )
+    parsed = parse_debezium(
+        envelopes, ["repo", "path", "lang", "content"],
+        seq_expr=lambda s: s["pos"].cast("long"),
+    )
+
+    def run(events, root):
+        t = LakeTable.create(spark, str(root), ["repo", "path"], num_buckets=8)
+        eng = CDCEngine(spark, t, default_registry())
+        eng.apply_batch(events)
+        return sorted(
+            (r["repo"], r["path"], r["content_sha"])
+            for r in t.read().select("repo", "path", "content_sha").collect()
+        )
+
+    direct = run(ev, tmp_path / "direct")
+    via_dbz = run(parsed, tmp_path / "dbz")
+    assert via_dbz == direct and len(direct) > 0
+
+
+def test_default_exprs_exposed(spark):
+    """default_commit_expr/default_seq_expr are public for feeds that
+    compose them (e.g. add a server-id tiebreak)."""
+    df = _values_df(spark, [_env("c", after={"repo": "r", "path": "p"},
+                                 file="binlog.000255", pos=7, row=3)])
+    env = F.from_json(F.col("value"), "struct<payload: struct<source: "
+                      "struct<file string, pos bigint, row int>>>")
+    r = df.select(
+        default_commit_expr(env["payload"]["source"]).alias("c"),
+        default_seq_expr(env["payload"]["source"]).alias("s"),
+    ).collect()[0]
+    assert r["c"] == "%012x" % 255 and r["s"] == 7 * 65536 + 3
