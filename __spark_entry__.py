@@ -3006,6 +3006,65 @@ def q_lake_tag_read(spark, sf):
 
 
 @_q(
+    "lake_merge_into",
+    f"""
+    WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE},
+    j AS (
+      SELECT b.repo AS t_repo, b.path AS t_path, b."commit" AS t_commit,
+             b.event_seq AS t_seq, b.lang AS t_lang, b.content AS t_content,
+             d.repo AS s_repo, d.path AS s_path, d."commit" AS s_commit,
+             d.event_seq AS s_seq, d.lang AS s_lang, d.content AS s_content,
+             d.op AS s_op
+      FROM base b FULL OUTER JOIN deltas d
+        ON b.repo = d.repo AND b.path = d.path
+    ),
+    g AS (
+      SELECT *,
+        (t_path IS NOT NULL AND s_path IS NOT NULL AND s_op = 'D') AS is_del,
+        (t_path IS NOT NULL AND s_path IS NOT NULL AND s_op <> 'D'
+         AND s_seq % 4 = 0) AS is_upd,
+        (t_path IS NULL AND s_op <> 'D') AS is_ins
+      FROM j
+    )
+    SELECT
+      COALESCE(t_repo, s_repo) AS repo,
+      COALESCE(t_path, s_path) AS path,
+      CASE WHEN is_upd OR is_ins THEN s_commit ELSE t_commit END AS "commit",
+      CASE WHEN is_upd OR is_ins THEN s_seq ELSE t_seq END AS event_seq,
+      CASE WHEN is_upd THEN COALESCE(s_lang, t_lang)
+           WHEN is_ins THEN s_lang ELSE t_lang END AS lang,
+      CASE WHEN is_upd THEN 'M:' || s_content
+           WHEN is_ins THEN s_content ELSE t_content END AS content,
+      sha256(CASE WHEN is_upd THEN 'M:' || s_content
+                  WHEN is_ins THEN s_content ELSE t_content END) AS content_sha
+    FROM g
+    WHERE (t_path IS NOT NULL AND NOT is_del) OR is_ins
+    """,
+)
+def q_lake_merge_into(spark, sf):
+    """Declarative MERGE INTO (lake/merge.py merge_into — the
+    ANSI/Iceberg conditional-merge statement): conditional UPDATE with
+    computed set-expressions over t/s, DELETE on the tombstone flag,
+    filtered INSERT — one full-outer join over the bucket-pruned
+    target, committed copy-on-write. The oracle respells all four
+    clause outcomes (update / skip / delete / insert) relationally, so
+    a green hash value-checks clause precedence AND the commit."""
+    from filters_spark.lake.merge import merge_into
+
+    t = _lake_build(spark, sf, deltas=False)
+    merge_into(
+        t, _lake_delta_df(spark, sf),
+        update={"commit": "s.commit", "event_seq": "s.event_seq",
+                "lang": "coalesce(s.lang, t.lang)",
+                "content": "'M:' || s.content"},
+        update_when="s.event_seq % 4 = 0",
+        delete_when="s.op = 'D'",
+        insert_when="s.op <> 'D'",
+    )
+    return t.read().select(*_LAKE_STATE_COLS)
+
+
+@_q(
     "lake_wap_publish",
     _LAKE_LWW_STATE_ORACLE,
 )
