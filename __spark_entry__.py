@@ -3006,6 +3006,35 @@ def q_lake_tag_read(spark, sf):
 
 
 @_q(
+    "lake_branch_fastforward",
+    _LAKE_LWW_STATE_ORACLE,
+)
+def q_lake_branch_fastforward(spark, sf):
+    """Branch refs (lake/table.py create_branch / commit_deltas_to /
+    fast_forward — Iceberg branch semantics): fork an audit branch at
+    the base snapshot, land the delta slice ON THE BRANCH (main must
+    keep reading the untouched base state — certified by an explicit
+    raise), then fast-forward main onto the branch head. The oracle is
+    the merged LWW state, so a green hash certifies branch isolation,
+    the branch commit itself AND the metadata-only publish."""
+    t = _lake_build(spark, sf, deltas=False)
+    base_rows = t.read().count()
+    t.create_branch("audit")
+    from filters_spark.lake.table import bucket_expr
+
+    bkt = bucket_expr(F.col("repo"), F.col("path"), 8, 16).cast("int").alias("_bucket")
+    d = _lake_delta_df(spark, sf).select("*", bkt)
+    dtouched = sorted(r[0] for r in d.select("_bucket").distinct().collect())
+    t.commit_deltas_to(
+        "audit", d, dtouched, {b: "000000000002:0000000000" for b in dtouched}
+    )
+    if t.read().count() != base_rows:  # explicit raise: certification
+        raise AssertionError("branch commit leaked into main")
+    t.fast_forward("audit")
+    return t.read().select(*_LAKE_STATE_COLS)
+
+
+@_q(
     "lake_merge_into",
     f"""
     WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE},

@@ -290,13 +290,17 @@ class LakeTable:
         except Exception:
             # self-heal: on object stores the hint overwrite is
             # delete+rename (not atomic), so a reader racing a commit or
-            # a crash between the two ops can find it missing — the
-            # snapshot manifests themselves are create-exclusive and
-            # monotonic, so the max id IS the current snapshot
+            # a crash between the two ops can find it missing — MAIN
+            # snapshot headers are create-exclusive and monotonic, so
+            # the max main id IS the current snapshot. Branch commits
+            # also live as snap-*.json but carry a "ref" mark and never
+            # move the hint — skip them or healing would silently fast-
+            # forward main onto a branch.
             ids = self.snapshots()
-            if not ids:
-                raise
-            return ids[-1]
+            for sid in reversed(ids):
+                if "ref" not in self._raw_snapshot(sid):
+                    return sid
+            raise
 
     def snapshot(self, snapshot_id: int | None = None) -> dict:
         return self._resolve_header(self._raw_snapshot(snapshot_id))
@@ -413,7 +417,11 @@ class LakeTable:
             if fstats:
                 self._file_stats_cache[p] = fstats
 
-    def _write_snapshot(self, snapshot: dict) -> None:
+    def _write_snapshot_header(self, snapshot: dict) -> None:
+        """Persist a snapshot header (manifests + create-exclusive
+        snap-N.json) WITHOUT advancing the hint — shared by main
+        commits (which then advance it) and branch commits (which move
+        their ref instead)."""
         sid = snapshot["snapshot_id"]
         header = dict(snapshot)
         header["format"] = 2
@@ -426,13 +434,31 @@ class LakeTable:
             json.dumps(header, indent=1, sort_keys=True),
             fail_if_exists=True,
         )
-        self.io.write_text_atomic(
-            os.path.join(self.meta_dir, "version-hint.text"), str(sid)
-        )
         # the identity memo served this commit (resolve -> carry-over ->
         # write); drop it so a long replay doesn't keep every resolved
         # list alive across thousands of commits
         self._name_by_list.clear()
+
+    def _write_snapshot(self, snapshot: dict) -> None:
+        # Branch commits claim globally-unique ids from the same
+        # namespace, so "parent + 1" may be taken by a BRANCH header:
+        # that is not a commit race (the branch never moves the hint) —
+        # skip over it. An occupant WITHOUT the ref mark is a genuine
+        # concurrent main commit and the optimistic protocol raises.
+        # The dict mutates in place so callers' returned snapshot
+        # carries the id that actually landed.
+        while True:
+            try:
+                self._write_snapshot_header(snapshot)
+                break
+            except FileExistsError:
+                if "ref" not in self._raw_snapshot(snapshot["snapshot_id"]):
+                    raise
+                snapshot["snapshot_id"] += 1
+        self.io.write_text_atomic(
+            os.path.join(self.meta_dir, "version-hint.text"),
+            str(snapshot["snapshot_id"]),
+        )
 
     # -- schema (evolution-aware) -------------------------------------------
 
@@ -1260,20 +1286,34 @@ class LakeTable:
         with ``write_mode='mor'`` to make the table a change SOURCE for
         downstream consumers. Returns None when the range is empty."""
         to_id = self.current_snapshot_id() if to_snapshot_id is None else to_snapshot_id
-        present = set(self.snapshots())
-        # snapshot ids are consecutive; a gap means expire_snapshots
-        # removed part of the range — raise rather than silently drop
-        # changes (Iceberg incremental scans do the same)
-        missing = [i for i in range(since_snapshot_id + 1, to_id + 1) if i not in present]
-        if missing:
+        if to_id <= since_snapshot_id:
+            return None
+        # Walk snapshot ANCESTRY from to_id down to since_snapshot_id
+        # (Iceberg incremental scans walk lineage, not ids): branch
+        # commits interleave globally-unique ids into the same header
+        # namespace, so "every id in the numeric range" would read
+        # another branch's changes into this chain's feed. A missing
+        # ancestor header means expire_snapshots removed part of the
+        # range — raise rather than silently drop changes.
+        chain: list[int] = []
+        sid = to_id
+        while sid is not None and sid > since_snapshot_id:
+            try:
+                raw = self._raw_snapshot(sid)
+            except Exception:
+                raise ValueError(
+                    f"snapshot {sid} in ({since_snapshot_id}, {to_id}] is expired; "
+                    "the incremental range is unreadable"
+                ) from None
+            chain.append(sid)
+            sid = raw.get("parent_id")
+        if sid != since_snapshot_id:
             raise ValueError(
-                f"snapshots {missing} in ({since_snapshot_id}, {to_id}] are expired; "
-                "the incremental range is unreadable"
+                f"snapshot {since_snapshot_id} is not an ancestor of {to_id}; "
+                "the incremental range crosses chains (branch vs main?)"
             )
         file_sids: list[tuple[str, int]] = []
-        for sid in sorted(present):
-            if not (since_snapshot_id < sid <= to_id):
-                continue
+        for sid in sorted(chain):
             snap = self.snapshot(sid)
             op = snap.get("operation", "overwrite")
             if op in ("create", "compact", "rescale", "rewrite"):
@@ -1383,12 +1423,32 @@ class LakeTable:
     def _refs_path(self) -> str:
         return os.path.join(self.meta_dir, "refs.json")
 
-    def tags(self) -> dict:
-        """Named snapshot refs: ``{name: snapshot_id}``."""
+    def _refs(self) -> dict:
         p = self._refs_path()
-        if not self.io.exists(p):
-            return {}
-        return {k: int(v["snapshot_id"]) for k, v in json.loads(self.io.read_text(p)).items()}
+        return json.loads(self.io.read_text(p)) if self.io.exists(p) else {}
+
+    def tags(self) -> dict:
+        """Named immutable snapshot refs: ``{name: snapshot_id}``."""
+        return {
+            k: int(v["snapshot_id"])
+            for k, v in self._refs().items()
+            if v.get("type", "tag") == "tag"
+        }
+
+    def branches(self) -> dict:
+        """Named MUTABLE snapshot refs: ``{name: head_snapshot_id}``."""
+        return {
+            k: int(v["snapshot_id"])
+            for k, v in self._refs().items()
+            if v.get("type") == "branch"
+        }
+
+    def resolve_ref(self, name: str) -> int:
+        """Any ref name (tag or branch) -> snapshot id."""
+        refs = self._refs()
+        if name not in refs:
+            raise ValueError(f"no such ref: {name!r}")
+        return int(refs[name]["snapshot_id"])
 
     def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
         """Pin a snapshot under a stable name (Iceberg tag): readers
@@ -1396,28 +1456,36 @@ class LakeTable:
         audit marks, model-training dataset versions), and
         :meth:`expire_snapshots` will NOT expire a tagged snapshot.
         Metadata-only. Returns the pinned snapshot id."""
+        return self._create_ref(name, snapshot_id, "tag")
+
+    def _create_ref(self, name: str, snapshot_id: int | None, kind: str) -> int:
         if not name or "/" in name or name != name.strip():
-            raise ValueError(f"bad tag name: {name!r}")
+            raise ValueError(f"bad {kind} name: {name!r}")
         sid = self.current_snapshot_id() if snapshot_id is None else int(snapshot_id)
         try:
             self.snapshot(sid)
         except Exception as exc:
             raise ValueError(f"snapshot {sid} does not exist or was expired") from exc
-        p = self._refs_path()
-        refs = json.loads(self.io.read_text(p)) if self.io.exists(p) else {}
-        if name in refs:
-            raise ValueError(f"tag {name!r} already exists (drop_tag first)")
-        refs[name] = {"snapshot_id": sid, "created_ms": int(time.time() * 1000)}
-        self.io.write_text_atomic(p, json.dumps(refs))
+        refs = self._refs()
+        if name in refs:  # tags and branches share one namespace (Iceberg refs)
+            raise ValueError(f"ref {name!r} already exists")
+        refs[name] = {
+            "snapshot_id": sid,
+            "created_ms": int(time.time() * 1000),
+            "type": kind,
+        }
+        self.io.write_text_atomic(self._refs_path(), json.dumps(refs))
         return sid
 
-    def drop_tag(self, name: str) -> None:
-        p = self._refs_path()
-        refs = json.loads(self.io.read_text(p)) if self.io.exists(p) else {}
-        if name not in refs:
-            raise ValueError(f"no such tag: {name!r}")
+    def _drop_ref(self, name: str, kind: str) -> None:
+        refs = self._refs()
+        if name not in refs or refs[name].get("type", "tag") != kind:
+            raise ValueError(f"no such {kind}: {name!r}")
         del refs[name]
-        self.io.write_text_atomic(p, json.dumps(refs))
+        self.io.write_text_atomic(self._refs_path(), json.dumps(refs))
+
+    def drop_tag(self, name: str) -> None:
+        self._drop_ref(name, "tag")
 
     def resolve_tag(self, name: str) -> int:
         """Tag name -> snapshot id (use with ``read(snapshot_id=...)``,
@@ -1426,6 +1494,145 @@ class LakeTable:
         if name not in tags:
             raise ValueError(f"no such tag: {name!r}")
         return tags[name]
+
+    # -- branches (Iceberg branch semantics) ----------------------------------
+    #
+    # A branch is a MUTABLE named ref: commits to it advance the ref,
+    # never the version hint, so main readers see nothing. Branch
+    # snapshots are ordinary snap-N headers (globally-unique ids,
+    # create-exclusive, vacuum/live_files-visible by construction) with
+    # a "ref": <branch> mark that keeps them out of main's ancestry
+    # machinery (self-heal, expiry retention). Reading a branch is
+    # ``read(snapshot_id=resolve_ref(name))``; its changefeed is
+    # ``changes(fork_sid, resolve_ref(name))`` (ancestry-walked).
+    # The intended lifecycle is Iceberg's audit-branch pattern writ
+    # long: fork, run N validation/backfill commits on the branch,
+    # then ``fast_forward`` main onto it (or drop it).
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> int:
+        """Fork a mutable branch at ``snapshot_id`` (default: current
+        head). Metadata-only; shares all data by manifest reference.
+        Branch-reachable snapshots never expire while the branch
+        exists. Returns the fork snapshot id."""
+        return self._create_ref(name, snapshot_id, "branch")
+
+    def drop_branch(self, name: str) -> None:
+        """Delete the ref; the branch's exclusive snapshots lose their
+        expiry protection and age out via expire_snapshots + vacuum."""
+        self._drop_ref(name, "branch")
+
+    def _branch_head(self, name: str) -> int:
+        heads = self.branches()
+        if name not in heads:
+            raise ValueError(f"no such branch: {name!r}")
+        return heads[name]
+
+    def commit_buckets_to(
+        self,
+        branch: str,
+        df: DataFrame,
+        touched_buckets: list[int],
+        new_watermarks: dict[int, str],
+        operation: str = "overwrite",
+    ) -> dict:
+        """:meth:`commit_buckets` targeting a branch head instead of
+        main. One writer per branch: a concurrent branch commit that
+        moved the head since this one's basis raises (no rebase — a
+        CoW rewrite against a stale branch state would drop its rows)."""
+        head = self._branch_head(branch)
+        prev = self.snapshot(head)
+        out_dir = self._fresh_stage_dir(f"branch-{branch}")
+        new_files = self._write_bucket_data(
+            df, out_dir, touched_buckets, prev.get("sort_cols")
+        )
+        snapshot = self._next_bucket_snapshot(
+            new_files, new_watermarks, operation=operation, prev=prev
+        )
+        return self._commit_to_branch(branch, head, snapshot)
+
+    def commit_deltas_to(
+        self,
+        branch: str,
+        df: DataFrame,
+        touched_buckets: list[int],
+        new_watermarks: dict[int, str],
+    ) -> dict:
+        """:meth:`commit_deltas` (merge-on-read append) targeting a
+        branch head instead of main."""
+        head = self._branch_head(branch)
+        prev = self.snapshot(head)
+        out_dir = self._fresh_stage_dir(f"branch-delta-{branch}")
+        new_files = self._write_delta_data(df, out_dir, touched_buckets)
+        snapshot = self._next_delta_snapshot(
+            new_files, new_watermarks, prev=prev
+        )
+        return self._commit_to_branch(branch, head, snapshot)
+
+    def _commit_to_branch(self, branch: str, expected_head: int, snapshot: dict) -> dict:
+        """Persist a built snapshot as the branch's new head: the id is
+        globally unique (max existing + 1; the create-exclusive header
+        write loses cleanly to any racer claiming the same id), the
+        header carries the ``ref`` mark, the hint never moves, and the
+        ref advances only if no other writer moved it since
+        ``expected_head`` (single-writer-per-branch contract)."""
+        ids = self.snapshots()
+        snapshot = {
+            **snapshot,
+            "snapshot_id": (ids[-1] if ids else 0) + 1,
+            "parent_id": expected_head,
+            "ref": branch,
+        }
+        self._write_snapshot_header(snapshot)
+        refs = self._refs()
+        if refs.get(branch, {}).get("snapshot_id") != expected_head:
+            raise ValueError(
+                f"concurrent writer moved branch {branch!r}; this commit was "
+                "computed against a stale head — recompute"
+            )
+        refs[branch]["snapshot_id"] = snapshot["snapshot_id"]
+        self.io.write_text_atomic(self._refs_path(), json.dumps(refs))
+        return snapshot
+
+    def fast_forward(self, name: str) -> dict:
+        """Advance MAIN to a branch's head (Iceberg fast-forward
+        publish). Requires main to be an ancestor of the branch head —
+        anything else would silently drop main commits; diverged
+        branches must re-fork and replay. Metadata-only: the branch's
+        headers join the main chain (their ``ref`` marks are stripped
+        oldest-first, so a crash mid-way leaves a consistent prefix and
+        an unmoved hint). The branch ref survives, now pointing at
+        main's head — drop it or keep committing to it."""
+        head = self._branch_head(name)
+        cur = self.current_snapshot_id()
+        if head == cur:
+            return self.snapshot(cur)
+        chain: list[dict] = []
+        sid: int | None = head
+        while sid is not None and sid != cur:
+            try:
+                raw = self._raw_snapshot(sid)
+            except Exception:
+                raise ValueError(
+                    f"branch {name!r} ancestry is broken at snapshot {sid}"
+                ) from None
+            chain.append(raw)
+            sid = raw.get("parent_id")
+        if sid != cur:
+            raise ValueError(
+                f"main ({cur}) is not an ancestor of branch {name!r} head "
+                f"({head}): not fast-forwardable — re-fork and replay"
+            )
+        for raw in reversed(chain):
+            if raw.get("ref"):
+                h = {k: v for k, v in raw.items() if k != "ref"}
+                self.io.write_text_atomic(
+                    self._snap_path(h["snapshot_id"]),
+                    json.dumps(h, indent=1, sort_keys=True),
+                )
+        self.io.write_text_atomic(
+            os.path.join(self.meta_dir, "version-hint.text"), str(head)
+        )
+        return self.snapshot(head)
 
     # -- write-audit-publish (Iceberg WAP pattern) ---------------------------
     #
@@ -1576,13 +1783,22 @@ class LakeTable:
                 f"cannot publish {wap_id!r}: staged on parent "
                 f"{raw['parent_id']} but head is {cur} — re-stage"
             )
-        sid = raw["snapshot_id"]
         header = {k: v for k, v in raw.items() if k != "wap_id"}
-        self.io.write_text_atomic(
-            self._snap_path(sid),
-            json.dumps(header, indent=1, sort_keys=True),
-            fail_if_exists=True,
-        )
+        # same id-skip as _write_snapshot: a BRANCH header occupying the
+        # staged id is not a publish race (the hint never moved)
+        while True:
+            sid = header["snapshot_id"]
+            try:
+                self.io.write_text_atomic(
+                    self._snap_path(sid),
+                    json.dumps(header, indent=1, sort_keys=True),
+                    fail_if_exists=True,
+                )
+                break
+            except FileExistsError:
+                if "ref" not in self._raw_snapshot(sid):
+                    raise
+                header["snapshot_id"] = sid + 1
         self.io.write_text_atomic(
             os.path.join(self.meta_dir, "version-hint.text"), str(sid)
         )
@@ -1623,11 +1839,38 @@ class LakeTable:
         across snapshots, so a manifest dies only when its last
         referencing header does); no Spark job, no data IO."""
         ids = self.snapshots()
-        keep = set(ids[-max(int(keep_last), 1):])
+        # retention follows MAIN's ancestry (walk parent_id from the
+        # head), not the newest ids globally — branch commits interleave
+        # globally-unique ids, and counting them against main's budget
+        # would expire main history a branch commit displaced
+        keep = set()
+        sid: int | None = self.current_snapshot_id()
+        for _ in range(max(int(keep_last), 1)):
+            if sid is None:
+                break
+            keep.add(sid)
+            try:
+                sid = self._raw_snapshot(sid).get("parent_id")
+            except Exception:
+                break
         keep.add(self.current_snapshot_id())
         # Iceberg ref semantics: a tagged snapshot never expires — tags
-        # are exactly the promise that this state stays readable
+        # are exactly the promise that this state stays readable — and
+        # a live branch keeps its head plus its branch-exclusive
+        # ancestry (ref-marked headers back to the fork point; the
+        # fork's MAIN ancestors age out under main's own retention)
         keep.update(self.tags().values())
+        for head in self.branches().values():
+            b: int | None = head
+            while b is not None and b not in keep:
+                keep.add(b)
+                try:
+                    raw = self._raw_snapshot(b)
+                except Exception:
+                    break
+                if raw.get("ref") is None:
+                    break  # reached the main chain
+                b = raw.get("parent_id")
         expired = [i for i in ids if i not in keep]
 
         def refs(sid: int) -> set[str]:

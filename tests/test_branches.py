@@ -1,0 +1,213 @@
+"""Branch refs (lake/table.py create_branch/commit_*_to/fast_forward):
+isolation from main, ancestry-correct changefeeds, expiry protection,
+fast-forward publish, self-heal and concurrency guards."""
+
+import os
+
+import pytest
+import pyspark.sql.functions as F
+
+from filters_spark.lake.table import LakeTable, bucket_expr
+
+PAY = ["repo", "path", "commit", "event_seq", "lang", "content"]
+SRC_DDL = ("repo string, path string, `commit` string, event_seq long, "
+           "lang string, content string")
+
+
+def _bucketed(df, n=4):
+    return df.select(
+        "*",
+        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("content_sha"),
+        bucket_expr(F.col("repo"), F.col("path"), n, 16).cast("int").alias("_bucket"),
+    )
+
+
+def _delta_bucketed(spark, rows, n=4):
+    df = spark.createDataFrame(rows, SRC_DDL + ", op string")
+    return df.select(
+        "*", bucket_expr(F.col("repo"), F.col("path"), n, 16).cast("int").alias("_bucket")
+    )
+
+
+def _mk(spark, root, rows):
+    t = LakeTable.create(spark, str(root), ["repo", "path"], num_buckets=4)
+    df = _bucketed(spark.createDataFrame(rows, SRC_DDL))
+    touched = sorted(r[0] for r in df.select("_bucket").distinct().collect())
+    t.commit_buckets(df, touched, {})
+    return t
+
+
+BASE = [
+    ("r1", "a.py", "000000000001", 1, "py", "alpha"),
+    ("r2", "b.go", "000000000001", 2, "go", "beta"),
+]
+
+
+def _contents(t, sid=None):
+    df = t.read(sid)
+    return {} if df is None else {
+        (r["repo"], r["path"]): r["content"] for r in df.collect()
+    }
+
+
+def test_branch_commit_isolated_from_main(spark, tmp_path):
+    t = _mk(spark, tmp_path / "l", BASE)
+    main_head = t.current_snapshot_id()
+    t.create_branch("audit")
+    df = _bucketed(spark.createDataFrame(
+        [("r1", "a.py", "000000000002", 1, "py", "alpha-v2")], SRC_DDL))
+    touched = sorted(r[0] for r in df.select("_bucket").distinct().collect())
+    snap = t.commit_buckets_to("audit", df, touched, {})
+    # main untouched; branch sees the new row
+    assert t.current_snapshot_id() == main_head
+    assert _contents(t)[("r1", "a.py")] == "alpha"
+    assert _contents(t, t.resolve_ref("audit"))[("r1", "a.py")] == "alpha-v2"
+    assert snap["ref"] == "audit" and snap["parent_id"] == main_head
+    # beta's bucket carried over by reference onto the branch
+    assert _contents(t, t.resolve_ref("audit"))[("r2", "b.go")] == "beta"
+
+
+def test_branch_mor_commits_and_changefeed(spark, tmp_path):
+    t = _mk(spark, tmp_path / "l", BASE)
+    fork = t.current_snapshot_id()
+    t.create_branch("dev")
+    d1 = _delta_bucketed(spark, [("r1", "a.py", "000000000002", 1, "py", "v2", "U")])
+    d2 = _delta_bucketed(spark, [("r2", "b.go", "000000000003", 1, None, None, "D")])
+    for d in (d1, d2):
+        touched = sorted(r[0] for r in d.select("_bucket").distinct().collect())
+        t.commit_deltas_to("dev", d, touched, {})
+    head = t.resolve_ref("dev")
+    # branch read folds both deltas; main sees neither
+    bc = _contents(t, head)
+    assert bc[("r1", "a.py")] == "v2" and ("r2", "b.go") not in bc
+    assert _contents(t) == {("r1", "a.py"): "alpha", ("r2", "b.go"): "beta"}
+    # ancestry changefeed over the branch segment
+    ch = t.changes(fork, head)
+    ops = {(r["repo"], r["path"]): r["op"] for r in ch.collect()}
+    assert ops == {("r1", "a.py"): "U", ("r2", "b.go"): "D"}
+
+
+def test_main_changes_skip_branch_snapshots(spark, tmp_path):
+    """A branch commit interleaves a snapshot id into the global
+    sequence; main's changefeed must walk ancestry, never numeric
+    ranges, or it would ingest the branch's rows."""
+    t = _mk(spark, tmp_path / "l", BASE)
+    since = t.current_snapshot_id()
+    t.create_branch("side")
+    bd = _delta_bucketed(spark, [("r9", "x.c", "000000000002", 1, "c", "X", "U")])
+    t.commit_deltas_to(
+        "side", bd, sorted(r[0] for r in bd.select("_bucket").distinct().collect()), {})
+    md = _delta_bucketed(spark, [("r1", "a.py", "000000000003", 1, "py", "m3", "U")])
+    t.commit_deltas(
+        md, sorted(r[0] for r in md.select("_bucket").distinct().collect()), {})
+    rows = t.changes(since).collect()
+    assert {(r["repo"], r["path"]) for r in rows} == {("r1", "a.py")}
+    # and a range that crosses chains raises instead of mixing them
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.changes(t.resolve_ref("side"), t.current_snapshot_id())
+
+
+def test_fast_forward_publishes_branch(spark, tmp_path):
+    t = _mk(spark, tmp_path / "l", BASE)
+    fork = t.current_snapshot_id()
+    t.create_branch("backfill")
+    d = _delta_bucketed(spark, [("r1", "a.py", "000000000002", 1, "py", "ff", "U")])
+    t.commit_deltas_to(
+        "backfill", d, sorted(r[0] for r in d.select("_bucket").distinct().collect()), {})
+    head = t.resolve_ref("backfill")
+    snap = t.fast_forward("backfill")
+    assert snap["snapshot_id"] == head == t.current_snapshot_id()
+    assert _contents(t)[("r1", "a.py")] == "ff"
+    # the adopted header lost its ref mark: main machinery owns it now
+    assert "ref" not in t._raw_snapshot(head)
+    # main's changefeed now includes the branch segment
+    assert t.changes(fork).count() == 1
+
+
+def test_fast_forward_refuses_diverged_main(spark, tmp_path):
+    t = _mk(spark, tmp_path / "l", BASE)
+    t.create_branch("slow")
+    d = _delta_bucketed(spark, [("r1", "a.py", "000000000002", 1, "py", "b", "U")])
+    t.commit_deltas_to(
+        "slow", d, sorted(r[0] for r in d.select("_bucket").distinct().collect()), {})
+    m = _delta_bucketed(spark, [("r2", "b.go", "000000000003", 1, "go", "m", "U")])
+    t.commit_deltas(
+        m, sorted(r[0] for r in m.select("_bucket").distinct().collect()), {})
+    with pytest.raises(ValueError, match="not fast-forwardable"):
+        t.fast_forward("slow")
+
+
+def test_expiry_protects_live_branch_then_releases_dropped(spark, tmp_path):
+    t = _mk(spark, tmp_path / "l", BASE)
+    t.create_branch("keepme")
+    d = _delta_bucketed(spark, [("r1", "a.py", "000000000002", 1, "py", "kb", "U")])
+    t.commit_deltas_to(
+        "keepme", d, sorted(r[0] for r in d.select("_bucket").distinct().collect()), {})
+    bhead = t.resolve_ref("keepme")
+    # pile main commits on top, then expire hard
+    for c in (3, 4, 5):
+        md = _delta_bucketed(spark, [("r2", "b.go", "%012x" % c, 1, "go", f"m{c}", "U")])
+        t.commit_deltas(
+            md, sorted(r[0] for r in md.select("_bucket").distinct().collect()), {})
+    expired = t.expire_snapshots(keep_last=1)
+    assert bhead not in expired
+    assert _contents(t, bhead)[("r1", "a.py")] == "kb"  # branch still readable
+    t.drop_branch("keepme")
+    expired2 = t.expire_snapshots(keep_last=1)
+    assert bhead in expired2  # protection released with the ref
+
+
+def test_vacuum_keeps_branch_data(spark, tmp_path):
+    t = _mk(spark, tmp_path / "l", BASE)
+    t.create_branch("dev")
+    df = _bucketed(spark.createDataFrame(
+        [("r1", "a.py", "000000000002", 1, "py", "VV")], SRC_DDL))
+    t.commit_buckets_to(
+        "dev", df, sorted(r[0] for r in df.select("_bucket").distinct().collect()), {})
+    assert t.vacuum(dry_run=True, min_age_seconds=0) == []
+    assert _contents(t, t.resolve_ref("dev"))[("r1", "a.py")] == "VV"
+
+
+def test_branch_single_writer_guard(spark, tmp_path):
+    """A racer moving the ref between this writer's basis read and its
+    ref update must be refused (never silent last-writer-wins)."""
+    t = _mk(spark, tmp_path / "l", BASE)
+    t.create_branch("x")
+    head = t.resolve_ref("x")
+    basis = t._next_delta_snapshot({}, {}, prev=t.snapshot(head))
+    # the racer lands first
+    d = _delta_bucketed(spark, [("r1", "a.py", "000000000002", 1, "py", "z", "U")])
+    touched = sorted(r[0] for r in d.select("_bucket").distinct().collect())
+    t.commit_deltas_to("x", d, touched, {})
+    with pytest.raises(ValueError, match="stale head"):
+        t._commit_to_branch("x", head, basis)
+    # the refused attempt left the winner's head in place
+    assert t.resolve_ref("x") != head
+    rows = t.read(t.resolve_ref("x")).filter(F.col("content") == "z").count()
+    assert rows == 1
+
+
+def test_self_heal_skips_branch_heads(spark, tmp_path):
+    t = _mk(spark, tmp_path / "l", BASE)
+    main_head = t.current_snapshot_id()
+    t.create_branch("b")
+    d = _delta_bucketed(spark, [("r1", "a.py", "000000000002", 1, "py", "bb", "U")])
+    t.commit_deltas_to(
+        "b", d, sorted(r[0] for r in d.select("_bucket").distinct().collect()), {})
+    os.remove(os.path.join(t.meta_dir, "version-hint.text"))
+    t2 = LakeTable(spark, t.root)
+    assert t2.current_snapshot_id() == main_head  # NOT the branch head
+
+
+def test_ref_namespace_shared_with_tags(spark, tmp_path):
+    t = _mk(spark, tmp_path / "l", BASE)
+    t.create_tag("v1")
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_branch("v1")
+    with pytest.raises(ValueError, match="no such branch"):
+        t.drop_branch("v1")
+    t.create_branch("dev")
+    with pytest.raises(ValueError, match="no such tag"):
+        t.drop_tag("dev")
+    assert t.resolve_ref("v1") == t.resolve_tag("v1")
+    assert t.resolve_ref("dev") == t.branches()["dev"]
