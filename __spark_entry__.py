@@ -3006,6 +3006,47 @@ def q_lake_tag_read(spark, sf):
 
 
 @_q(
+    "lake_rewrite_zorder_read",
+    f"""
+    WITH {_LAKE_BASE_CTE}
+    SELECT repo, path, "commit", event_seq, lang, content,
+           sha256(content) AS content_sha
+    FROM base
+    """,
+)
+def q_lake_rewrite_zorder_read(spark, sf):
+    """Z-order re-clustering (lake/table.py rewrite_zorder — Iceberg
+    rewrite_data_files zorder strategy): the base commit scatters rows
+    randomly (every file spans both domains, nothing prunes), the
+    rewrite re-clusters along the ("commit", event_seq) Morton curve,
+    and the query raises unless BOTH dimensions actually prune files
+    afterwards — a green hash certifies the reorg was byte-lossless AND
+    measurably useful."""
+    from filters_spark.lake.table import LakeTable, bucket_expr
+
+    root = os.path.join(_tmpdir("filters_spark_lakez_"), "lake")
+    t = LakeTable.create(
+        spark, root, ["repo", "path"], num_buckets=4,
+        stats_cols=["commit", "event_seq"],
+    )
+    bkt = bucket_expr(F.col("repo"), F.col("path"), 4, 16).cast("int").alias("_bucket")
+    base = _lake_base_df(spark, sf).select("*", bkt).repartition(8)
+    # the repartition scatters rows randomly: no pre-rewrite clustering
+    touched = sorted(r[0] for r in base.select("_bucket").distinct().collect())
+    t.commit_buckets(base, touched, {b: "000000000001:0000000000" for b in touched})
+    snap = t.rewrite_zorder(("commit", "event_seq"), bits=6,
+                            target_file_bytes=16 * 1024)
+    if snap is None:
+        raise AssertionError("zorder rewrite found no candidate buckets")
+    wa = ("commit", "%012x" % 0, "%012x" % 400)
+    wb = ("event_seq", 0, 400)
+    ra, rb = t.prune_report(wa), t.prune_report(wb)
+    if not (ra["files_skipped"] > 0 and rb["files_skipped"] > 0):
+        raise AssertionError(f"zorder rewrite did not enable 2-D pruning: {ra} {rb}")
+    return t.read().select(*_LAKE_STATE_COLS)
+
+
+@_q(
     "lake_branch_fastforward",
     _LAKE_LWW_STATE_ORACLE,
 )

@@ -1227,6 +1227,82 @@ class LakeTable:
         )
         return self.commit_buckets(df, wanted, {}, operation="rewrite")
 
+    def rewrite_zorder(
+        self,
+        cols: tuple[str, str],
+        bits: int = 8,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        buckets: Iterable[int] | None = None,
+    ) -> dict | None:
+        """Re-cluster buckets by the Morton (z-order) key of two
+        columns (Iceberg ``rewrite_data_files`` zorder strategy). A
+        linear ``sort_cols`` clustering gives each data file a tight
+        range on ONE dimension; z-ordering quantizes both columns to
+        per-bucket rank space (equal-mass, skew-immune), interleaves
+        their bits, and splits each bucket into ~``ceil(bytes/target)``
+        files along the z-curve — every file covers a bounded RECTANGLE
+        in (colA, colB) space, so ``read(where=...)`` min/max skipping
+        prunes on EITHER column (operators/zorder.py holds the measured
+        comparison). Record both columns in ``stats_cols`` at table
+        creation or there are no stats to prune with.
+
+        Same safety contract as the binpack rewrite: pure physical
+        reorg (``read()`` identical, pinned by tests), ``changes()``
+        skips it, buckets with pending deltas are never touched. Unlike
+        binpack there is NO convergence guard — re-clustering is the
+        point, so this does not run from :meth:`maintain`; invoke it
+        explicitly when the query pattern warrants it. Returns the new
+        snapshot, or None when nothing qualifies."""
+        from filters_spark.operators.zorder import quantize_rank, zorder_key
+
+        snap = self.current()
+        pending = {b for b, fl in snap.get("deltas", {}).items() if fl}
+        wanted_set = None if buckets is None else {int(b) for b in buckets}
+        slots: dict[int, int] = {}
+        for b, fl in snap["buckets"].items():
+            if b in pending or (wanted_set is not None and int(b) not in wanted_set):
+                continue
+            if not fl:
+                continue
+            total = sum(self.io.size(f) for f in fl)
+            slots[int(b)] = max(1, -(-total // int(target_file_bytes)))
+        if not slots:
+            return None
+        wanted = sorted(slots)
+        payload = self.payload_cols(snap)
+        df = self.read(buckets=wanted).select(
+            "repo", "path", "commit", "event_seq", *payload, "content_sha",
+            F.col("_bucket").cast("int").alias("_bucket"),
+        )
+        tie = ["repo", "path"]
+        df = quantize_rank(df, cols[0], bits, "_qa", tiebreak=tie,
+                           group_cols=("_bucket",))
+        df = quantize_rank(df, cols[1], bits, "_qb", tiebreak=tie,
+                           group_cols=("_bucket",))
+        df = df.withColumn("_zk", zorder_key(F.col("_qa"), F.col("_qb"), bits))
+        slot_map = F.create_map(*[F.lit(x) for kv in slots.items() for x in kv])
+        wz = Window.partitionBy("_bucket").orderBy("_zk", *tie)
+        slot = F.floor(
+            F.percent_rank().over(wz) * (slot_map[F.col("_bucket")] - F.lit(0.5))
+        ).cast("int")
+        total_slots = sum(slots.values())
+        df = (
+            df.withColumn("_slot", slot)
+            .repartition(max(total_slots, 1), "_bucket", "_slot")
+            .sortWithinPartitions("_bucket", "_zk", *tie)
+            .drop("_qa", "_qb", "_zk", "_slot")
+        )
+        prev = self.current()
+        sid = prev["snapshot_id"] + 1
+        out_dir = os.path.join(self.data_dir, f"snap-{sid:08d}")
+        # sort_cols=None: rows are already z-sorted; the committing
+        # sortWithinPartitions above replaces the linear clustering
+        new_files = self._write_bucket_data(df, out_dir, wanted, None)
+        return self.commit_bucket_files(
+            new_files, {}, operation="rewrite",
+            basis_snapshot_id=prev["snapshot_id"],
+        )
+
     def maintain(
         self,
         max_delta_files: int = 8,

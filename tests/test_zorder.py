@@ -105,3 +105,71 @@ class TestQuantizeRank:
         df = spark.createDataFrame([(1.0,)], "v: double")
         with pytest.raises(ValueError):
             quantize_rank(df, "v", bits=0)
+
+
+class TestRewriteZorder:
+    """Lake-level z-order re-clustering (lake/table.py rewrite_zorder):
+    state identity, two-dimensional pruning, changes() transparency,
+    pending-delta safety."""
+
+    def _mk(self, spark, root, n=1024, grid=32):
+        from filters_spark.lake.table import LakeTable
+
+        t = LakeTable.create(
+            spark, str(root), ["repo", "path"], num_buckets=1,
+            stats_cols=["commit", "event_seq"],
+        )
+        df = (
+            spark.range(n)
+            .select(
+                F.lit("r").alias("repo"),
+                F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"),
+                F.format_string("%012x", F.col("id") % grid).alias("commit"),
+                (F.col("id") / grid).cast("long").alias("event_seq"),
+                F.lit("py").alias("lang"),
+                F.concat(F.lit("c"), F.col("id").cast("string")).alias("content"),
+            )
+            .select(
+                "*",
+                F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("content_sha"),
+                F.lit(0).alias("_bucket"),
+            )
+            .repartition(8)  # random placement: nothing prunes pre-rewrite
+        )
+        t.commit_buckets(df, [0], {})
+        return t
+
+    def test_rewrite_zorder_prunes_both_dims_state_identical(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "zl")
+        before = sorted(map(tuple, t.read().collect()))
+        pre_sid = t.current_snapshot_id()
+        wa = ("commit", "%012x" % 0, "%012x" % 3)
+        wb = ("event_seq", 0, 3)
+        pre_a = t.prune_report(wa)
+        snap = t.rewrite_zorder(("commit", "event_seq"), bits=6,
+                                target_file_bytes=6000)
+        assert snap is not None and snap["operation"] == "rewrite"
+        assert sorted(map(tuple, t.read().collect())) == before  # byte-lossless
+        n_files = sum(len(fl) for fl in snap["buckets"].values())
+        assert n_files >= 4  # actually split along the z-curve
+        rep_a, rep_b = t.prune_report(wa), t.prune_report(wb)
+        # every file spans the domain pre-rewrite: nothing skippable
+        assert pre_a["files_skipped"] == 0
+        # post-rewrite, BOTH dimensions prune
+        assert rep_a["files_skipped"] > 0 and rep_b["files_skipped"] > 0
+        # and the pruned read is still value-correct
+        got = {r["path"] for r in t.read(where=wb).collect()}
+        want = {r[1] for r in before if 0 <= r[3] <= 3}
+        assert got == want
+        # physical reorg: no logical change
+        assert t.changes(pre_sid) is None
+
+    def test_rewrite_zorder_skips_pending_delta_buckets(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "zl2", n=64, grid=8)
+        d = spark.createDataFrame(
+            [("r", "p1", "0000000000ff", 99, "py", "vv", "U")],
+            "repo string, path string, `commit` string, event_seq long, "
+            "lang string, content string, op string",
+        ).select("*", F.lit(0).alias("_bucket"))
+        t.commit_deltas(d, [0], {0: "0000000000ff:0000000099"})
+        assert t.rewrite_zorder(("commit", "event_seq")) is None
