@@ -101,7 +101,67 @@ def kafka_source(spark: SparkSession, options: Mapping) -> DataFrame:
     ).select("_e.*")
 
 
-SOURCES: dict[str, SourceAdapter] = {"files": file_source, "kafka": kafka_source}
+def debezium_file_source(spark: SparkSession, options: Mapping) -> DataFrame:
+    """Debezium envelope tail from files: every LINE of a text file
+    appearing under ``options["path"]`` is one JSON envelope (the shape
+    a connect-sink archive or a binlog-to-file shipper produces). The
+    decode is ``sources/debezium.parse_debezium`` — map-only native
+    from_json, so the stream plan stays one codegen stage per
+    micro-batch. Options: ``path`` (required); ``fields`` (payload
+    columns, default the canonical repo schema); ``schema_version``;
+    ``commit_expr``/``seq_expr`` (callables, see parse_debezium) for
+    non-MySQL ordering; ``max_files_per_trigger`` back-pressure."""
+    from filters_spark.sources.debezium import parse_debezium
+
+    reader = spark.readStream
+    if options.get("max_files_per_trigger") is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", int(options["max_files_per_trigger"])
+        )
+    raw = reader.text(options["path"])
+    return parse_debezium(
+        raw,
+        options.get("fields", ["repo", "path", "lang", "content"]),
+        schema_version=options.get("schema_version", 1),
+        commit_expr=options.get("commit_expr"),
+        seq_expr=options.get("seq_expr"),
+    )
+
+
+def debezium_kafka_source(spark: SparkSession, options: Mapping) -> DataFrame:
+    """Debezium-over-Kafka: the production binlog tail — raw connector
+    records in, engine events out (same options as ``kafka_source``
+    plus ``fields``/``schema_version``/``commit_expr``/``seq_expr``).
+    Needs the spark-sql-kafka jar; the decode path is identical to
+    ``debezium_file_source`` and is what the sandbox tests pin."""
+    from filters_spark.sources.debezium import parse_debezium
+
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", options["bootstrap_servers"])
+        .option("subscribe", options["subscribe"])
+        .option("startingOffsets", options.get("starting_offsets", "earliest"))
+    )
+    if options.get("max_offsets_per_trigger") is not None:
+        reader = reader.option(
+            "maxOffsetsPerTrigger", int(options["max_offsets_per_trigger"])
+        )
+    raw = reader.load().select(F.col("value").cast("string").alias("value"))
+    return parse_debezium(
+        raw,
+        options.get("fields", ["repo", "path", "lang", "content"]),
+        schema_version=options.get("schema_version", 1),
+        commit_expr=options.get("commit_expr"),
+        seq_expr=options.get("seq_expr"),
+    )
+
+
+SOURCES: dict[str, SourceAdapter] = {
+    "files": file_source,
+    "kafka": kafka_source,
+    "debezium-files": debezium_file_source,
+    "debezium-kafka": debezium_kafka_source,
+}
 
 
 def open_source(spark: SparkSession, kind: str, options: Mapping) -> DataFrame:

@@ -3,6 +3,7 @@ ordering derivation, drop semantics, and end-to-end composition with
 the CDC engine."""
 
 import json
+import os
 
 import pyspark.sql.functions as F
 
@@ -139,6 +140,42 @@ def test_parse_is_map_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def envelope_df(ev):
+    """Wrap an engine event frame as Debezium envelopes (one JSON per
+    row in column ``value``): commit hex -> binlog file suffix
+    (decimal), event_seq -> pos; row images as maps. Deletes carry the
+    FULL before image (MySQL's default binlog_row_image=FULL): the
+    engine's validation chain runs on every event including tombstones,
+    so a key-only before image would dead-letter the delete on the
+    required-content filter. Recover ordering with
+    ``seq_expr=lambda s: s["pos"].cast("long")``."""
+    dbz_op = (
+        F.when(F.col("op") == "I", F.lit("c"))
+        .when(F.col("op") == "U", F.lit("u"))
+        .otherwise(F.lit("d"))
+    )
+    image = F.create_map(
+        F.lit("repo"), F.col("repo"), F.lit("path"), F.col("path"),
+        F.lit("lang"), F.col("lang"), F.lit("content"), F.col("content"),
+    )
+    src = F.struct(
+        F.concat(F.lit("mysql-bin."),
+                 F.lpad(F.conv(F.col("commit"), 16, 10), 9, "0")).alias("file"),
+        F.col("event_seq").alias("pos"),
+        F.lit(0).alias("row"),
+    )
+    return ev.select(
+        F.to_json(
+            F.struct(
+                F.when(F.col("op") == "D", image).alias("before"),
+                F.when(F.col("op") != "D", image).alias("after"),
+                src.alias("source"),
+                dbz_op.alias("op"),
+            )
+        ).alias("value")
+    )
+
+
 def test_engine_end_to_end_vs_direct_apply(spark, tmp_path):
     """gen_events -> wrap as Debezium envelopes -> parse -> apply_batch
     produces byte-identical final state to applying the events
@@ -150,40 +187,8 @@ def test_engine_end_to_end_vs_direct_apply(spark, tmp_path):
 
     ev = gen_events(spark, n_events=2000, n_repos=20, n_paths=150,
                     hot_frac=0.1, dirty_frac=0.05, seed=7)
-
-    # wrap into envelopes natively: commit hex -> binlog file suffix
-    # (decimal), event_seq -> pos; row images as maps
-    dbz_op = (
-        F.when(F.col("op") == "I", F.lit("c"))
-        .when(F.col("op") == "U", F.lit("u"))
-        .otherwise(F.lit("d"))
-    )
-    # deletes carry the FULL before image (MySQL's default
-    # binlog_row_image=FULL): the engine's validation chain runs on
-    # every event including tombstones, so a key-only before image
-    # would dead-letter the delete on the required-content filter
-    image = F.create_map(
-        F.lit("repo"), F.col("repo"), F.lit("path"), F.col("path"),
-        F.lit("lang"), F.col("lang"), F.lit("content"), F.col("content"),
-    )
-    src = F.struct(
-        F.concat(F.lit("mysql-bin."),
-                 F.lpad(F.conv(F.col("commit"), 16, 10), 9, "0")).alias("file"),
-        F.col("event_seq").alias("pos"),
-        F.lit(0).alias("row"),
-    )
-    envelopes = ev.select(
-        F.to_json(
-            F.struct(
-                F.when(F.col("op") == "D", image).alias("before"),
-                F.when(F.col("op") != "D", image).alias("after"),
-                src.alias("source"),
-                dbz_op.alias("op"),
-            )
-        ).alias("value")
-    )
     parsed = parse_debezium(
-        envelopes, ["repo", "path", "lang", "content"],
+        envelope_df(ev), ["repo", "path", "lang", "content"],
         seq_expr=lambda s: s["pos"].cast("long"),
     )
 
@@ -213,3 +218,49 @@ def test_default_exprs_exposed(spark):
         default_seq_expr(env["payload"]["source"]).alias("s"),
     ).collect()[0]
     assert r["c"] == "%012x" % 255 and r["s"] == 7 * 65536 + 3
+
+
+def test_streaming_debezium_source_end_to_end(spark, tmp_path):
+    """The full production shape: Debezium JSON envelopes landing as
+    text WAL segments -> streaming tail (open_source 'debezium-files')
+    -> foreachBatch engine apply == the direct batch apply, and a
+    restart over the same checkpoint changes nothing (exactly-once)."""
+    from filters_spark.streaming.stream import open_source, start_cdc_stream
+
+    from tests.test_cdc_engine import events_df, final_state, make_engine
+
+    ev = events_df(spark, n_events=800, dirty_frac=0.05)
+    batch_engine = make_engine(spark, str(tmp_path / "batch"))
+    batch_engine.apply_batch(ev)
+    expected = final_state(batch_engine)
+
+    # WAL segments must respect source order (the adapter contract:
+    # per key, (commit, event_seq) non-decreasing across delivery) —
+    # split by commit, never arbitrarily
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal)
+    mid = "000000000005"
+    envelope_df(ev.filter(F.col("commit") <= mid)).coalesce(1).write.text(
+        os.path.join(wal, "f1"))
+    envelope_df(ev.filter(F.col("commit") > mid)).coalesce(1).write.text(
+        os.path.join(wal, "f2"))
+
+    stream_engine = make_engine(spark, str(tmp_path / "stream"))
+    src = open_source(spark, "debezium-files", {
+        "path": wal + "/*/",
+        "seq_expr": lambda s: s["pos"].cast("long"),
+        "max_files_per_trigger": 1,
+    })
+    assert src.isStreaming
+    q = start_cdc_stream(stream_engine, src, str(tmp_path / "ckpt"),
+                         trigger_once=True)
+    q.awaitTermination(300)
+    assert final_state(stream_engine) == expected
+
+    sid = stream_engine.table.current_snapshot_id()
+    q2 = start_cdc_stream(stream_engine, open_source(spark, "debezium-files", {
+        "path": wal + "/*/", "seq_expr": lambda s: s["pos"].cast("long"),
+    }), str(tmp_path / "ckpt"), trigger_once=True)
+    q2.awaitTermination(300)
+    assert stream_engine.table.current_snapshot_id() == sid
+    assert final_state(stream_engine) == expected
