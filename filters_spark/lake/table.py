@@ -671,6 +671,80 @@ class LakeTable:
                 return None
         return total
 
+    def snapshot_as_of(self, ts_ms: int) -> int:
+        """Snapshot id current AS OF a wall-clock time (Iceberg
+        ``FOR TIMESTAMP AS OF``): the newest MAIN-chain snapshot whose
+        commit timestamp is <= ``ts_ms``. Walks head ancestry (branch
+        snapshots are invisible — they were never "current"); raises
+        when ``ts_ms`` predates retained history (the snapshot that was
+        current then has been expired, or the table didn't exist)."""
+        sid: int | None = self.current_snapshot_id()
+        while sid is not None:
+            try:
+                raw = self._raw_snapshot(sid)
+            except Exception:
+                break
+            if raw["timestamp_ms"] <= ts_ms:
+                return sid
+            sid = raw.get("parent_id")
+        raise ValueError(
+            f"no retained snapshot at or before timestamp {ts_ms} "
+            "(expired history or pre-creation time)"
+        )
+
+    def history(self) -> list[dict]:
+        """The Iceberg ``history`` metadata table: one row per RETAINED
+        snapshot, ancestry-ordered oldest-first, flagged with whether
+        the snapshot is on the current main chain (rollback leaves
+        superseded snapshots retained but off-chain) or belongs to a
+        branch. Driver-side metadata only — no Spark job."""
+        on_main: set[int] = set()
+        sid: int | None = self.current_snapshot_id()
+        while sid is not None:
+            on_main.add(sid)
+            try:
+                sid = self._raw_snapshot(sid).get("parent_id")
+            except Exception:
+                break
+        out = []
+        for s in self.snapshots():
+            raw = self._raw_snapshot(s)
+            out.append(
+                {
+                    "snapshot_id": s,
+                    "parent_id": raw.get("parent_id"),
+                    "timestamp_ms": raw["timestamp_ms"],
+                    "operation": raw.get("operation", "overwrite"),
+                    "is_current_ancestor": s in on_main,
+                    "ref": raw.get("ref"),
+                }
+            )
+        return out
+
+    def files(self, snapshot_id: int | None = None) -> list[dict]:
+        """The Iceberg ``files`` metadata table: one row per live data
+        file of a snapshot (base and delta), with bucket, kind, size and
+        any manifest-recorded stats (row counts, per-column min/max).
+        Driver-side metadata only — capacity planning, small-file
+        monitoring and pruning diagnostics read THIS, never a scan."""
+        snap = self.snapshot(snapshot_id)
+        out = []
+        for kind in ("buckets", "deltas"):
+            for b, fl in snap.get(kind, {}).items():
+                for f in fl:
+                    st = dict(self._file_stats_cache.get(f) or {})
+                    out.append(
+                        {
+                            "bucket": int(b),
+                            "kind": "base" if kind == "buckets" else "delta",
+                            "path": f,
+                            "size_bytes": self.io.size(f),
+                            "rows": st.pop("__rows", None),
+                            "stats": st or None,
+                        }
+                    )
+        return out
+
     def rollback(self, snapshot_id: int) -> dict:
         """Restore the table to a prior snapshot's state as a NEW
         commit (Iceberg rollback semantics): metadata-only — the new
