@@ -76,8 +76,14 @@ def merge_into(
     clause. ``content_sha`` is always recomputed from the final
     ``content`` — it is derived state, never directly assignable.
 
-    Rows with a NULL key never match (SQL join semantics): they
-    insert when the insert clause admits them. Source watermarks are
+    Rows with a NULL key never match (SQL join semantics): a single
+    NULL-key row inserts when the insert clause admits it. Source
+    key uniqueness is enforced for EVERY key, matched or not and NULL
+    included — stricter than ANSI (which only polices multiple matches
+    of one target row) because this table's read surface assumes
+    key-unique state: admitting two same-key inserts would plant a
+    duplicate that every downstream LWW fold then resolves
+    arbitrarily. Source watermarks are
     not consulted — this is the one-shot relational merge; replayed
     feeds with exactly-once needs go through ``CDCEngine``.
     ``new_watermarks`` (bucket -> "commit:seq") is offered for callers
@@ -101,9 +107,10 @@ def merge_into(
     if not touched:
         return None
 
-    # ANSI merge cardinality: at most one source row per key. The guard
-    # rides the window over the key columns (the same partitioning the
-    # join shuffles to) and trips executor-side at write time.
+    # Source-key uniqueness guard (see docstring: stricter than ANSI
+    # by design). Rides the window over the key columns (the same
+    # partitioning the join shuffles to); trips executor-side at write
+    # time.
     wkey = Window.partitionBy(*[F.col(c) for c in on])
     src = src.withColumn("_src_n", F.count(F.lit(1)).over(wkey))
     src2 = src.select(
@@ -136,7 +143,12 @@ def merge_into(
     matched = tp & sp
 
     def cl(expr: str | None):
-        return F.expr(expr) if expr is not None else F.lit(True)
+        # ANSI: a clause whose condition is UNKNOWN does not apply —
+        # coalesce to false, or a NULL delete_when on a matched row
+        # would null the keep predicate and silently delete it
+        if expr is None:
+            return F.lit(True)
+        return F.coalesce(F.expr(expr), F.lit(False))
 
     is_del = matched & cl(delete_when) if delete_when is not None else F.lit(False)
     is_upd = (
@@ -160,8 +172,8 @@ def merge_into(
     keep_guarded = F.when(
         sp & (F.col("_src_n") > 1),
         F.raise_error(F.lit(
-            "MERGE cardinality violation: multiple source rows match one "
-            "target key"
+            "MERGE cardinality violation: duplicate source rows for one "
+            "merge key"
         )).cast("boolean"),
     ).otherwise(keep)
     out = (

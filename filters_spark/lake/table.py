@@ -1366,15 +1366,16 @@ class LakeTable:
             .sortWithinPartitions("_bucket", "_zk", *tie)
             .drop("_qa", "_qb", "_zk", "_slot")
         )
-        prev = self.current()
-        sid = prev["snapshot_id"] + 1
+        sid = snap["snapshot_id"] + 1
         out_dir = os.path.join(self.data_dir, f"snap-{sid:08d}")
         # sort_cols=None: rows are already z-sorted; the committing
-        # sortWithinPartitions above replaces the linear clustering
+        # sortWithinPartitions above replaces the linear clustering.
+        # `snap` (read at the top) is the compute basis — a commit
+        # landing mid-rewrite is caught by the basis check.
         new_files = self._write_bucket_data(df, out_dir, wanted, None)
         return self.commit_bucket_files(
             new_files, {}, operation="rewrite",
-            basis_snapshot_id=prev["snapshot_id"],
+            basis_snapshot_id=snap["snapshot_id"],
         )
 
     def maintain(
@@ -1466,8 +1467,12 @@ class LakeTable:
         for sid in sorted(chain):
             snap = self.snapshot(sid)
             op = snap.get("operation", "overwrite")
-            if op in ("create", "compact", "rescale", "rewrite"):
-                continue  # physical reorganizations: no logical change
+            if op in ("create", "compact", "rescale", "rewrite", "fast-forward"):
+                # physical reorganizations / pointer adoptions: no
+                # logical change of their own (a fast-forward's changes
+                # live in the branch headers it adopted, which this
+                # ancestry walk traverses)
+                continue
             if op != "append-deltas":
                 raise ValueError(
                     f"snapshot {sid} is {op!r} (copy-on-write): no row-level "
@@ -1571,11 +1576,26 @@ class LakeTable:
     # -- named refs (Iceberg tag semantics) ---------------------------------
 
     def _refs_path(self) -> str:
+        """Legacy single-file ref store (read-compat only; new refs
+        live in per-ref files so writers on different refs never
+        read-modify-write each other's state)."""
         return os.path.join(self.meta_dir, "refs.json")
 
+    def _ref_file(self, name: str) -> str:
+        return os.path.join(self.meta_dir, f"ref-{name}.json")
+
     def _refs(self) -> dict:
+        """All named refs, merged: legacy ``refs.json`` entries plus
+        one ``ref-<name>.json`` per ref (per-file wins on collision).
+        Per-file storage is the concurrency unit — a tag create and two
+        branch commits touch three different files, no shared RMW."""
         p = self._refs_path()
-        return json.loads(self.io.read_text(p)) if self.io.exists(p) else {}
+        out = dict(json.loads(self.io.read_text(p))) if self.io.exists(p) else {}
+        for fn in self.io.listdir(self.meta_dir):
+            if fn.startswith("ref-") and fn.endswith(".json"):
+                body = json.loads(self.io.read_text(os.path.join(self.meta_dir, fn)))
+                out[fn[4:-5]] = body
+        return out
 
     def tags(self) -> dict:
         """Named immutable snapshot refs: ``{name: snapshot_id}``."""
@@ -1609,30 +1629,48 @@ class LakeTable:
         return self._create_ref(name, snapshot_id, "tag")
 
     def _create_ref(self, name: str, snapshot_id: int | None, kind: str) -> int:
-        if not name or "/" in name or name != name.strip():
+        if (
+            not name
+            or name != name.strip()
+            or any(c in name for c in "/\\")
+            or name.startswith(".")
+        ):
             raise ValueError(f"bad {kind} name: {name!r}")
         sid = self.current_snapshot_id() if snapshot_id is None else int(snapshot_id)
         try:
             self.snapshot(sid)
         except Exception as exc:
             raise ValueError(f"snapshot {sid} does not exist or was expired") from exc
-        refs = self._refs()
-        if name in refs:  # tags and branches share one namespace (Iceberg refs)
+        # tags and branches share one namespace (Iceberg refs). Legacy
+        # refs.json names are checked first; the per-file write is
+        # create-exclusive, so two racers creating the same name
+        # serialize on the filesystem, not on a read-modify-write.
+        if name in self._refs():
             raise ValueError(f"ref {name!r} already exists")
-        refs[name] = {
+        body = {
             "snapshot_id": sid,
             "created_ms": int(time.time() * 1000),
             "type": kind,
         }
-        self.io.write_text_atomic(self._refs_path(), json.dumps(refs))
+        self.io.write_text_atomic(
+            self._ref_file(name), json.dumps(body), fail_if_exists=True
+        )
         return sid
 
     def _drop_ref(self, name: str, kind: str) -> None:
         refs = self._refs()
         if name not in refs or refs[name].get("type", "tag") != kind:
             raise ValueError(f"no such {kind}: {name!r}")
-        del refs[name]
-        self.io.write_text_atomic(self._refs_path(), json.dumps(refs))
+        if self.io.exists(self._ref_file(name)):
+            self.io.remove(self._ref_file(name))
+        legacy_p = self._refs_path()
+        if self.io.exists(legacy_p):
+            legacy = json.loads(self.io.read_text(legacy_p))
+            if name in legacy:
+                # also purge any legacy entry the per-ref file was
+                # shadowing, or dropping the file would resurrect it
+                legacy.pop(name)
+                self.io.write_text_atomic(legacy_p, json.dumps(legacy))
 
     def drop_tag(self, name: str) -> None:
         self._drop_ref(name, "tag")
@@ -1733,30 +1771,47 @@ class LakeTable:
             "ref": branch,
         }
         self._write_snapshot_header(snapshot)
-        refs = self._refs()
-        if refs.get(branch, {}).get("snapshot_id") != expected_head:
+        # the ref advance touches ONLY this branch's file — commits to
+        # other branches / tag creates can never lose this update to a
+        # shared read-modify-write
+        ref_p = self._ref_file(branch)
+        if not self.io.exists(ref_p):
+            # legacy refs.json table: migrate this branch to a per-ref
+            # file on first commit (the legacy entry is shadowed)
+            body = self._refs()[branch]
+        else:
+            body = json.loads(self.io.read_text(ref_p))
+        if body.get("snapshot_id") != expected_head:
             raise ValueError(
                 f"concurrent writer moved branch {branch!r}; this commit was "
                 "computed against a stale head — recompute"
             )
-        refs[branch]["snapshot_id"] = snapshot["snapshot_id"]
-        self.io.write_text_atomic(self._refs_path(), json.dumps(refs))
+        body["snapshot_id"] = snapshot["snapshot_id"]
+        self.io.write_text_atomic(ref_p, json.dumps(body))
         return snapshot
 
     def fast_forward(self, name: str) -> dict:
         """Advance MAIN to a branch's head (Iceberg fast-forward
         publish). Requires main to be an ancestor of the branch head —
         anything else would silently drop main commits; diverged
-        branches must re-fork and replay. Metadata-only: the branch's
-        headers join the main chain (their ``ref`` marks are stripped
-        oldest-first, so a crash mid-way leaves a consistent prefix and
-        an unmoved hint). The branch ref survives, now pointing at
-        main's head — drop it or keep committing to it."""
+        branches must re-fork and replay.
+
+        Metadata-only, committed as an ADOPTION snapshot: a new main
+        header (``operation='fast-forward'``, parent = branch head,
+        content = the head's manifests by reference) written through
+        the same create-exclusive protocol as every commit — so a main
+        writer racing the fast-forward loses (or wins) the id race
+        cleanly instead of both hint writes last-writer-winning and one
+        side's data silently vanishing. The branch's own headers keep
+        their ``ref`` marks but are now main ancestors (``changes()``
+        walks through them; the adoption itself carries no logical
+        change and is skipped like compact/rescale). The branch ref
+        survives, pointing at its old head — drop it or keep committing
+        to it."""
         head = self._branch_head(name)
         cur = self.current_snapshot_id()
         if head == cur:
             return self.snapshot(cur)
-        chain: list[dict] = []
         sid: int | None = head
         while sid is not None and sid != cur:
             try:
@@ -1765,24 +1820,26 @@ class LakeTable:
                 raise ValueError(
                     f"branch {name!r} ancestry is broken at snapshot {sid}"
                 ) from None
-            chain.append(raw)
             sid = raw.get("parent_id")
         if sid != cur:
             raise ValueError(
                 f"main ({cur}) is not an ancestor of branch {name!r} head "
                 f"({head}): not fast-forwardable — re-fork and replay"
             )
-        for raw in reversed(chain):
-            if raw.get("ref"):
-                h = {k: v for k, v in raw.items() if k != "ref"}
-                self.io.write_text_atomic(
-                    self._snap_path(h["snapshot_id"]),
-                    json.dumps(h, indent=1, sort_keys=True),
-                )
-        self.io.write_text_atomic(
-            os.path.join(self.meta_dir, "version-hint.text"), str(head)
+        target = self.snapshot(head)
+        ids = self.snapshots()
+        adoption = {
+            k: v for k, v in target.items() if k != "ref"
+        }
+        adoption.update(
+            snapshot_id=(ids[-1] if ids else 0) + 1,
+            parent_id=head,
+            timestamp_ms=int(time.time() * 1000),
+            operation="fast-forward",
+            added_files=[],
         )
-        return self.snapshot(head)
+        self._write_snapshot(adoption)
+        return adoption
 
     # -- write-audit-publish (Iceberg WAP pattern) ---------------------------
     #

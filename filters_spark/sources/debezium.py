@@ -140,11 +140,14 @@ def parse_debezium(
     out = df.select(p.alias("_p")).filter(F.col("_p")["op"].isNotNull())
     p = F.col("_p")
     op = p["op"]
-    engine_op = F.when(op.isin("c", "r"), F.lit("I")).otherwise(
-        F.when(op == "u", F.lit("U")).otherwise(
-            F.when(op == "d", F.lit("D"))
+    engine_op = None
+    for dbz, eng in _OP_MAP.items():
+        cond = op == dbz
+        engine_op = (
+            F.when(cond, F.lit(eng))
+            if engine_op is None
+            else engine_op.when(cond, F.lit(eng))
         )
-    )
     image = F.when(op == "d", p["before"]).otherwise(
         F.coalesce(p["after"], p["before"])
     )

@@ -116,12 +116,18 @@ def test_fast_forward_publishes_branch(spark, tmp_path):
         "backfill", d, sorted(r[0] for r in d.select("_bucket").distinct().collect()), {})
     head = t.resolve_ref("backfill")
     snap = t.fast_forward("backfill")
-    assert snap["snapshot_id"] == head == t.current_snapshot_id()
+    # published via an ADOPTION commit: a new main header whose parent
+    # is the branch head, serialized by the create-exclusive protocol
+    assert snap["operation"] == "fast-forward"
+    assert snap["parent_id"] == head
+    assert t.current_snapshot_id() == snap["snapshot_id"] > head
+    assert "ref" not in t._raw_snapshot(snap["snapshot_id"])
     assert _contents(t)[("r1", "a.py")] == "ff"
-    # the adopted header lost its ref mark: main machinery owns it now
-    assert "ref" not in t._raw_snapshot(head)
-    # main's changefeed now includes the branch segment
+    # main's changefeed now includes the branch segment (the adoption
+    # itself carries no logical change)
     assert t.changes(fork).count() == 1
+    # and main history flows through the adopted branch headers
+    assert t.snapshot_as_of(snap["timestamp_ms"]) == snap["snapshot_id"]
 
 
 def test_fast_forward_refuses_diverged_main(spark, tmp_path):
@@ -211,3 +217,39 @@ def test_ref_namespace_shared_with_tags(spark, tmp_path):
         t.drop_tag("dev")
     assert t.resolve_ref("v1") == t.resolve_tag("v1")
     assert t.resolve_ref("dev") == t.branches()["dev"]
+
+
+def test_concurrent_commits_to_two_branches_both_survive(spark, tmp_path):
+    """Per-ref files: advancing branch X can never lose branch Y's
+    advance to a shared read-modify-write (each ref is its own file)."""
+    t = _mk(spark, tmp_path / "l", BASE)
+    t.create_branch("x")
+    t.create_branch("y")
+    hx, hy = t.resolve_ref("x"), t.resolve_ref("y")
+    # interleave the two writers' read-basis and commit phases
+    sx = t._next_delta_snapshot({}, {}, prev=t.snapshot(hx))
+    sy = t._next_delta_snapshot({}, {}, prev=t.snapshot(hy))
+    cx = t._commit_to_branch("x", hx, sx)
+    cy = t._commit_to_branch("y", hy, sy)
+    assert t.resolve_ref("x") == cx["snapshot_id"]
+    assert t.resolve_ref("y") == cy["snapshot_id"]
+
+
+def test_fast_forward_serializes_with_main_commits(spark, tmp_path):
+    """The adoption commit goes through the create-exclusive header
+    protocol, so a main commit racing the fast-forward cannot make
+    either side's data silently vanish."""
+    t = _mk(spark, tmp_path / "l", BASE)
+    fork = t.current_snapshot_id()
+    t.create_branch("b")
+    d = _delta_bucketed(spark, [("r1", "a.py", "000000000002", 1, "py", "B", "U")])
+    t.commit_deltas_to(
+        "b", d, sorted(r[0] for r in d.select("_bucket").distinct().collect()), {})
+    t.fast_forward("b")
+    # a main commit AFTER the fast-forward builds on the adoption
+    m = _delta_bucketed(spark, [("r2", "b.go", "000000000003", 1, "go", "M", "U")])
+    t.commit_deltas(
+        m, sorted(r[0] for r in m.select("_bucket").distinct().collect()), {})
+    st = _contents(t)
+    assert st[("r1", "a.py")] == "B" and st[("r2", "b.go")] == "M"
+    assert t.changes(fork).count() == 2  # both segments in the feed
