@@ -1763,13 +1763,20 @@ class LakeTable:
         header carries the ``ref`` mark, the hint never moves, and the
         ref advances only if no other writer moved it since
         ``expected_head`` (single-writer-per-branch contract)."""
+        snapshot = {**snapshot, "parent_id": expected_head}
+        self._persist_branch_snapshot(branch, snapshot)
+        return snapshot
+
+    def _persist_branch_snapshot(self, branch: str, snapshot: dict) -> None:
+        """Branch-side twin of :meth:`_write_snapshot` (shared by
+        :meth:`_commit_to_branch` and the BranchTable view): MUTATES
+        ``snapshot`` to the globally-unique id that actually landed,
+        marks it with the ref, persists the header create-exclusively
+        and CAS-advances the ref file from ``snapshot['parent_id']``."""
+        expected_head = snapshot["parent_id"]
         ids = self.snapshots()
-        snapshot = {
-            **snapshot,
-            "snapshot_id": (ids[-1] if ids else 0) + 1,
-            "parent_id": expected_head,
-            "ref": branch,
-        }
+        snapshot["snapshot_id"] = (ids[-1] if ids else 0) + 1
+        snapshot["ref"] = branch
         self._write_snapshot_header(snapshot)
         # the ref advance touches ONLY this branch's file — commits to
         # other branches / tag creates can never lose this update to a
@@ -1788,7 +1795,6 @@ class LakeTable:
             )
         body["snapshot_id"] = snapshot["snapshot_id"]
         self.io.write_text_atomic(ref_p, json.dumps(body))
-        return snapshot
 
     def fast_forward(self, name: str) -> dict:
         """Advance MAIN to a branch's head (Iceberg fast-forward

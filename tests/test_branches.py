@@ -253,3 +253,103 @@ def test_fast_forward_serializes_with_main_commits(spark, tmp_path):
     st = _contents(t)
     assert st[("r1", "a.py")] == "B" and st[("r2", "b.go")] == "M"
     assert t.changes(fork).count() == 2  # both segments in the feed
+
+
+class TestBranchIngest:
+    """BranchTable (lake/branch.py): the WHOLE CDC engine runs against
+    a branch view unchanged — the Iceberg audit-branch pattern at
+    stream granularity."""
+
+    def _engines(self, spark, tmp_path, write_mode):
+        from filters_spark.engine.cdc import CDCEngine
+        from filters_spark.engine.defaults import default_registry
+        from filters_spark.lake.branch import BranchTable
+
+        from tests.test_cdc_engine import events_df
+
+        ev = events_df(spark, n_events=1200, dirty_frac=0.08)
+        main_t = LakeTable.create(
+            spark, str(tmp_path / "direct"), ["repo", "path"], num_buckets=4)
+        direct = CDCEngine(spark, main_t, default_registry(),
+                           write_mode=write_mode)
+
+        t = LakeTable.create(
+            spark, str(tmp_path / "branched"), ["repo", "path"], num_buckets=4)
+        t.create_branch("ingest")
+        via_branch = CDCEngine(spark, BranchTable(t, "ingest"),
+                               default_registry(), write_mode=write_mode)
+        return ev, direct, via_branch, t
+
+    @staticmethod
+    def _shas(df):
+        return sorted((r["repo"], r["path"], r["content_sha"])
+                      for r in df.select("repo", "path", "content_sha").collect())
+
+    def test_replay_onto_branch_then_fast_forward(self, spark, tmp_path):
+        ev, direct, via_branch, t = self._engines(spark, tmp_path, "cow")
+        direct.replay(ev, num_batches=2)
+        expected = self._shas(direct.table.read())
+
+        main_head = t.current_snapshot_id()
+        via_branch.replay(ev, num_batches=2)
+        # main never saw a row; the branch holds the full replay
+        assert t.current_snapshot_id() == main_head
+        assert t.read() is None or self._shas(t.read()) == []
+        assert self._shas(via_branch.table.read()) == expected
+
+        # exactly-once is scoped to the branch: full re-replay no-ops
+        m = via_branch.replay(ev, num_batches=1)
+        assert sum(x["applied"] for x in m) == 0
+
+        t.fast_forward("ingest")
+        assert self._shas(t.read()) == expected  # published to main
+
+    def test_mor_replay_and_compaction_on_branch(self, spark, tmp_path):
+        ev, direct, via_branch, t = self._engines(spark, tmp_path, "mor")
+        direct.replay(ev, num_batches=3)
+        expected = self._shas(direct.table.read())
+        via_branch.replay(ev, num_batches=3)
+        assert self._shas(via_branch.table.read()) == expected
+        # compaction through the branch view stays on the branch
+        via_branch.table.compact()
+        assert self._shas(via_branch.table.read()) == expected
+        main_head = t.current_snapshot_id()
+        assert not any(t.snapshot(main_head)["buckets"].values())
+
+    def test_engine_audit_gate_on_branch(self, spark, tmp_path):
+        from filters_spark.engine.cdc import CDCEngine
+        from filters_spark.engine.defaults import default_registry
+        from filters_spark.lake.branch import BranchTable
+
+        from tests.test_cdc_engine import events_df
+
+        ev = events_df(spark, n_events=400, dirty_frac=0.0)
+        t = LakeTable.create(spark, str(tmp_path / "l"), ["repo", "path"],
+                             num_buckets=4)
+        t.create_branch("audit")
+        bt = BranchTable(t, "audit")
+        eng = CDCEngine(spark, bt, default_registry())
+        head = bt.current_snapshot_id()
+        # rejecting audit leaves the BRANCH head unmoved too
+        eng.apply_batch(ev, audit_fn=lambda table, wap_id: False)
+        assert bt.current_snapshot_id() == head
+        # accepting publishes onto the branch, main still dark
+        m = eng.apply_batch(ev, audit_fn=lambda table, wap_id: True)
+        assert m["applied"] > 0
+        assert bt.current_snapshot_id() != head
+        assert t.read() is None
+
+    def test_branch_view_blocks_table_wide_ops(self, spark, tmp_path):
+        from filters_spark.lake.branch import BranchTable
+
+        t = _mk(spark, tmp_path / "l", BASE)
+        t.create_branch("b")
+        bt = BranchTable(t, "b")
+        for op in ("expire_snapshots", "vacuum", "maintain", "rescale",
+                   "rollback", "fast_forward", "rewrite_data_files",
+                   "rewrite_zorder", "create_tag", "create_branch",
+                   "drop_branch", "drop_tag"):
+            with pytest.raises(RuntimeError, match="main LakeTable handle"):
+                getattr(bt, op)()
+        with pytest.raises(ValueError, match="no such branch"):
+            BranchTable(t, "nope")
