@@ -177,3 +177,41 @@ def test_rewrite_read_stays_bare_scan(spark, tmp_path):
     rd = t.read()
     rd.collect()
     assert exchange_count(rd) == 0, formatted_plan(rd)
+
+
+def test_merge_into_minimal_exchange_budget(spark, tmp_path):
+    """Declarative MERGE INTO (lake/merge.py): exactly THREE exchanges
+    — target keyed, source keyed (the cardinality window and the
+    full-outer join SHARE the source exchange), and the bucketed-write
+    repartition — with zero Python. A fourth exchange would mean the
+    window picked a partitioning the join can't reuse; at 10^10 rows
+    that is a second full shuffle of the source."""
+    from filters_spark.lake.merge import merge_into
+    from filters_spark.lake.table import LakeTable, bucket_expr
+
+    t = LakeTable.create(spark, str(tmp_path / "l"), ["repo", "path"],
+                         num_buckets=4)
+    rows = [(f"r{i % 5}", f"p{i}.py", "000000000001", i, "py", f"c{i}")
+            for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, `commit` string, event_seq long, "
+              "lang string, content string"
+    ).select(
+        "*",
+        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("content_sha"),
+        bucket_expr(F.col("repo"), F.col("path"), 4, 16).cast("int").alias("_bucket"),
+    )
+    touched = sorted(r[0] for r in df.select("_bucket").distinct().collect())
+    t.commit_buckets(df, touched, {})
+
+    src = spark.createDataFrame(
+        [("r1", "p1.py", "000000000002", 1, "py", "X", "U")],
+        "repo string, path string, `commit` string, event_seq long, "
+        "lang string, content string, op string",
+    )
+    captured = {}
+    t.commit_buckets = lambda d, *a, **k: captured.update(df=d) or {"snapshot_id": -1}
+    merge_into(t, src, delete_when="s.op = 'D'")
+    out = captured["df"]
+    assert not has_python_eval(out)
+    assert exchange_count(out) == 3, out._jdf.queryExecution().executedPlan().toString()
