@@ -312,6 +312,15 @@ class LakeTable:
             snapshot_id = self.current_snapshot_id()
         return json.loads(self.io.read_text(self._snap_path(snapshot_id)))
 
+    def _raw_snapshot_if_retained(self, snapshot_id: int) -> dict | None:
+        """``_raw_snapshot`` that returns None for an EXPIRED (absent)
+        header but still raises on a present-but-unreadable one —
+        ancestry walks must not misreport corruption or transient IO
+        failure as normal history expiry."""
+        if not self.io.exists(self._snap_path(snapshot_id)):
+            return None
+        return self._raw_snapshot(snapshot_id)
+
     def current(self) -> dict:
         return self.snapshot()
 
@@ -394,7 +403,12 @@ class LakeTable:
             except Exception:
                 continue
             names = {md.schema.column(i).name: i for i in range(md.num_columns)}
-            fstats: dict[str, list] = {"__rows": md.num_rows}
+            # size recorded alongside the footer stats so files() is a
+            # pure metadata read (no per-file stat RPC on object stores)
+            fstats: dict[str, list] = {
+                "__rows": md.num_rows,
+                "__bytes": self.io.size(p),
+            }
             for c in cols:
                 i = names.get(c)
                 if i is None:
@@ -673,18 +687,26 @@ class LakeTable:
 
     def snapshot_as_of(self, ts_ms: int) -> int:
         """Snapshot id current AS OF a wall-clock time (Iceberg
-        ``FOR TIMESTAMP AS OF``): the newest MAIN-chain snapshot whose
-        commit timestamp is <= ``ts_ms``. Walks head ancestry (branch
-        snapshots are invisible — they were never "current"); raises
-        when ``ts_ms`` predates retained history (the snapshot that was
-        current then has been expired, or the table didn't exist)."""
+        ``FOR TIMESTAMP AS OF``): the newest main-ancestry snapshot
+        that had BECOME CURRENT by ``ts_ms``. A snapshot becomes
+        current at its own commit time — except branch snapshots later
+        adopted by a ``fast_forward``, which became main-visible only
+        when the ADOPTION committed (resolving them by their own write
+        time would expose ingest data no main reader could see then).
+        Raises when ``ts_ms`` predates retained history (the snapshot
+        that was current then has been expired, or the table didn't
+        exist)."""
         sid: int | None = self.current_snapshot_id()
+        became_current: int | None = None
         while sid is not None:
-            try:
-                raw = self._raw_snapshot(sid)
-            except Exception:
+            raw = self._raw_snapshot_if_retained(sid)
+            if raw is None:
                 break
-            if raw["timestamp_ms"] <= ts_ms:
+            if raw.get("ref") is None:
+                became_current = raw["timestamp_ms"]
+            # ref-marked ancestor: visible only since the downstream
+            # adoption — keep propagating that adoption's timestamp
+            if became_current is not None and became_current <= ts_ms:
                 return sid
             sid = raw.get("parent_id")
         raise ValueError(
@@ -694,18 +716,22 @@ class LakeTable:
 
     def history(self) -> list[dict]:
         """The Iceberg ``history`` metadata table: one row per RETAINED
-        snapshot, ancestry-ordered oldest-first, flagged with whether
-        the snapshot is on the current main chain (rollback leaves
-        superseded snapshots retained but off-chain) or belongs to a
-        branch. Driver-side metadata only — no Spark job."""
+        snapshot, id-ordered, flagged with whether the snapshot is
+        reachable from the current head via the parent walk
+        (``is_current_ancestor``). Note this table's ``rollback``
+        APPENDS a restoring snapshot whose parent is the superseded
+        head — history stays linear, so rolled-back snapshots REMAIN
+        ancestors; the flag is False only for branch-exclusive
+        snapshots (and anything orphaned by hand-editing metadata).
+        Driver-side metadata only — no Spark job."""
         on_main: set[int] = set()
         sid: int | None = self.current_snapshot_id()
         while sid is not None:
             on_main.add(sid)
-            try:
-                sid = self._raw_snapshot(sid).get("parent_id")
-            except Exception:
+            raw = self._raw_snapshot_if_retained(sid)
+            if raw is None:
                 break
+            sid = raw.get("parent_id")
         out = []
         for s in self.snapshots():
             raw = self._raw_snapshot(s)
@@ -733,12 +759,16 @@ class LakeTable:
             for b, fl in snap.get(kind, {}).items():
                 for f in fl:
                     st = dict(self._file_stats_cache.get(f) or {})
+                    size = st.pop("__bytes", None)
                     out.append(
                         {
                             "bucket": int(b),
                             "kind": "base" if kind == "buckets" else "delta",
                             "path": f,
-                            "size_bytes": self.io.size(f),
+                            # manifest-recorded size when stats were
+                            # harvested at commit; a per-file stat only
+                            # as fallback (pre-stats commits)
+                            "size_bytes": self.io.size(f) if size is None else size,
                             "rows": st.pop("__rows", None),
                             "stats": st or None,
                         }
@@ -1449,13 +1479,12 @@ class LakeTable:
         chain: list[int] = []
         sid = to_id
         while sid is not None and sid > since_snapshot_id:
-            try:
-                raw = self._raw_snapshot(sid)
-            except Exception:
+            raw = self._raw_snapshot_if_retained(sid)
+            if raw is None:
                 raise ValueError(
                     f"snapshot {sid} in ({since_snapshot_id}, {to_id}] is expired; "
                     "the incremental range is unreadable"
-                ) from None
+                )
             chain.append(sid)
             sid = raw.get("parent_id")
         if sid != since_snapshot_id:
@@ -1710,10 +1739,22 @@ class LakeTable:
         self._drop_ref(name, "branch")
 
     def _branch_head(self, name: str) -> int:
-        heads = self.branches()
-        if name not in heads:
+        """O(1) head resolution — reads this branch's ref FILE, never
+        the full metadata-directory listing `_refs()` does: the
+        BranchTable view calls this on every `current_snapshot_id()`,
+        i.e. several times per ingest batch."""
+        p = self._ref_file(name)
+        if self.io.exists(p):
+            body = json.loads(self.io.read_text(p))
+            if body.get("type") == "branch":
+                return int(body["snapshot_id"])
             raise ValueError(f"no such branch: {name!r}")
-        return heads[name]
+        legacy_p = self._refs_path()
+        if self.io.exists(legacy_p):
+            entry = json.loads(self.io.read_text(legacy_p)).get(name)
+            if entry and entry.get("type") == "branch":
+                return int(entry["snapshot_id"])
+        raise ValueError(f"no such branch: {name!r}")
 
     def commit_buckets_to(
         self,
@@ -1812,20 +1853,22 @@ class LakeTable:
         their ``ref`` marks but are now main ancestors (``changes()``
         walks through them; the adoption itself carries no logical
         change and is skipped like compact/rescale). The branch ref
-        survives, pointing at its old head — drop it or keep committing
-        to it."""
+        advances to the adoption, so the publish-and-keep-ingesting
+        lifecycle continues: later branch commits build on the adopted
+        state and the NEXT fast_forward still sees main as an ancestor
+        (leaving the ref behind would dead-end the branch after its
+        first publish)."""
         head = self._branch_head(name)
         cur = self.current_snapshot_id()
         if head == cur:
             return self.snapshot(cur)
         sid: int | None = head
         while sid is not None and sid != cur:
-            try:
-                raw = self._raw_snapshot(sid)
-            except Exception:
+            raw = self._raw_snapshot_if_retained(sid)
+            if raw is None:
                 raise ValueError(
                     f"branch {name!r} ancestry is broken at snapshot {sid}"
-                ) from None
+                )
             sid = raw.get("parent_id")
         if sid != cur:
             raise ValueError(
@@ -1845,6 +1888,24 @@ class LakeTable:
             added_files=[],
         )
         self._write_snapshot(adoption)
+        # CAS the ref onto the adoption. A branch writer racing the
+        # publish (single-writer contract says there shouldn't be one)
+        # committed against the pre-adoption head — surface it rather
+        # than silently orphaning its commit.
+        ref_p = self._ref_file(name)
+        body = (
+            json.loads(self.io.read_text(ref_p))
+            if self.io.exists(ref_p)
+            else self._refs()[name]
+        )
+        if body.get("snapshot_id") != head:
+            raise ValueError(
+                f"branch {name!r} moved during fast_forward (head was {head}); "
+                "the adoption is committed on main but the branch diverged — "
+                "re-fork or re-point the ref manually"
+            )
+        body["snapshot_id"] = adoption["snapshot_id"]
+        self.io.write_text_atomic(ref_p, json.dumps(body))
         return adoption
 
     # -- write-audit-publish (Iceberg WAP pattern) ---------------------------
@@ -2062,10 +2123,10 @@ class LakeTable:
             if sid is None:
                 break
             keep.add(sid)
-            try:
-                sid = self._raw_snapshot(sid).get("parent_id")
-            except Exception:
+            raw = self._raw_snapshot_if_retained(sid)
+            if raw is None:
                 break
+            sid = raw.get("parent_id")
         keep.add(self.current_snapshot_id())
         # Iceberg ref semantics: a tagged snapshot never expires — tags
         # are exactly the promise that this state stays readable — and
@@ -2077,12 +2138,9 @@ class LakeTable:
             b: int | None = head
             while b is not None and b not in keep:
                 keep.add(b)
-                try:
-                    raw = self._raw_snapshot(b)
-                except Exception:
-                    break
-                if raw.get("ref") is None:
-                    break  # reached the main chain
+                raw = self._raw_snapshot_if_retained(b)
+                if raw is None or raw.get("ref") is None:
+                    break  # expired tail or reached the main chain
                 b = raw.get("parent_id")
         expired = [i for i in ids if i not in keep]
 

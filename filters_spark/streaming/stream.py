@@ -71,19 +71,13 @@ def file_source(spark: SparkSession, options: Mapping) -> DataFrame:
     )
 
 
-def kafka_source(spark: SparkSession, options: Mapping) -> DataFrame:
-    """Kafka/binlog adapter onto the same contract (requires the
-    spark-sql-kafka connector jar; NOT runnable in this sandbox — no
-    network, no jar — but the mapping is the standard production shape).
-
+def _kafka_reader(spark: SparkSession, options: Mapping) -> DataFrame:
+    """Shared Kafka reader construction (kafka_source and
+    debezium_kafka_source must never diverge on option handling).
     Offsets = Kafka (topic, partition, offset) triples, checkpointed by
-    Spark; ``startingOffsets`` only applies to the first run. Events
-    are JSON-encoded in the record value (Debezium-style binlog topics:
-    point ``json_path`` at the payload envelope). Per-key ordering
-    holds when the producer partitions by key — the usual binlog/CDC
-    topic layout. Options: ``bootstrap_servers``, ``subscribe``
-    (required); ``starting_offsets`` (default "earliest"),
-    ``max_offsets_per_trigger`` (back-pressure), ``schema``."""
+    Spark; ``startingOffsets`` only applies to the first run. Per-key
+    ordering holds when the producer partitions by key — the usual
+    binlog/CDC topic layout."""
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", options["bootstrap_servers"])
@@ -94,7 +88,19 @@ def kafka_source(spark: SparkSession, options: Mapping) -> DataFrame:
         reader = reader.option(
             "maxOffsetsPerTrigger", int(options["max_offsets_per_trigger"])
         )
-    raw = reader.load()
+    return reader.load()
+
+
+def kafka_source(spark: SparkSession, options: Mapping) -> DataFrame:
+    """Kafka/binlog adapter onto the same contract (requires the
+    spark-sql-kafka connector jar; NOT runnable in this sandbox — no
+    network, no jar — but the mapping is the standard production shape).
+    Events are JSON-encoded in the record value with the flat EVENT_DDL
+    shape; Debezium-enveloped topics use ``debezium-kafka`` instead.
+    Options: ``bootstrap_servers``, ``subscribe`` (required);
+    ``starting_offsets`` (default "earliest"),
+    ``max_offsets_per_trigger`` (back-pressure), ``schema``."""
+    raw = _kafka_reader(spark, options)
     schema = options.get("schema", EVENT_DDL)
     return raw.select(
         F.from_json(F.col("value").cast("string"), schema).alias("_e")
@@ -136,17 +142,9 @@ def debezium_kafka_source(spark: SparkSession, options: Mapping) -> DataFrame:
     ``debezium_file_source`` and is what the sandbox tests pin."""
     from filters_spark.sources.debezium import parse_debezium
 
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", options["bootstrap_servers"])
-        .option("subscribe", options["subscribe"])
-        .option("startingOffsets", options.get("starting_offsets", "earliest"))
+    raw = _kafka_reader(spark, options).select(
+        F.col("value").cast("string").alias("value")
     )
-    if options.get("max_offsets_per_trigger") is not None:
-        reader = reader.option(
-            "maxOffsetsPerTrigger", int(options["max_offsets_per_trigger"])
-        )
-    raw = reader.load().select(F.col("value").cast("string").alias("value"))
     return parse_debezium(
         raw,
         options.get("fields", ["repo", "path", "lang", "content"]),

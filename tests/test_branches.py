@@ -353,3 +353,49 @@ class TestBranchIngest:
                 getattr(bt, op)()
         with pytest.raises(ValueError, match="no such branch"):
             BranchTable(t, "nope")
+
+
+def test_fast_forward_lifecycle_continues(spark, tmp_path):
+    """Publish-and-keep-ingesting: after a fast_forward the ref points
+    at the adoption, so later branch commits still fast-forward (the
+    first implementation left the ref behind and dead-ended the branch
+    after one publish); a repeat fast_forward with nothing new is a
+    no-op."""
+    t = _mk(spark, tmp_path / "l", BASE)
+    t.create_branch("ing")
+
+    def commit_to_branch(content, c):
+        d = _delta_bucketed(spark, [("r1", "a.py", "%012x" % c, 1, "py", content, "U")])
+        t.commit_deltas_to(
+            "ing", d, sorted(r[0] for r in d.select("_bucket").distinct().collect()), {})
+
+    commit_to_branch("v2", 2)
+    s1 = t.fast_forward("ing")
+    assert t.resolve_ref("ing") == s1["snapshot_id"]  # ref advanced
+    assert t.fast_forward("ing")["snapshot_id"] == s1["snapshot_id"]  # no-op
+    commit_to_branch("v3", 3)
+    s2 = t.fast_forward("ing")  # second publish works
+    assert s2["snapshot_id"] > s1["snapshot_id"]
+    assert _contents(t)[("r1", "a.py")] == "v3"
+
+
+def test_as_of_uses_publish_time_for_adopted_snapshots(spark, tmp_path):
+    """An adopted branch snapshot became main-visible at the ADOPTION's
+    commit time, not its own write time — as-of must never expose
+    ingest data no main reader could see then."""
+    import time as _time
+
+    t = _mk(spark, tmp_path / "l", BASE)
+    fork_sid = t.current_snapshot_id()
+    t.create_branch("b")
+    _time.sleep(0.02)
+    d = _delta_bucketed(spark, [("r1", "a.py", "000000000002", 1, "py", "hidden", "U")])
+    t.commit_deltas_to(
+        "b", d, sorted(r[0] for r in d.select("_bucket").distinct().collect()), {})
+    _time.sleep(0.02)
+    between = int(_time.time() * 1000)
+    _time.sleep(0.02)
+    adoption = t.fast_forward("b")
+    # between the branch write and the publish, main showed the fork
+    assert t.snapshot_as_of(between) == fork_sid
+    assert t.snapshot_as_of(adoption["timestamp_ms"]) == adoption["snapshot_id"]

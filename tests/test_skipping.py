@@ -68,7 +68,7 @@ class TestDataSkipping:
                 continue
             body = json.loads(table.io.read_text(os.path.join(table.meta_dir, name)))
             for f, st in body.get("stats", {}).items():
-                assert set(st) == {"event_seq", "__rows"}
+                assert set(st) == {"event_seq", "__rows", "__bytes"}
                 mn, mx = st["event_seq"]
                 assert 0 <= mn <= mx < 2000
                 assert st["__rows"] > 0
