@@ -3006,6 +3006,47 @@ def q_lake_tag_read(spark, sf):
 
 
 @_q(
+    "cdc_scd2_history",
+    f"""
+    WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE},
+    u AS (
+      SELECT repo, path, "commit", event_seq, lang, content, 'I' AS op FROM base
+      UNION ALL
+      SELECT repo, path, "commit", event_seq, lang, content, op FROM deltas
+    ),
+    led AS (
+      SELECT *,
+        lead("commit") OVER w AS valid_to_commit,
+        lead(event_seq) OVER w AS valid_to_event_seq
+      FROM u
+      WINDOW w AS (PARTITION BY repo, path ORDER BY "commit" ASC, event_seq ASC)
+    )
+    SELECT repo, path,
+           "commit" AS valid_from_commit, event_seq AS valid_from_event_seq,
+           valid_to_commit, valid_to_event_seq,
+           (valid_to_commit IS NULL) AS is_current,
+           lang, content
+    FROM led WHERE op <> 'D'
+    """,
+)
+def q_cdc_scd2_history(spark, sf):
+    """Change stream → SCD TYPE 2 dimension history (operators/
+    events.py scd2_history): per-key version validity intervals, delete
+    events close their predecessor and emit nothing (delete-then-
+    reinsert shows a gap; a key deleted last has NO current version).
+    One key-partitioned window = one shuffle (plan-pinned in pytest);
+    the oracle spells the identical LEAD/filter."""
+    from filters_spark.operators.events import scd2_history
+
+    base = _lake_base_df(spark, sf).drop("content_sha").withColumn(
+        "op", F.lit("I"))
+    stream = base.unionByName(_lake_delta_df(spark, sf))
+    return scd2_history(
+        stream, ["repo", "path"], ["lang", "content"], ["commit", "event_seq"]
+    )
+
+
+@_q(
     "lake_rewrite_zorder_read",
     f"""
     WITH {_LAKE_BASE_CTE}

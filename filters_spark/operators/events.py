@@ -372,3 +372,50 @@ def transition_counts(
     ).agg(F.count("*").alias("n"))
     wf = Window.partitionBy("from_type")
     return counts.withColumn("from_total", F.sum("n").over(wf))
+
+
+def scd2_history(
+    events: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Change stream → slowly-changing-dimension TYPE 2 history: one
+    row per key VERSION with its validity interval — the standard
+    warehouse shape for "what did this row say at commit C" queries
+    without replaying the log.
+
+    Semantics, per key in ``order_cols`` order (must be a strict total
+    order per key, e.g. ``(commit, event_seq)`` — ties make the closing
+    boundary nondeterministic):
+
+    - every non-delete event OPENS a version valid from its own order
+      position (``valid_from_<c>`` columns);
+    - any next event of the same key (update, re-insert or delete)
+      CLOSES it (``valid_to_<c>``; NULL = still open);
+    - delete events emit no row of their own — they only close their
+      predecessor, so a delete-then-reinsert key shows a gap;
+    - ``is_current`` marks the open version (a key whose last event is
+      a delete has none).
+
+    ONE shuffle (the key-partitioned window); each boundary is a
+    ``lead`` over the same window, so Catalyst plans a single
+    Exchange + Sort regardless of how many order columns close the
+    interval. Engine-portable: the DuckDB oracle spells the identical
+    LEAD/filter (see ``cdc_scd2_history``)."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    out = events
+    for c in order_cols:
+        out = out.withColumn(f"valid_to_{c}", F.lead(c).over(w))
+    first = order_cols[0]
+    return out.filter(F.col(op_col) != delete_op).select(
+        *key_cols,
+        *[F.col(c).alias(f"valid_from_{c}") for c in order_cols],
+        *[f"valid_to_{c}" for c in order_cols],
+        F.col(f"valid_to_{first}").isNull().alias("is_current"),
+        *payload_cols,
+    )

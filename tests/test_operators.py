@@ -1306,3 +1306,33 @@ class TestProfileEmptyInput:
         got = {r.column: (r.n_rows, r.n_null, r.n_distinct, r.min_value, r.max_value)
                for r in profile(df, ["s", "x"]).collect()}
         assert got == {"s": (0, 0, 0, None, None), "x": (0, 0, 0, None, None)}
+
+
+def test_scd2_history_intervals_and_gaps(spark):
+    from filters_spark.operators.events import scd2_history
+
+    rows = [
+        ("r", "a", "000000000001", 1, "py", "v1", "I"),
+        ("r", "a", "000000000003", 1, "py", "v2", "U"),
+        ("r", "a", "000000000005", 1, None, None, "D"),
+        ("r", "a", "000000000007", 1, "py", "v3", "I"),
+        ("r", "b", "000000000002", 1, "go", "w1", "I"),
+        ("r", "b", "000000000004", 1, None, None, "D"),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, `commit` string, event_seq long, "
+              "lang string, content string, op string")
+    out = scd2_history(df, ["repo", "path"], ["lang", "content"],
+                       ["commit", "event_seq"])
+    got = [tuple(r) for r in out.orderBy("path", "valid_from_commit").collect()]
+    assert got == [
+        # v1 closed by v2, v2 closed by the DELETE, v3 open after the gap
+        ("r", "a", "000000000001", 1, "000000000003", 1, False, "py", "v1"),
+        ("r", "a", "000000000003", 1, "000000000005", 1, False, "py", "v2"),
+        ("r", "a", "000000000007", 1, None, None, True, "py", "v3"),
+        # key b: deleted last -> interval closed, NO current version
+        ("r", "b", "000000000002", 1, "000000000004", 1, False, "go", "w1"),
+    ]
+    # one key-partitioned window = one shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
