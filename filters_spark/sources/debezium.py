@@ -169,3 +169,59 @@ def parse_debezium(
         ]
     # non-row ops (t/m) have a NULL engine op and no image
     return out.filter(engine_op.isNotNull()).select(*cols)
+
+
+def to_debezium(
+    df: DataFrame,
+    fields: list[str],
+    op_col: str = "op",
+    commit_col: str = "commit",
+    seq_col: str = "event_seq",
+    connector: str = "filters-spark",
+) -> DataFrame:
+    """The EGRESS twin of :func:`parse_debezium`: serialize an engine-
+    shaped change frame (``changes()`` output, or any frame with op +
+    ordering + payload columns) into Debezium JSON envelopes (column
+    ``value``, schemas-disabled spelling) — the lake as a change
+    SOURCE feeding any downstream Debezium consumer over the standard
+    wire format.
+
+    Mapping (inverse of the parser's): I→c, U→u, D→d; c/u rows carry
+    the ``after`` image, d rows the ``before`` image (whatever payload
+    cells the tombstone still carries; consumers key on the row's key
+    fields). The engine ordering round-trips losslessly through
+    ``source``: ``file = "<connector>.<decimal commit>"`` and
+    ``pos = event_seq`` — ``parse_debezium(..., seq_expr=lambda s:
+    s["pos"])`` reconstructs (commit, event_seq) exactly, which the
+    round-trip test pins end to end (egress → wire → ingest produces a
+    byte-identical mirror).
+
+    Native ``to_json`` over a struct — map-only, no shuffle, no
+    Python; NULL images (the unused side) are omitted from the JSON
+    exactly as Debezium omits them."""
+    dbz_op = (
+        F.when(F.col(op_col) == "I", F.lit("c"))
+        .when(F.col(op_col) == "U", F.lit("u"))
+        .when(F.col(op_col) == "D", F.lit("d"))
+    )
+    image = F.create_map(
+        *[x for f in fields for x in (F.lit(f), F.col(f).cast("string"))]
+    )
+    src = F.struct(
+        F.lit(connector).alias("connector"),
+        F.concat(
+            F.lit(connector + "."), F.conv(F.col(commit_col), 16, 10)
+        ).alias("file"),
+        F.col(seq_col).cast("bigint").alias("pos"),
+        F.lit(0).alias("row"),
+    )
+    return df.select(
+        F.to_json(
+            F.struct(
+                F.when(F.col(op_col) == "D", image).alias("before"),
+                F.when(F.col(op_col) != "D", image).alias("after"),
+                src.alias("source"),
+                dbz_op.alias("op"),
+            )
+        ).alias("value")
+    )

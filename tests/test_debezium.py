@@ -264,3 +264,45 @@ def test_streaming_debezium_source_end_to_end(spark, tmp_path):
     q2.awaitTermination(300)
     assert stream_engine.table.current_snapshot_id() == sid
     assert final_state(stream_engine) == expected
+
+
+def test_egress_roundtrip_mirrors_table_via_wire_format(spark, tmp_path):
+    """Cross-system replication over the standard wire: changes() ->
+    to_debezium -> (wire) -> parse_debezium -> apply on a SECOND table
+    produces a byte-identical mirror — the lake is both a Debezium
+    consumer AND producer."""
+    from filters_spark.engine.cdc import CDCEngine
+    from filters_spark.engine.defaults import default_registry
+    from filters_spark.lake.table import LakeTable
+    from filters_spark.sources.debezium import to_debezium
+
+    from tests.test_cdc_engine import events_df, final_state, make_engine
+
+    from filters_spark.lake.table import LakeTable as LT
+
+    def mor_engine(root):
+        t = LT.create(spark, os.path.join(root, "lake"),
+                      key_cols=["repo", "path"], num_buckets=8, path_salt=4)
+        return CDCEngine(spark, t, default_registry(), write_mode="mor")
+
+    ev = events_df(spark, n_events=600, dirty_frac=0.05)
+    src_engine = mor_engine(str(tmp_path / "src"))
+    src_engine.apply_batch(ev)
+    feed = src_engine.table.changes(0)
+
+    wire = to_debezium(feed, ["repo", "path", "lang", "content"])
+    back = parse_debezium(
+        wire, ["repo", "path", "lang", "content"],
+        seq_expr=lambda s: s["pos"].cast("long"),
+    )
+    # commit/event_seq round-trip exactly through source.file/pos
+    a = feed.select("commit", "event_seq", "op", "repo", "path", "lang", "content")
+    b = back.select("commit", "event_seq", "op", "repo", "path", "lang", "content")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    dst_engine = mor_engine(str(tmp_path / "dst"))
+    dst_engine.apply_batch(back)
+    assert final_state(dst_engine) == final_state(src_engine)
+
+    plan = wire._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
