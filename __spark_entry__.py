@@ -3088,6 +3088,49 @@ def q_lake_rewrite_zorder_read(spark, sf):
 
 
 @_q(
+    "lake_repo_scoped_read",
+    f"""
+    WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE},
+    {_LAKE_LWW_CTES}
+    SELECT repo, path, "commit", event_seq, lang, content,
+           sha256(content) AS content_sha
+    FROM ranked WHERE rn = 1 AND op <> 'D' AND repo = 'r7'
+    """,
+)
+def q_lake_repo_scoped_read(spark, sf):
+    """Repo-scoped serving read (lake/table.py read_repo): the
+    path-salting that spreads a hot repo's writes over path_salt
+    buckets bounds its READ footprint to the same candidate set,
+    enumerated driver-side from the salt domain — the query raises
+    unless the candidate set actually pruned buckets, and the oracle
+    is the full LWW fold filtered to the repo, so a green hash
+    certifies completeness of the salt-domain enumeration under
+    merge-on-read."""
+    from filters_spark.lake.table import LakeTable, bucket_expr
+    from filters_spark.lake.xxh import buckets_for_repo
+
+    B, S = 64, 4  # wide table, narrow salt: the pruning regime
+    root = os.path.join(_tmpdir("filters_spark_lakerepo_"), "lake")
+    t = LakeTable.create(spark, root, ["repo", "path"], num_buckets=B,
+                         path_salt=S)
+    bkt = bucket_expr(F.col("repo"), F.col("path"), B, S).cast("int").alias("_bucket")
+    base = _lake_base_df(spark, sf).select("*", bkt)
+    touched = sorted(r[0] for r in base.select("_bucket").distinct().collect())
+    t.commit_buckets(base, touched, {b: "000000000001:0000000000" for b in touched})
+    d = _lake_delta_df(spark, sf).select("*", bkt)
+    dtouched = sorted(r[0] for r in d.select("_bucket").distinct().collect())
+    t.commit_deltas(d, dtouched, {b: "000000000002:0000000000" for b in dtouched})
+
+    cand = buckets_for_repo("r7", B, S)
+    if not len(cand) <= S < len(t.current()["buckets"]):
+        raise AssertionError(
+            f"repo-scoped read pruned nothing: {len(cand)} candidates vs "
+            f"{len(t.current()['buckets'])} buckets"
+        )
+    return t.read_repo("r7").select(*_LAKE_STATE_COLS)
+
+
+@_q(
     "lake_branch_fastforward",
     _LAKE_LWW_STATE_ORACLE,
 )

@@ -810,6 +810,30 @@ class LakeTable:
         self._write_snapshot(snapshot)
         return snapshot
 
+    def read_repo(
+        self,
+        repo: str,
+        snapshot_id: int | None = None,
+        where: tuple | None = None,
+    ) -> DataFrame | None:
+        """All current rows of ONE repo — the "give me this repository"
+        serving read — scanning at most ``path_salt`` of the table's
+        buckets instead of all of them. The path-salting that spreads a
+        hot repo's WRITE load over ``path_salt`` buckets bounds its
+        READ footprint identically; the candidate bucket set is
+        enumerated driver-side from the salt domain
+        (:func:`filters_spark.lake.xxh.buckets_for_repo`, bit-equality
+        with ``bucket_expr`` pinned in tests), so completeness holds by
+        construction. At 512 buckets and the default salt of 16 that is
+        a 32× scan reduction before the row filter runs. Returns None
+        on an empty table."""
+        from filters_spark.lake.xxh import buckets_for_repo
+
+        snap = self.snapshot(snapshot_id)
+        cand = buckets_for_repo(repo, snap["num_buckets"], snap["path_salt"])
+        df = self.read(snapshot_id, buckets=cand, where=where)
+        return None if df is None else df.filter(F.col("repo") == repo)
+
     def lookup(
         self,
         repo: str,

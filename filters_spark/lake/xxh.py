@@ -103,3 +103,18 @@ def bucket_of(repo: str, path: str, num_buckets: int, path_salt: int = 16) -> in
     salt = xxh64(path.encode("utf-8"), SPARK_SEED) % path_salt
     h = xxh64_long(salt, seed=xxh64(repo.encode("utf-8"), SPARK_SEED))
     return h % num_buckets
+
+
+def buckets_for_repo(repo: str, num_buckets: int, path_salt: int = 16) -> list[int]:
+    """Every bucket a repo's keys can land in. The salting scheme
+    (``bucket = hash(repo, hash(path) % path_salt) % num_buckets``)
+    spreads a hot repo over at most ``path_salt`` buckets — which
+    equally means a repo-scoped read needs at MOST ``path_salt`` of the
+    table's buckets, however many keys the repo has. Enumerating the
+    salt domain driver-side (pure-Python twin, no Spark job) yields the
+    complete candidate set by construction: every key's salt is in
+    ``[0, path_salt)``."""
+    seed = xxh64(repo.encode("utf-8"), SPARK_SEED)
+    return sorted({
+        xxh64_long(s, seed=seed) % num_buckets for s in range(path_salt)
+    })

@@ -114,3 +114,58 @@ class TestLookupStatsPrune:
         touched = sorted(r._bucket for r in df.select("_bucket").distinct().collect())
         t.commit_buckets(df, touched, {b: "%012x:0" % 2 for b in touched})
         assert t.lookup("r2", "b.py").collect()[0]["content"] == "vb"
+
+
+def test_buckets_for_repo_complete_and_bounded(spark):
+    """The repo-scoped candidate set is COMPLETE (every key's actual
+    bucket is in it — bit-equality with bucket_expr across many paths)
+    and bounded by path_salt."""
+    import pyspark.sql.functions as F
+
+    from filters_spark.lake.table import bucket_expr
+    from filters_spark.lake.xxh import bucket_of, buckets_for_repo
+
+    B, S = 64, 4
+    for repo in ("repo-00000", "linux", "a/b.git", "unicode-répo"):
+        cand = buckets_for_repo(repo, B, S)
+        assert 1 <= len(cand) <= S
+        for i in range(200):
+            assert bucket_of(repo, f"src/f{i}.py", B, S) in cand
+    # and against the Spark-side expression itself
+    df = spark.range(300).select(
+        F.lit("repo-00000").alias("repo"),
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"),
+    ).select(bucket_expr(F.col("repo"), F.col("path"), B, S).alias("b"))
+    spark_buckets = {r["b"] for r in df.distinct().collect()}
+    assert spark_buckets <= set(buckets_for_repo("repo-00000", B, S))
+
+
+def test_read_repo_scoped_scan(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from filters_spark.lake.table import LakeTable, bucket_expr
+
+    B, S = 32, 4
+    t = LakeTable.create(spark, str(tmp_path / "l"), ["repo", "path"],
+                         num_buckets=B, path_salt=S)
+    rows = [(f"r{i % 10}", f"p{i}.py", "000000000001", i, "py", f"c{i}")
+            for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, `commit` string, event_seq long, "
+              "lang string, content string"
+    ).select(
+        "*",
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+        bucket_expr(F.col("repo"), F.col("path"), B, S).cast("int").alias("_bucket"),
+    )
+    touched = sorted(r[0] for r in df.select("_bucket").distinct().collect())
+    t.commit_buckets(df, touched, {})
+
+    got = {r["path"] for r in t.read_repo("r7").collect()}
+    want = {r["path"] for r in t.read().filter(F.col("repo") == "r7").collect()}
+    assert got == want and len(got) == 40
+    # the scoped read opened at most path_salt buckets
+    from filters_spark.lake.xxh import buckets_for_repo
+    assert len(buckets_for_repo("r7", B, S)) <= S < len(touched)
+    # absent repo: empty, not None
+    assert t.read_repo("nope").count() == 0
