@@ -44,6 +44,10 @@ class FileIO:
         raise NotImplementedError
 
     def read_text(self, path: str) -> str:
+        """Raises :class:`FileNotFoundError` for an absent path (every
+        backend normalizes its native not-found error to this, so
+        callers can distinguish expiry/absence from IO failure with
+        one read instead of an exists() probe plus a read)."""
         raise NotImplementedError
 
     def write_text_atomic(self, path: str, data: str, fail_if_exists: bool = False) -> None:
@@ -199,7 +203,12 @@ class HadoopFileIO(FileIO):
         self._fs.mkdirs(self._path(path))
 
     def read_text(self, path: str) -> str:
-        stream = self._fs.open(self._path(path))
+        try:
+            stream = self._fs.open(self._path(path))
+        except Exception as e:  # py4j wraps java.io.FileNotFoundException
+            if "FileNotFoundException" in str(e):
+                raise FileNotFoundError(path) from e
+            raise
         try:
             util = self._jvm.org.apache.commons.io.IOUtils
             charset = self._jvm.java.nio.charset.StandardCharsets.UTF_8

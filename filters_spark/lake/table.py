@@ -316,10 +316,13 @@ class LakeTable:
         """``_raw_snapshot`` that returns None for an EXPIRED (absent)
         header but still raises on a present-but-unreadable one —
         ancestry walks must not misreport corruption or transient IO
-        failure as normal history expiry."""
-        if not self.io.exists(self._snap_path(snapshot_id)):
+        failure as normal history expiry. Absence is detected by
+        catching FileNotFoundError from the read itself (one metadata
+        RPC per ancestor, not an exists() probe plus a read)."""
+        try:
+            return self._raw_snapshot(snapshot_id)
+        except FileNotFoundError:
             return None
-        return self._raw_snapshot(snapshot_id)
 
     def current(self) -> dict:
         return self.snapshot()
@@ -524,6 +527,7 @@ class LakeTable:
         buckets: Iterable[int] | None = None,
         where: tuple | None = None,
         wap_id: str | None = None,
+        _snap: dict | None = None,
     ) -> DataFrame | None:
         """Read the table at a snapshot (time travel); optionally only
         the given buckets (bucket pruning — the physical analog of
@@ -551,6 +555,11 @@ class LakeTable:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id or wap_id, not both")
             snap = self.wap_snapshot(wap_id)
+        elif _snap is not None:
+            # callers that already resolved the snapshot (read_repo /
+            # lookup need its bucketing params to prune) pass it
+            # through, saving a second header read + manifest resolve
+            snap = _snap
         else:
             snap = self.snapshot(snapshot_id)
         wanted = None if buckets is None else {str(b) for b in buckets}
@@ -695,14 +704,23 @@ class LakeTable:
         time would expose ingest data no main reader could see then).
         Raises when ``ts_ms`` predates retained history (the snapshot
         that was current then has been expired, or the table didn't
-        exist)."""
+        exist).
+
+        On a branch view (:class:`~filters_spark.lake.branch.BranchTable`)
+        the walk starts at the BRANCH head, and the branch's own
+        ref-marked snapshots became current-to-branch-readers at their
+        own commit time — only OTHER refs' snapshots (adopted main
+        ancestry) defer to the downstream adoption."""
+        # the view's own ref: None on the main handle, the branch name
+        # on a BranchTable — its snapshots are current at commit time
+        own_ref = getattr(self, "branch", None)
         sid: int | None = self.current_snapshot_id()
         became_current: int | None = None
         while sid is not None:
             raw = self._raw_snapshot_if_retained(sid)
             if raw is None:
                 break
-            if raw.get("ref") is None:
+            if raw.get("ref") is None or raw.get("ref") == own_ref:
                 became_current = raw["timestamp_ms"]
             # ref-marked ancestor: visible only since the downstream
             # adoption — keep propagating that adoption's timestamp
@@ -826,13 +844,27 @@ class LakeTable:
         with ``bucket_expr`` pinned in tests), so completeness holds by
         construction. At 512 buckets and the default salt of 16 that is
         a 32× scan reduction before the row filter runs. Returns None
-        on an empty table."""
+        on an empty table; a repo absent from a populated table is an
+        EMPTY DataFrame (its candidate buckets may hold no files at
+        all — that proves absence, not table emptiness)."""
         from filters_spark.lake.xxh import buckets_for_repo
 
         snap = self.snapshot(snapshot_id)
         cand = buckets_for_repo(repo, snap["num_buckets"], snap["path_salt"])
-        df = self.read(snapshot_id, buckets=cand, where=where)
-        return None if df is None else df.filter(F.col("repo") == repo)
+        df = self.read(snapshot_id, buckets=cand, where=where, _snap=snap)
+        if df is None:
+            empty_table = not any(snap["buckets"].values()) and not any(
+                snap.get("deltas", {}).values()
+            )
+            if empty_table:
+                return None
+            # candidate buckets hold no files on a populated table:
+            # the repo is provably absent — keep the contract (empty
+            # frame, read-shaped schema) without scanning anything
+            df = self.spark.createDataFrame(
+                [], self._base_ddl(self.payload_cols(snap))
+            ).withColumn("_bucket", F.lit(cand[0]).cast("int"))
+        return df.filter(F.col("repo") == repo)
 
     def lookup(
         self,
@@ -862,7 +894,7 @@ class LakeTable:
         snap = self.snapshot(snapshot_id)
         b = bucket_of(repo, path, snap["num_buckets"], snap["path_salt"])
         where = ("path", path, path) if "path" in (snap.get("stats_cols") or []) else None
-        df = self.read(snapshot_id, buckets=[b], where=where)
+        df = self.read(snapshot_id, buckets=[b], where=where, _snap=snap)
         if df is None:
             empty_table = not any(snap["buckets"].values()) and not any(
                 snap.get("deltas", {}).values()
@@ -1843,22 +1875,31 @@ class LakeTable:
         snapshot["snapshot_id"] = (ids[-1] if ids else 0) + 1
         snapshot["ref"] = branch
         self._write_snapshot_header(snapshot)
-        # the ref advance touches ONLY this branch's file — commits to
-        # other branches / tag creates can never lose this update to a
-        # shared read-modify-write
-        ref_p = self._ref_file(branch)
-        if not self.io.exists(ref_p):
-            # legacy refs.json table: migrate this branch to a per-ref
-            # file on first commit (the legacy entry is shadowed)
-            body = self._refs()[branch]
-        else:
-            body = json.loads(self.io.read_text(ref_p))
+        self._advance_ref(
+            branch, expected_head, snapshot["snapshot_id"],
+            f"concurrent writer moved branch {branch!r}; this commit was "
+            "computed against a stale head — recompute",
+        )
+
+    def _advance_ref(
+        self, name: str, expected_head: int, new_head: int, stale_msg: str
+    ) -> None:
+        """CAS-advance ONE ref's file from ``expected_head`` to
+        ``new_head`` (read per-ref file — or the legacy ``refs.json``
+        entry, migrated to a per-ref file on first advance — compare,
+        atomic rewrite). Touching only this ref's file means commits
+        to other branches / tag creates can never lose this update to
+        a shared read-modify-write. The single CAS implementation
+        shared by branch commits and ``fast_forward``."""
+        ref_p = self._ref_file(name)
+        body = (
+            json.loads(self.io.read_text(ref_p))
+            if self.io.exists(ref_p)
+            else self._refs()[name]
+        )
         if body.get("snapshot_id") != expected_head:
-            raise ValueError(
-                f"concurrent writer moved branch {branch!r}; this commit was "
-                "computed against a stale head — recompute"
-            )
-        body["snapshot_id"] = snapshot["snapshot_id"]
+            raise ValueError(stale_msg)
+        body["snapshot_id"] = new_head
         self.io.write_text_atomic(ref_p, json.dumps(body))
 
     def fast_forward(self, name: str) -> dict:
@@ -1916,20 +1957,12 @@ class LakeTable:
         # publish (single-writer contract says there shouldn't be one)
         # committed against the pre-adoption head — surface it rather
         # than silently orphaning its commit.
-        ref_p = self._ref_file(name)
-        body = (
-            json.loads(self.io.read_text(ref_p))
-            if self.io.exists(ref_p)
-            else self._refs()[name]
+        self._advance_ref(
+            name, head, adoption["snapshot_id"],
+            f"branch {name!r} moved during fast_forward (head was {head}); "
+            "the adoption is committed on main but the branch diverged — "
+            "re-fork or re-point the ref manually",
         )
-        if body.get("snapshot_id") != head:
-            raise ValueError(
-                f"branch {name!r} moved during fast_forward (head was {head}); "
-                "the adoption is committed on main but the branch diverged — "
-                "re-fork or re-point the ref manually"
-            )
-        body["snapshot_id"] = adoption["snapshot_id"]
-        self.io.write_text_atomic(ref_p, json.dumps(body))
         return adoption
 
     # -- write-audit-publish (Iceberg WAP pattern) ---------------------------

@@ -199,10 +199,21 @@ def to_debezium(
     Native ``to_json`` over a struct — map-only, no shuffle, no
     Python; NULL images (the unused side) are omitted from the JSON
     exactly as Debezium omits them."""
+    # any op outside the canonical I/U/D fails the job loudly: an
+    # op:null envelope would be silently DROPPED by parse_debezium's
+    # non-row-op filter downstream — replica rows lost with no error
     dbz_op = (
         F.when(F.col(op_col) == "I", F.lit("c"))
         .when(F.col(op_col) == "U", F.lit("u"))
         .when(F.col(op_col) == "D", F.lit("d"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("to_debezium: op outside {I,U,D}: "),
+                    F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
+                )
+            )
+        )
     )
     image = F.create_map(
         *[x for f in fields for x in (F.lit(f), F.col(f).cast("string"))]

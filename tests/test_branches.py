@@ -399,3 +399,29 @@ def test_as_of_uses_publish_time_for_adopted_snapshots(spark, tmp_path):
     # between the branch write and the publish, main showed the fork
     assert t.snapshot_as_of(between) == fork_sid
     assert t.snapshot_as_of(adoption["timestamp_ms"]) == adoption["snapshot_id"]
+
+
+def test_branch_view_as_of_resolves_branch_head(spark, tmp_path):
+    """On a BranchTable view, the branch's OWN ref-marked snapshots
+    became current-to-branch-readers at their commit time: as-of-now
+    must resolve the branch head, not silently fall back to the fork
+    (which would hide every branch ingest from time travel)."""
+    import time as _time
+
+    from filters_spark.lake.branch import BranchTable
+
+    t = _mk(spark, tmp_path / "l", BASE)
+    fork_sid = t.current_snapshot_id()
+    t.create_branch("b")
+    bt = BranchTable(t, "b")
+    d = _delta_bucketed(spark, [("r1", "a.py", "000000000002", 1, "py", "bb", "U")])
+    t.commit_deltas_to(
+        "b", d, sorted(r[0] for r in d.select("_bucket").distinct().collect()), {})
+    head = t.resolve_ref("b")
+    now = int(_time.time() * 1000) + 1000
+    assert bt.snapshot_as_of(now) == head
+    # main's view is unchanged: the un-adopted branch stays invisible
+    assert t.snapshot_as_of(now) == fork_sid
+    # and pre-fork times resolve identically through either handle
+    fork_ts = t._raw_snapshot(fork_sid)["timestamp_ms"]
+    assert bt.snapshot_as_of(fork_ts) == t.snapshot_as_of(fork_ts) == fork_sid

@@ -273,12 +273,10 @@ def test_egress_roundtrip_mirrors_table_via_wire_format(spark, tmp_path):
     consumer AND producer."""
     from filters_spark.engine.cdc import CDCEngine
     from filters_spark.engine.defaults import default_registry
-    from filters_spark.lake.table import LakeTable
+    from filters_spark.lake.table import LakeTable as LT
     from filters_spark.sources.debezium import to_debezium
 
-    from tests.test_cdc_engine import events_df, final_state, make_engine
-
-    from filters_spark.lake.table import LakeTable as LT
+    from tests.test_cdc_engine import events_df, final_state
 
     def mor_engine(root):
         t = LT.create(spark, os.path.join(root, "lake"),
@@ -306,3 +304,26 @@ def test_egress_roundtrip_mirrors_table_via_wire_format(spark, tmp_path):
 
     plan = wire._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_egress_rejects_noncanonical_op(spark):
+    """An op outside {I,U,D} must FAIL the egress job, not serialize an
+    op:null envelope that parse_debezium's non-row-op filter would
+    silently drop downstream (replica missing rows, no error)."""
+    import pytest
+
+    from filters_spark.sources.debezium import to_debezium
+
+    df = spark.createDataFrame(
+        [("r1", "p.py", "000000000001", 1, "py", "c", "K")],
+        "repo string, path string, `commit` string, event_seq long, "
+        "lang string, content string, op string",
+    )
+    wire = to_debezium(df, ["repo", "path", "lang", "content"])
+    with pytest.raises(Exception, match="outside \\{I,U,D\\}"):
+        wire.collect()
+    # the canonical ops still serialize
+    ok = df.withColumn("op", F.lit("D"))
+    row = to_debezium(ok, ["repo", "path", "lang", "content"]).collect()[0]
+    env = json.loads(row["value"])
+    assert env["op"] == "d" and env["before"]["path"] == "p.py"

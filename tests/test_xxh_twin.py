@@ -169,3 +169,40 @@ def test_read_repo_scoped_scan(spark, tmp_path):
     assert len(buckets_for_repo("r7", B, S)) <= S < len(touched)
     # absent repo: empty, not None
     assert t.read_repo("nope").count() == 0
+
+
+def test_read_repo_absent_repo_with_empty_candidate_buckets(spark, tmp_path):
+    """An absent repo whose candidate buckets hold NO files at all must
+    still read as an EMPTY frame on a populated table — returning None
+    there would tell a docstring-following caller the table is empty
+    (or crash it on .count())."""
+    import pyspark.sql.functions as F
+
+    from filters_spark.lake.table import LakeTable, bucket_expr
+    from filters_spark.lake.xxh import buckets_for_repo
+
+    B, S = 64, 4
+    t = LakeTable.create(spark, str(tmp_path / "l"), ["repo", "path"],
+                         num_buckets=B, path_salt=S)
+    df = spark.createDataFrame(
+        [("only-repo", "p.py", "000000000001", 1, "py", "c")],
+        "repo string, path string, `commit` string, event_seq long, "
+        "lang string, content string",
+    ).select(
+        "*",
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+        bucket_expr(F.col("repo"), F.col("path"), B, S).cast("int").alias("_bucket"),
+    )
+    touched = sorted(r[0] for r in df.select("_bucket").distinct().collect())
+    t.commit_buckets(df, touched, {})
+    populated = set(touched)
+    probe = next(
+        f"probe{i}" for i in range(10_000)
+        if not set(buckets_for_repo(f"probe{i}", B, S)) & populated
+    )
+    got = t.read_repo(probe)
+    assert got is not None and got.count() == 0
+    # the truly-empty-table contract is unchanged
+    t2 = LakeTable.create(spark, str(tmp_path / "l2"), ["repo", "path"],
+                          num_buckets=B, path_salt=S)
+    assert t2.read_repo(probe) is None
