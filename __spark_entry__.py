@@ -2899,6 +2899,33 @@ def q_lake_changes_feed(spark, sf):
 
 
 @_q(
+    "lake_changes_pre_images",
+    f"""
+    WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE}
+    SELECT d.repo, d.path, d."commit", d.event_seq, d.lang, d.content,
+           d.op, CAST(2 AS INTEGER) AS snapshot_id,
+           CASE WHEN b.repo IS NOT NULL THEN 'K' END AS pre_op,
+           b.lang AS pre_lang, b.content AS pre_content,
+           CASE WHEN d.op = 'D' THEN 'D'
+                WHEN b.repo IS NULL THEN 'I' ELSE 'U' END AS op_effective
+    FROM deltas d LEFT JOIN base b ON d.repo = b.repo AND d.path = b.path
+    """,
+)
+def q_lake_changes_pre_images(spark, sf):
+    """Changefeed with PRE-IMAGES (lake/table.py changes_with_images —
+    the Delta-CDF / Debezium-before shape): each change row carries the
+    key's payload immediately before the event, seeded from the state
+    at the range start, plus op_effective (the engine's upsert ops
+    resolved against the pre-image: a 'U' landing on a fresh key is
+    effectively an INSERT). Event-level — multi-event keys chain
+    predecessor post-images — which the oracle's single-event-per-key
+    join reduces to; the multi-event chain is pinned in
+    tests/test_mor.py::TestChangesWithImages."""
+    t = _lake_build(spark, sf, deltas=True)
+    return t.changes_with_images(1, 2)
+
+
+@_q(
     "lake_mor_read",
     _LAKE_LWW_STATE_ORACLE,
 )

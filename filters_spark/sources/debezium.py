@@ -42,6 +42,8 @@ instead.
 
 from __future__ import annotations
 
+from typing import Mapping
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -178,6 +180,7 @@ def to_debezium(
     commit_col: str = "commit",
     seq_col: str = "event_seq",
     connector: str = "filters-spark",
+    before_cols: Mapping[str, str] | None = None,
 ) -> DataFrame:
     """The EGRESS twin of :func:`parse_debezium`: serialize an engine-
     shaped change frame (``changes()`` output, or any frame with op +
@@ -189,7 +192,23 @@ def to_debezium(
     Mapping (inverse of the parser's): I→c, U→u, D→d; c/u rows carry
     the ``after`` image, d rows the ``before`` image (whatever payload
     cells the tombstone still carries; consumers key on the row's key
-    fields). The engine ordering round-trips losslessly through
+    fields).
+
+    ``before_cols`` (envelope field → source column) turns on TRUE
+    before-images — the full Debezium u-event shape where ``before``
+    and ``after`` both appear. Feed it
+    :meth:`~filters_spark.lake.table.LakeTable.changes_with_images`
+    output with ``{"repo": "repo", "path": "path", "lang": "pre_lang",
+    "content": "pre_content"}`` (key fields map to themselves — the
+    key is its own pre-image) and, for faithful c/u classification,
+    ``op_col="op_effective"``. Requires a ``pre_op`` column (the
+    images feed carries it); ``before`` is emitted only when the row
+    HAD a previous version (``pre_op`` non-NULL and not a delete),
+    matching Debezium's omit-absent spelling — including on d events,
+    whose ``before`` becomes the true pre-image instead of the
+    tombstone's residual payload.
+
+    The engine ordering round-trips losslessly through
     ``source``: ``file = "<connector>.<decimal commit>"`` and
     ``pos = event_seq`` — ``parse_debezium(..., seq_expr=lambda s:
     s["pos"])`` reconstructs (commit, event_seq) exactly, which the
@@ -226,10 +245,27 @@ def to_debezium(
         F.col(seq_col).cast("bigint").alias("pos"),
         F.lit(0).alias("row"),
     )
+    if before_cols is not None:
+        if "pre_op" not in df.columns:
+            raise ValueError(
+                "before_cols requires a pre_op column (use "
+                "changes_with_images(), which carries it)"
+            )
+        before_img = F.create_map(
+            *[
+                x for k, c in before_cols.items()
+                for x in (F.lit(k), F.col(c).cast("string"))
+            ]
+        )
+        before = F.when(
+            F.col("pre_op").isNotNull() & (F.col("pre_op") != "D"), before_img
+        )
+    else:
+        before = F.when(F.col(op_col) == "D", image)
     return df.select(
         F.to_json(
             F.struct(
-                F.when(F.col(op_col) == "D", image).alias("before"),
+                before.alias("before"),
                 F.when(F.col(op_col) != "D", image).alias("after"),
                 src.alias("source"),
                 dbz_op.alias("op"),

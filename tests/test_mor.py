@@ -233,3 +233,122 @@ class TestIncrementalMirrorSync:
         )
         with pytest.raises(ValueError, match="payload"):
             sync_incremental(src_t, dst_t)
+
+
+class TestChangesWithImages:
+    """changes_with_images (lake/table.py): Delta-CDF / Debezium-before
+    pre-images on the incremental feed, event-level, seeded from the
+    state at `since`."""
+
+    BASE_DDL = ("repo string, path string, `commit` string, event_seq long, "
+                "lang string, content string")
+
+    def _mk(self, spark, root):
+        from filters_spark.lake.table import bucket_expr
+
+        t = LakeTable.create(spark, str(root), ["repo", "path"], num_buckets=8)
+        bkt = bucket_expr(F.col("repo"), F.col("path"), 8, 16).cast("int").alias("_bucket")
+        base = spark.createDataFrame(
+            [("r1", "a.py", "000000000001", 1, "py", "v0"),
+             ("r1", "c.py", "000000000001", 2, "py", "c0")],
+            self.BASE_DDL,
+        ).select("*", F.sha2(F.coalesce("content", F.lit("")), 256).alias("content_sha"), bkt)
+        touched = sorted(r[0] for r in base.select("_bucket").distinct().collect())
+        t.commit_buckets(base, touched, {})
+        for rows in (
+            # snapshot 2: update A, insert B (spelled as U), delete C
+            [("r1", "a.py", "000000000002", 1, "py", "v1", "U"),
+             ("r1", "b.py", "000000000002", 2, "py", "b1", "U"),
+             ("r1", "c.py", "000000000002", 3, None, None, "D")],
+            # snapshot 3: A twice in ONE commit, B update, C re-insert
+            [("r1", "a.py", "000000000003", 1, "py", "v2", "U"),
+             ("r1", "a.py", "000000000003", 2, "py", "v3", "U"),
+             ("r1", "b.py", "000000000003", 3, "py", "b2", "U"),
+             ("r1", "c.py", "000000000003", 4, "py", "c1", "U")],
+        ):
+            d = spark.createDataFrame(rows, self.BASE_DDL + ", op string").select("*", bkt)
+            dt = sorted(r[0] for r in d.select("_bucket").distinct().collect())
+            t.commit_deltas(d, dt, {})
+        return t
+
+    def test_pre_images_event_level(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "img")
+        out = {
+            (r["path"], r["commit"], r["event_seq"]): r
+            for r in t.changes_with_images(1).collect()
+        }
+        assert len(out) == 7
+        # A: chained through both snapshots, seeded from base
+        a1 = out[("a.py", "000000000002", 1)]
+        assert (a1["pre_op"], a1["pre_content"], a1["op_effective"]) == ("K", "v0", "U")
+        a2 = out[("a.py", "000000000003", 1)]
+        assert (a2["pre_op"], a2["pre_content"], a2["op_effective"]) == ("U", "v1", "U")
+        a3 = out[("a.py", "000000000003", 2)]
+        # same-commit predecessor: ordered by event_seq within commit
+        assert (a3["pre_op"], a3["pre_content"], a3["op_effective"]) == ("U", "v2", "U")
+        # B: absent at since -> effective INSERT, then a true update
+        b1 = out[("b.py", "000000000002", 2)]
+        assert b1["pre_op"] is None and b1["op_effective"] == "I"
+        b2 = out[("b.py", "000000000003", 3)]
+        assert (b2["pre_op"], b2["pre_content"], b2["op_effective"]) == ("U", "b1", "U")
+        # C: delete carries the true pre-image; re-insert after the
+        # delete is effectively an INSERT with no pre-payload
+        c1 = out[("c.py", "000000000002", 3)]
+        assert (c1["pre_op"], c1["pre_content"], c1["op_effective"]) == ("K", "c0", "D")
+        c2 = out[("c.py", "000000000003", 4)]
+        assert (c2["pre_op"], c2["pre_content"], c2["op_effective"]) == ("D", None, "I")
+
+    def test_mid_range_seeds_from_since_state(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "img2")
+        out = {
+            (r["path"], r["event_seq"]): r for r in t.changes_with_images(2).collect()
+        }
+        assert len(out) == 4
+        # A's first in-range event seeds from the state AT snapshot 2
+        assert (out[("a.py", 1)]["pre_op"], out[("a.py", 1)]["pre_content"]) == ("K", "v1")
+        assert (out[("b.py", 3)]["pre_op"], out[("b.py", 3)]["pre_content"]) == ("K", "b1")
+        # C was deleted as of snapshot 2: absent from the seed
+        assert out[("c.py", 4)]["pre_op"] is None
+        assert out[("c.py", 4)]["op_effective"] == "I"
+        # empty range contract unchanged
+        assert t.changes_with_images(t.current_snapshot_id()) is None
+
+    def test_egress_with_true_before_images(self, spark, tmp_path):
+        import json as _json
+
+        import pytest as _pytest
+
+        from filters_spark.sources.debezium import to_debezium
+
+        t = self._mk(spark, tmp_path / "img3")
+        feed = t.changes_with_images(1)
+        wire = to_debezium(
+            feed, ["repo", "path", "lang", "content"],
+            op_col="op_effective",
+            before_cols={"repo": "repo", "path": "path",
+                         "lang": "pre_lang", "content": "pre_content"},
+        )
+        envs = {}
+        for r in wire.collect():
+            e = _json.loads(r["value"])
+            img = e.get("after") or e.get("before")
+            envs[(img["path"], e["source"]["file"], e["source"]["pos"])] = e
+        assert len(envs) == 7
+        # u event: before AND after, true pre-image
+        a1 = [e for (p, *_), e in envs.items() if p == "a.py" and e["op"] == "u"]
+        assert all(e["before"]["content"] is not None for e in a1)
+        first_a = min(a1, key=lambda e: (e["source"]["file"], e["source"]["pos"]))
+        assert first_a["before"]["content"] == "v0" and first_a["after"]["content"] == "v1"
+        # c event (absent key): NO before
+        b_ins = [e for (p, *_), e in envs.items() if p == "b.py" and e["op"] == "c"]
+        assert len(b_ins) == 1 and b_ins[0].get("before") is None
+        # d event: before is the TRUE pre-image, not tombstone residue
+        c_del = [e for (p, *_), e in envs.items() if p == "c.py" and e["op"] == "d"]
+        assert len(c_del) == 1 and c_del[0]["before"]["content"] == "c0"
+        # re-insert after delete: c with no before
+        c_re = [e for (p, *_), e in envs.items() if p == "c.py" and e["op"] == "c"]
+        assert len(c_re) == 1 and c_re[0].get("before") is None
+        # before_cols without the images feed is a loud error
+        with _pytest.raises(ValueError, match="pre_op"):
+            to_debezium(feed.drop("pre_op"), ["repo", "path"],
+                        before_cols={"repo": "repo", "path": "path"})
