@@ -1623,8 +1623,10 @@ class LakeTable:
         predecessor's post-image (event-level, Debezium-faithful —
         not just a since-vs-until diff).
 
-        Scale shape: one :meth:`changes` scan (O(changed rows)), the
-        seed read pruned to the feed's keys by a semi-join, ONE
+        Scale shape: one :meth:`changes` scan (O(changed rows)); the
+        seed read is bucket-pruned from metadata alone (only buckets
+        whose delta set changed in the range can hold feed keys) and
+        then row-pruned to the feed's keys by a semi-join; ONE
         exchange for the per-key lag window. Same MoR-only contract as
         ``changes()``. Returns None when the range is empty."""
         feed = self.changes(since_snapshot_id, to_snapshot_id)
@@ -1636,7 +1638,41 @@ class LakeTable:
         )
         payload = self.payload_cols(self.snapshot(to_id))
         keys = feed.select("repo", "path").distinct()
-        base = self.read(since_snapshot_id)
+        # Bucket-prune the seed read from METADATA alone: only buckets
+        # whose delta set CHANGED in the range's append-deltas commits
+        # can hold feed keys (carried-over delta entries keep their
+        # content-addressed manifest ref / file list, so the
+        # child-vs-parent diff excludes them). Sound only while the
+        # bucket layout is stable across the range — a mid-range
+        # rescale() renumbers buckets, so fall back to the full seed
+        # read (the key semi-join still prunes rows) when the since/to
+        # params differ.
+        since_raw = self._raw_snapshot(since_snapshot_id)
+        to_raw = self._raw_snapshot(to_id)
+        touched: set[int] | None = set()
+        if (since_raw["num_buckets"], since_raw["path_salt"]) != (
+            to_raw["num_buckets"], to_raw["path_salt"]
+        ):
+            touched = None
+        else:
+            sid2: int | None = to_id
+            raw2: dict | None = to_raw
+            while raw2 is not None and sid2 != since_snapshot_id:
+                parent = raw2.get("parent_id")
+                praw = (
+                    self._raw_snapshot_if_retained(parent)
+                    if parent is not None else None
+                )
+                if raw2.get("operation") == "append-deltas":
+                    pdel = (praw or {}).get("deltas", {})
+                    for b, v in raw2.get("deltas", {}).items():
+                        if pdel.get(b) != v:
+                            touched.add(int(b))
+                sid2, raw2 = parent, praw
+        base = self.read(
+            since_snapshot_id,
+            buckets=sorted(touched) if touched is not None else None,
+        )
         rows = feed.select(
             "repo", "path", "commit", "event_seq", *payload, "op", "snapshot_id"
         )

@@ -352,3 +352,29 @@ class TestChangesWithImages:
         with _pytest.raises(ValueError, match="pre_op"):
             to_debezium(feed.drop("pre_op"), ["repo", "path"],
                         before_cols={"repo": "repo", "path": "path"})
+
+    def test_rescale_in_range_falls_back_to_full_seed(self, spark, tmp_path):
+        """A mid-range rescale renumbers buckets, so the metadata
+        bucket-prune of the seed read must disable itself (params
+        differ between since and to) — pre-images stay correct."""
+        from filters_spark.lake.table import bucket_expr
+
+        t = self._mk(spark, tmp_path / "img4")
+        t.rescale(16)
+        d = spark.createDataFrame(
+            [("r1", "a.py", "000000000004", 1, "py", "v4", "U")],
+            self.BASE_DDL + ", op string",
+        ).select("*", bucket_expr(F.col("repo"), F.col("path"), 16, 16)
+                 .cast("int").alias("_bucket"))
+        dt = sorted(r[0] for r in d.select("_bucket").distinct().collect())
+        t.commit_deltas(d, dt, {})
+        out = {
+            (r["path"], r["commit"], r["event_seq"]): r
+            for r in t.changes_with_images(1).collect()
+        }
+        assert len(out) == 8
+        a4 = out[("a.py", "000000000004", 1)]
+        assert (a4["pre_op"], a4["pre_content"], a4["op_effective"]) == ("U", "v3", "U")
+        # the pre-rescale chain is unchanged
+        a1 = out[("a.py", "000000000002", 1)]
+        assert (a1["pre_op"], a1["pre_content"]) == ("K", "v0")
