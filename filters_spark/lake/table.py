@@ -1505,8 +1505,40 @@ class LakeTable:
         )
         return report
 
+    def _change_chain(
+        self, since_snapshot_id: int, to_id: int
+    ) -> list[tuple[int, dict]]:
+        """Validated snapshot-ancestry walk for incremental reads:
+        ``(snapshot_id, raw_header)`` for every snapshot in
+        ``(since_snapshot_id, to_id]``, child-first. Walks LINEAGE,
+        not ids: branch commits interleave globally-unique ids into
+        the same header namespace, so "every id in the numeric range"
+        would read another branch's changes into this chain's feed. A
+        missing ancestor header means expire_snapshots removed part of
+        the range — raise rather than silently drop changes."""
+        chain: list[tuple[int, dict]] = []
+        sid = to_id
+        while sid is not None and sid > since_snapshot_id:
+            raw = self._raw_snapshot_if_retained(sid)
+            if raw is None:
+                raise ValueError(
+                    f"snapshot {sid} in ({since_snapshot_id}, {to_id}] is expired; "
+                    "the incremental range is unreadable"
+                )
+            chain.append((sid, raw))
+            sid = raw.get("parent_id")
+        if sid != since_snapshot_id:
+            raise ValueError(
+                f"snapshot {since_snapshot_id} is not an ancestor of {to_id}; "
+                "the incremental range crosses chains (branch vs main?)"
+            )
+        return chain
+
     def changes(
-        self, since_snapshot_id: int, to_snapshot_id: int | None = None
+        self,
+        since_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+        _chain: list[tuple[int, dict]] | None = None,
     ) -> DataFrame | None:
         """Incremental read (Iceberg incremental-scan semantics): the
         row-level changes committed AFTER ``since_snapshot_id`` up to
@@ -1525,32 +1557,12 @@ class LakeTable:
         to_id = self.current_snapshot_id() if to_snapshot_id is None else to_snapshot_id
         if to_id <= since_snapshot_id:
             return None
-        # Walk snapshot ANCESTRY from to_id down to since_snapshot_id
-        # (Iceberg incremental scans walk lineage, not ids): branch
-        # commits interleave globally-unique ids into the same header
-        # namespace, so "every id in the numeric range" would read
-        # another branch's changes into this chain's feed. A missing
-        # ancestor header means expire_snapshots removed part of the
-        # range — raise rather than silently drop changes.
-        chain: list[int] = []
-        sid = to_id
-        while sid is not None and sid > since_snapshot_id:
-            raw = self._raw_snapshot_if_retained(sid)
-            if raw is None:
-                raise ValueError(
-                    f"snapshot {sid} in ({since_snapshot_id}, {to_id}] is expired; "
-                    "the incremental range is unreadable"
-                )
-            chain.append(sid)
-            sid = raw.get("parent_id")
-        if sid != since_snapshot_id:
-            raise ValueError(
-                f"snapshot {since_snapshot_id} is not an ancestor of {to_id}; "
-                "the incremental range crosses chains (branch vs main?)"
-            )
+        chain = _chain if _chain is not None else self._change_chain(
+            since_snapshot_id, to_id
+        )
         file_sids: list[tuple[str, int]] = []
-        for sid in sorted(chain):
-            snap = self.snapshot(sid)
+        for sid, raw in sorted(chain):
+            snap = self._resolve_header(raw)
             op = snap.get("operation", "overwrite")
             if op in ("create", "compact", "rescale", "rewrite", "fast-forward"):
                 # physical reorganizations / pointer adoptions: no
@@ -1581,7 +1593,10 @@ class LakeTable:
             [(_rel_to_data(f), sid) for f, sid in file_sids],
             "_relpath string, snapshot_id int",
         )
-        payload = self.payload_cols(self.snapshot(to_id))
+        # chain is child-first: chain[0] is to_id's raw header, and
+        # payload_cols needs only its recorded column set — no second
+        # header read, no manifest resolution
+        payload = self.payload_cols(chain[0][1])
         return (
             self.spark.read.schema(self._delta_ddl(payload))
             .parquet(*[f for f, _ in file_sids])
@@ -1629,46 +1644,55 @@ class LakeTable:
         then row-pruned to the feed's keys by a semi-join; ONE
         exchange for the per-key lag window. Same MoR-only contract as
         ``changes()``. Returns None when the range is empty."""
-        feed = self.changes(since_snapshot_id, to_snapshot_id)
-        if feed is None:
-            return None
         to_id = (
             self.current_snapshot_id()
             if to_snapshot_id is None else to_snapshot_id
         )
-        payload = self.payload_cols(self.snapshot(to_id))
+        if to_id <= since_snapshot_id:
+            return None
+        # ONE validated ancestry walk shared with the changes() scan —
+        # the raw headers drive the feed, the payload set, the layout
+        # guard and the touched-bucket diff below
+        chain = self._change_chain(since_snapshot_id, to_id)
+        feed = self.changes(since_snapshot_id, to_id, _chain=chain)
+        if feed is None:
+            return None
+        since_raw = self._raw_snapshot_if_retained(since_snapshot_id)
+        if since_raw is None:
+            raise ValueError(
+                f"snapshot {since_snapshot_id} is expired; cannot seed "
+                "pre-images from its state"
+            )
+        payload = self.payload_cols(chain[0][1])
         keys = feed.select("repo", "path").distinct()
         # Bucket-prune the seed read from METADATA alone: only buckets
         # whose delta set CHANGED in the range's append-deltas commits
         # can hold feed keys (carried-over delta entries keep their
         # content-addressed manifest ref / file list, so the
         # child-vs-parent diff excludes them). Sound only while the
-        # bucket layout is stable across the range — a mid-range
-        # rescale() renumbers buckets, so fall back to the full seed
-        # read (the key semi-join still prunes rows) when the since/to
-        # params differ.
-        since_raw = self._raw_snapshot(since_snapshot_id)
-        to_raw = self._raw_snapshot(to_id)
+        # bucket layout is stable across the WHOLE range — a rescale()
+        # renumbers buckets, and a rescale round-trip restores the
+        # endpoint layout with mid-range commits numbered differently,
+        # so EVERY header in the range must agree before pruning; any
+        # mismatch falls back to the full seed read (the key semi-join
+        # still prunes rows).
+        layout = (since_raw["num_buckets"], since_raw["path_salt"])
         touched: set[int] | None = set()
-        if (since_raw["num_buckets"], since_raw["path_salt"]) != (
-            to_raw["num_buckets"], to_raw["path_salt"]
+        if any(
+            (raw["num_buckets"], raw["path_salt"]) != layout
+            for _, raw in chain
         ):
             touched = None
         else:
-            sid2: int | None = to_id
-            raw2: dict | None = to_raw
-            while raw2 is not None and sid2 != since_snapshot_id:
-                parent = raw2.get("parent_id")
-                praw = (
-                    self._raw_snapshot_if_retained(parent)
-                    if parent is not None else None
-                )
-                if raw2.get("operation") == "append-deltas":
-                    pdel = (praw or {}).get("deltas", {})
-                    for b, v in raw2.get("deltas", {}).items():
-                        if pdel.get(b) != v:
-                            touched.add(int(b))
-                sid2, raw2 = parent, praw
+            raws = {sid: raw for sid, raw in chain}
+            raws[since_snapshot_id] = since_raw
+            for sid, raw in chain:
+                if raw.get("operation") != "append-deltas":
+                    continue
+                pdel = raws[raw["parent_id"]].get("deltas", {})
+                for b, v in raw.get("deltas", {}).items():
+                    if pdel.get(b) != v:
+                        touched.add(int(b))
         base = self.read(
             since_snapshot_id,
             buckets=sorted(touched) if touched is not None else None,
@@ -1677,10 +1701,19 @@ class LakeTable:
             "repo", "path", "commit", "event_seq", *payload, "op", "snapshot_id"
         )
         if base is not None:
+            # schema evolution: the since-state lacks columns ADDED
+            # inside the range — NULL-fill them (payload columns are
+            # uniformly string; same read semantics files written
+            # before a widening get)
+            seed_pay = [
+                F.col(c) if c in base.columns
+                else F.lit(None).cast("string").alias(c)
+                for c in payload
+            ]
             seed = (
                 base.join(keys, ["repo", "path"], "left_semi")
                 .select(
-                    "repo", "path", "commit", "event_seq", *payload,
+                    "repo", "path", "commit", "event_seq", *seed_pay,
                     F.lit("K").alias("op"),
                     F.lit(None).cast("int").alias("snapshot_id"),
                 )

@@ -202,11 +202,11 @@ def to_debezium(
     "content": "pre_content"}`` (key fields map to themselves — the
     key is its own pre-image) and, for faithful c/u classification,
     ``op_col="op_effective"``. Requires a ``pre_op`` column (the
-    images feed carries it); ``before`` is emitted only when the row
-    HAD a previous version (``pre_op`` non-NULL and not a delete),
-    matching Debezium's omit-absent spelling — including on d events,
-    whose ``before`` becomes the true pre-image instead of the
-    tombstone's residual payload.
+    images feed carries it). ``before`` is emitted when the row HAD a
+    previous version (``pre_op`` non-NULL and not a delete), matching
+    Debezium's omit-absent spelling; d events ALWAYS carry one —
+    the true pre-image when known, else the tombstone's own fields
+    (consumers read the delete key from ``before``).
 
     The engine ordering round-trips losslessly through
     ``source``: ``file = "<connector>.<decimal commit>"`` and
@@ -257,8 +257,17 @@ def to_debezium(
                 for x in (F.lit(k), F.col(c).cast("string"))
             ]
         )
-        before = F.when(
-            F.col("pre_op").isNotNull() & (F.col("pre_op") != "D"), before_img
+        # d events MUST carry a before image — consumers read the key
+        # from it (parse_debezium included). A delete with no known
+        # pre-image (idempotent/double delete: pre_op NULL or 'D')
+        # falls back to the row's own fields, exactly the tombstone
+        # image the non-before_cols path emits.
+        before = (
+            F.when(
+                F.col("pre_op").isNotNull() & (F.col("pre_op") != "D"),
+                before_img,
+            )
+            .when(F.col(op_col) == "D", image)
         )
     else:
         before = F.when(F.col(op_col) == "D", image)

@@ -378,3 +378,91 @@ class TestChangesWithImages:
         # the pre-rescale chain is unchanged
         a1 = out[("a.py", "000000000002", 1)]
         assert (a1["pre_op"], a1["pre_content"]) == ("K", "v0")
+
+    def test_schema_widened_range_null_fills_seed(self, spark, tmp_path):
+        """A column ADDED inside the range widens the feed's payload;
+        the seed (read at `since`, which predates the column) must
+        NULL-fill it instead of failing to resolve."""
+        from filters_spark.lake.table import bucket_expr
+
+        t = self._mk(spark, tmp_path / "img5")
+        d = spark.createDataFrame(
+            [("r1", "a.py", "000000000004", 1, "py", "v4", "X", "U")],
+            self.BASE_DDL.replace(", content string",
+                                  ", content string, extra string") + ", op string",
+        ).select("*", bucket_expr(F.col("repo"), F.col("path"), 8, 16)
+                 .cast("int").alias("_bucket"))
+        dt = sorted(r[0] for r in d.select("_bucket").distinct().collect())
+        t.commit_deltas(d, dt, {}, columns=["repo", "path", "lang", "content", "extra"])
+        out = {
+            (r["path"], r["commit"], r["event_seq"]): r
+            for r in t.changes_with_images(1).collect()
+        }
+        assert len(out) == 8
+        a4 = out[("a.py", "000000000004", 1)]
+        assert (a4["pre_content"], a4["extra"], a4["pre_extra"]) == ("v3", "X", None)
+        # pre-widening rows read the new column (and its pre) as NULL
+        a1 = out[("a.py", "000000000002", 1)]
+        assert (a1["pre_op"], a1["pre_content"], a1["extra"]) == ("K", "v0", None)
+
+    def test_rescale_roundtrip_disables_bucket_prune(self, spark, tmp_path):
+        """8 -> 16 -> 8 buckets with a commit at the 16-layout in
+        between: endpoints agree but mid-range bucket ids are from
+        another layout — the prune must see the MID-RANGE header and
+        fall back, or pre-images silently corrupt."""
+        from filters_spark.lake.table import bucket_expr
+
+        t = self._mk(spark, tmp_path / "img6")
+        t.rescale(16)
+        d = spark.createDataFrame(
+            [("r1", "a.py", "000000000004", 1, "py", "v4", "U")],
+            self.BASE_DDL + ", op string",
+        ).select("*", bucket_expr(F.col("repo"), F.col("path"), 16, 16)
+                 .cast("int").alias("_bucket"))
+        dt = sorted(r[0] for r in d.select("_bucket").distinct().collect())
+        t.commit_deltas(d, dt, {})
+        t.rescale(8)
+        d2 = spark.createDataFrame(
+            [("r1", "a.py", "000000000005", 1, "py", "v5", "U")],
+            self.BASE_DDL + ", op string",
+        ).select("*", bucket_expr(F.col("repo"), F.col("path"), 8, 16)
+                 .cast("int").alias("_bucket"))
+        dt2 = sorted(r[0] for r in d2.select("_bucket").distinct().collect())
+        t.commit_deltas(d2, dt2, {})
+        out = {
+            (r["path"], r["commit"]): r
+            for r in t.changes_with_images(1).collect()
+        }
+        a5 = out[("a.py", "000000000005")]
+        assert (a5["pre_op"], a5["pre_content"], a5["op_effective"]) == ("U", "v4", "U")
+        a4 = out[("a.py", "000000000004")]
+        assert (a4["pre_op"], a4["pre_content"]) == ("U", "v3")
+
+    def test_egress_double_delete_keeps_key(self, spark, tmp_path):
+        """A delete with NO known pre-image (key absent at since) must
+        still emit a before image carrying the key — consumers (and
+        parse_debezium) read the delete key from `before`."""
+        import json as _json
+
+        from filters_spark.lake.table import bucket_expr
+        from filters_spark.sources.debezium import to_debezium
+
+        t = self._mk(spark, tmp_path / "img7")
+        d = spark.createDataFrame(
+            [("r9", "ghost.py", "000000000004", 1, None, None, "D")],
+            self.BASE_DDL + ", op string",
+        ).select("*", bucket_expr(F.col("repo"), F.col("path"), 8, 16)
+                 .cast("int").alias("_bucket"))
+        dt = sorted(r[0] for r in d.select("_bucket").distinct().collect())
+        t.commit_deltas(d, dt, {})
+        feed = t.changes_with_images(3)  # only the ghost delete in range
+        wire = to_debezium(
+            feed, ["repo", "path", "lang", "content"],
+            op_col="op_effective",
+            before_cols={"repo": "repo", "path": "path",
+                         "lang": "pre_lang", "content": "pre_content"},
+        )
+        envs = [_json.loads(r["value"]) for r in wire.collect()]
+        assert len(envs) == 1 and envs[0]["op"] == "d"
+        assert envs[0]["before"]["repo"] == "r9"
+        assert envs[0]["before"]["path"] == "ghost.py"
