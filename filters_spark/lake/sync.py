@@ -105,3 +105,83 @@ def sync_incremental(src: LakeTable, dst: LakeTable) -> dict | None:
         json.dumps({"source_snapshot_id": cur}),
     )
     return out
+
+
+_EGRESS_STATE = "egress-state.json"
+
+
+def last_published_snapshot(src: LakeTable, sink_dir: str) -> int:
+    """Source snapshot id the sink has published through (0 = never)."""
+    p = os.path.join(sink_dir, _EGRESS_STATE)
+    if not src.io.exists(p):
+        return 0
+    return int(json.loads(src.io.read_text(p))["source_snapshot_id"])
+
+
+def publish_changes(
+    src: LakeTable,
+    sink_dir: str,
+    before_images: bool = False,
+    connector: str = "filters-spark",
+) -> dict | None:
+    """Checkpointed Debezium EGRESS — the wire-format twin of
+    :func:`sync_incremental`: publish the source's changefeed since the
+    last publish as JSON-line envelope files under
+    ``sink_dir/batch-<since>-<to>/``, then advance
+    ``sink_dir/egress-state.json``. Repeated calls tail the table; a
+    scheduler (or a streaming trigger) calling this per tick makes the
+    lake a continuous Debezium PRODUCER any standard consumer can
+    follow, with no connector infrastructure.
+
+    Delivery contract: the state file is written AFTER the batch
+    directory, so a crash in between re-publishes the same range into
+    the SAME deterministic directory (overwrite — no partial-batch
+    duplication within the sink). Consumers get at-least-once delivery
+    of whole ranges; feeding the envelopes back through
+    ``parse_debezium`` into a CDC engine is exactly-once end to end
+    because the engine's watermark dedupe drops redelivered events
+    (pinned in tests/test_debezium.py).
+
+    ``before_images=True`` publishes through
+    :meth:`~filters_spark.lake.table.LakeTable.changes_with_images`,
+    so u/d envelopes carry true ``before`` images and ops are
+    re-classified against the pre-image (the full Debezium event
+    shape); the default publishes the plain feed (cheaper: no seed
+    read or window).
+
+    Returns ``{"since", "to", "events", "path"}``; None when already
+    up to date. An empty range (metadata-only commits) still advances
+    the checkpoint but writes no batch directory."""
+    from filters_spark.sources.debezium import to_debezium
+
+    last = last_published_snapshot(src, sink_dir)
+    cur = src.current_snapshot_id()
+    if cur <= last:
+        return None
+    payload = src.payload_cols(src.current())
+    fields = ["repo", "path", *payload]
+    out = None
+    if before_images:
+        feed = src.changes_with_images(last, cur)
+        if feed is not None:
+            wire = to_debezium(
+                feed, fields, op_col="op_effective", connector=connector,
+                before_cols={
+                    "repo": "repo", "path": "path",
+                    **{c: f"pre_{c}" for c in payload},
+                },
+            )
+    else:
+        feed = src.changes(last, cur)
+        if feed is not None:
+            wire = to_debezium(feed, fields, connector=connector)
+    if feed is not None:
+        batch_dir = os.path.join(sink_dir, f"batch-{last:010d}-{cur:010d}")
+        wire.write.mode("overwrite").text(batch_dir)
+        n = src.spark.read.text(batch_dir).count()
+        out = {"since": last, "to": cur, "events": n, "path": batch_dir}
+    src.io.write_text_atomic(
+        os.path.join(sink_dir, _EGRESS_STATE),
+        json.dumps({"source_snapshot_id": cur}),
+    )
+    return out

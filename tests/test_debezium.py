@@ -327,3 +327,99 @@ def test_egress_rejects_noncanonical_op(spark):
     row = to_debezium(ok, ["repo", "path", "lang", "content"]).collect()[0]
     env = json.loads(row["value"])
     assert env["op"] == "d" and env["before"]["path"] == "p.py"
+
+
+def test_publish_changes_checkpointed_producer(spark, tmp_path):
+    """publish_changes (lake/sync.py): the lake as a CONTINUOUS
+    Debezium producer — checkpointed range publishes, resume from
+    state, at-least-once wire delivery that stays exactly-once through
+    a consuming engine's watermark dedupe."""
+    import glob
+
+    from filters_spark.engine.cdc import CDCEngine
+    from filters_spark.engine.defaults import default_registry
+    from filters_spark.lake.sync import last_published_snapshot, publish_changes
+    from filters_spark.lake.table import LakeTable as LT
+
+    from tests.test_cdc_engine import events_df, final_state
+
+    def mor_engine(root):
+        t = LT.create(spark, os.path.join(root, "lake"),
+                      key_cols=["repo", "path"], num_buckets=8, path_salt=4)
+        return CDCEngine(spark, t, default_registry(), write_mode="mor")
+
+    ev = events_df(spark, n_events=600, dirty_frac=0.05)
+    src = mor_engine(str(tmp_path / "src"))
+    sink = str(tmp_path / "sink")
+    # sequential halves: the engine's watermark dedupe treats
+    # lower-(commit,seq) events in a LATER batch as replays by design
+    half = ev.filter(F.col("commit") <= "000000000003")
+    rest = ev.filter(F.col("commit") >= "000000000004")
+
+    src.apply_batch(half)
+    m1 = publish_changes(src.table, sink)
+    assert m1 is not None and m1["since"] == 0 and m1["events"] > 0
+    assert last_published_snapshot(src.table, sink) == m1["to"]
+    # up to date -> no-op, checkpoint unchanged
+    assert publish_changes(src.table, sink) is None
+
+    src.apply_batch(rest)
+    m2 = publish_changes(src.table, sink)
+    assert m2 is not None and m2["since"] == m1["to"]
+    assert sorted(glob.glob(os.path.join(sink, "batch-*"))) == [m1["path"], m2["path"]]
+
+    # consume the whole sink through a second engine: exactly-once
+    dst = mor_engine(str(tmp_path / "dst"))
+    wire = spark.read.text(os.path.join(sink, "batch-*"))
+    back = parse_debezium(
+        wire, ["repo", "path", "lang", "content"],
+        seq_expr=lambda s: s["pos"].cast("long"),
+    )
+    dst.apply_batch(back)
+    assert final_state(dst) == final_state(src)
+    # redelivery of the full sink is dropped by the watermark dedupe
+    m = dst.apply_batch(back)
+    assert m["applied"] == 0
+
+    # crash between batch write and state write: re-publish overwrites
+    # the SAME deterministic directory — no partial-batch duplication
+    src.table.io.remove(os.path.join(sink, "egress-state.json"))
+    import json as _json
+
+    src.table.io.write_text_atomic(
+        os.path.join(sink, "egress-state.json"),
+        _json.dumps({"source_snapshot_id": m1["to"]}),
+    )
+    m2b = publish_changes(src.table, sink)
+    assert m2b["path"] == m2["path"] and m2b["events"] == m2["events"]
+
+
+def test_publish_changes_with_before_images(spark, tmp_path):
+    """before_images=True publishes the full Debezium event shape:
+    u envelopes carry before AND after, ops re-classified against the
+    pre-image (first sight of a key is c even if the engine spelled
+    it U)."""
+    from filters_spark.engine.cdc import CDCEngine
+    from filters_spark.engine.defaults import default_registry
+    from filters_spark.lake.sync import publish_changes
+    from filters_spark.lake.table import LakeTable as LT
+
+    from tests.test_cdc_engine import events_df
+
+    t = LT.create(spark, os.path.join(str(tmp_path), "lake"),
+                  key_cols=["repo", "path"], num_buckets=8, path_salt=4)
+    eng = CDCEngine(spark, t, default_registry(), write_mode="mor")
+    ev = events_df(spark, n_events=600, dirty_frac=0.0)
+    eng.apply_batch(ev.filter(F.col("commit") <= "000000000003"))
+    sink = str(tmp_path / "sink")
+    publish_changes(t, sink, before_images=True)
+    eng.apply_batch(ev.filter(F.col("commit") >= "000000000004"))
+    m = publish_changes(t, sink, before_images=True)
+    envs = [json.loads(r["value"])
+            for r in spark.read.text(m["path"]).collect()]
+    ups = [e for e in envs if e["op"] == "u"]
+    assert ups, "second batch must contain updates of first-batch keys"
+    assert all(e.get("before") and e.get("after") for e in ups)
+    assert all(e["before"]["content"] is not None for e in ups)
+    news = [e for e in envs if e["op"] == "c"]
+    assert all(e.get("before") is None for e in news)
