@@ -215,3 +215,38 @@ def test_merge_into_minimal_exchange_budget(spark, tmp_path):
     out = captured["df"]
     assert not has_python_eval(out)
     assert exchange_count(out) == 3, out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_changes_with_images_exchange_budget(spark, tmp_path):
+    """Pre-image feed (lake/table.py changes_with_images): at most
+    THREE data-scale exchanges — the seed and key sides keyed for the
+    semi-join, and the union keyed for the lag window — plus broadcast
+    file->snapshot maps; the feed scan stays ONE parquet relation and
+    nothing crosses into Python."""
+    import pyspark.sql.functions as F
+    from filters_spark.lake.table import LakeTable, bucket_expr
+
+    t = LakeTable.create(spark, str(tmp_path / "lci"), ["repo", "path"], num_buckets=4)
+    bkt = bucket_expr(F.col("repo"), F.col("path"), 4, 16).cast("int").alias("_bucket")
+    base = spark.createDataFrame(
+        [(f"r{i%3}", f"p{i}", "000000000001", i, "py", f"b{i}") for i in range(60)],
+        "repo string, path string, commit string, event_seq long, "
+        "lang string, content string",
+    ).withColumn("content_sha", F.sha2("content", 256)).select("*", bkt)
+    touched = sorted(r[0] for r in base.select("_bucket").distinct().collect())
+    t.commit_buckets(base, touched, {})
+    d = spark.createDataFrame(
+        [(f"r{i%3}", f"p{i}", "000000000002", i, "py", f"n{i}", "U") for i in range(0, 60, 2)],
+        "repo string, path string, commit string, event_seq long, "
+        "lang string, content string, op string",
+    ).select("*", bkt)
+    dt = sorted(r[0] for r in d.select("_bucket").distinct().collect())
+    t.commit_deltas(d, dt, {})
+    feed = t.changes_with_images(1)
+    feed.collect()
+    assert not has_python_eval(feed)
+    assert exchange_count(feed) <= 3, formatted_plan(feed)
+    plan = feed._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    # one scan for the feed, one (bucket-pruned) for the seed, one for
+    # the key side — never one relation per snapshot
+    assert plan.count("Scan parquet") <= 3
