@@ -158,7 +158,10 @@ def publish_changes(
     cur = src.current_snapshot_id()
     if cur <= last:
         return None
-    payload = src.payload_cols(src.current())
+    # payload from cur's RAW header, not a head re-read: a commit
+    # landing between the two reads could widen the column set past
+    # the feed's actual schema (and raw avoids manifest resolution)
+    payload = src.payload_cols(src._raw_snapshot(cur))
     fields = ["repo", "path", *payload]
     out = None
     if before_images:
@@ -175,11 +178,22 @@ def publish_changes(
         feed = src.changes(last, cur)
         if feed is not None:
             wire = to_debezium(feed, fields, connector=connector)
+    # a crash after a batch write but before the state write, followed
+    # by MORE commits, retries with a wider range: the stale (possibly
+    # torn) batch-<last>-<oldcur> sibling would otherwise persist in
+    # the sink forever, double-delivering (or PART-delivering) its
+    # range to glob consumers — sweep every batch dir starting at
+    # `last` before writing the current one
+    stale = f"batch-{last:010d}-"
+    for name in src.io.listdir(sink_dir):
+        if name.startswith(stale):
+            src.io.rmtree(os.path.join(sink_dir, name))
     if feed is not None:
         batch_dir = os.path.join(sink_dir, f"batch-{last:010d}-{cur:010d}")
         wire.write.mode("overwrite").text(batch_dir)
         n = src.spark.read.text(batch_dir).count()
         out = {"since": last, "to": cur, "events": n, "path": batch_dir}
+    src.io.makedirs(sink_dir)  # empty first range: no batch dir created it
     src.io.write_text_atomic(
         os.path.join(sink_dir, _EGRESS_STATE),
         json.dumps({"source_snapshot_id": cur}),

@@ -808,6 +808,8 @@ class LakeTable:
             "parent_id": prev["snapshot_id"],
             "timestamp_ms": int(time.time() * 1000),
             "operation": "rollback",
+            "rollback_of": snapshot_id,  # changes() derives the
+            # revert emission (which keys revert, to what) from this
             "added_files": [],
             "schema_version": target["schema_version"],
             "columns": target.get("columns"),
@@ -1550,10 +1552,16 @@ class LakeTable:
         (``added_files``), so the incremental read is a union of those
         files — O(changed rows), no diffing. ``compact`` / ``create``
         snapshots carry no logical change and are skipped. A
-        copy-on-write ``overwrite`` snapshot in the range raises: CoW
-        rewrites buckets and retains no row-level change log — ingest
-        with ``write_mode='mor'`` to make the table a change SOURCE for
-        downstream consumers. Returns None when the range is empty."""
+        ``rollback`` snapshot in the range EMITS its revert: every key
+        changed in the undone range goes back to its target-state
+        (``op='U'``) or away (``op='D'``), with a feed identity that
+        supersedes the undone rows — see :meth:`_rollback_reverts` —
+        so downstream mirrors/publishers actually revert instead of
+        wedging. A copy-on-write ``overwrite`` snapshot in the range
+        raises: CoW rewrites buckets and retains no row-level change
+        log — ingest with ``write_mode='mor'`` to make the table a
+        change SOURCE for downstream consumers. Returns None when the
+        range is empty."""
         to_id = self.current_snapshot_id() if to_snapshot_id is None else to_snapshot_id
         if to_id <= since_snapshot_id:
             return None
@@ -1561,22 +1569,29 @@ class LakeTable:
             since_snapshot_id, to_id
         )
         file_sids: list[tuple[str, int]] = []
+        rollbacks: list[tuple[int, dict]] = []
         for sid, raw in sorted(chain):
-            snap = self._resolve_header(raw)
-            op = snap.get("operation", "overwrite")
+            # operation and added_files are plain raw-header fields —
+            # no manifest resolution on the incremental hot path
+            op = raw.get("operation", "overwrite")
             if op in ("create", "compact", "rescale", "rewrite", "fast-forward"):
                 # physical reorganizations / pointer adoptions: no
                 # logical change of their own (a fast-forward's changes
                 # live in the branch headers it adopted, which this
                 # ancestry walk traverses)
                 continue
+            if op == "rollback":
+                # a rollback IS a logical change (rows revert); its
+                # emission is derived, not file-backed — handled below
+                rollbacks.append((sid, raw))
+                continue
             if op != "append-deltas":
                 raise ValueError(
                     f"snapshot {sid} is {op!r} (copy-on-write): no row-level "
                     "change log; ingest with write_mode='mor' for incremental reads"
                 )
-            file_sids.extend((f, sid) for f in snap.get("added_files", []))
-        if not file_sids:
+            file_sids.extend((f, sid) for f in raw.get("added_files", []))
+        if not file_sids and not rollbacks:
             return None
         # ONE scan of every added file + a broadcast file->snapshot map
         # (a union of one relation per snapshot makes the plan O(range
@@ -1597,14 +1612,115 @@ class LakeTable:
         # payload_cols needs only its recorded column set — no second
         # header read, no manifest resolution
         payload = self.payload_cols(chain[0][1])
-        return (
-            self.spark.read.schema(self._delta_ddl(payload))
-            .parquet(*[f for f, _ in file_sids])
-            .withColumn("_relpath", F.substring_index(F.input_file_name(), "/data/", -1))
-            .join(F.broadcast(fmap), "_relpath")
+        feed = None
+        if file_sids:
+            feed = (
+                self.spark.read.schema(self._delta_ddl(payload))
+                .parquet(*[f for f, _ in file_sids])
+                .withColumn(
+                    "_relpath",
+                    F.substring_index(F.input_file_name(), "/data/", -1),
+                )
+                .join(F.broadcast(fmap), "_relpath")
+                .select(
+                    "repo", "path", "commit", "event_seq", *payload, "op",
+                    "snapshot_id",
+                )
+            )
+        for sid, raw in rollbacks:
+            rv = self._rollback_reverts(sid, raw, payload)
+            if rv is not None:
+                feed = rv if feed is None else feed.unionByName(rv)
+        return feed
+
+    def _rollback_reverts(
+        self, sid: int, raw: dict, payload: list[str]
+    ) -> DataFrame | None:
+        """The logical change a ``rollback`` snapshot applies, as feed
+        rows: every key changed in ``(target, parent]`` reverts to its
+        state AT the target — ``op='U'`` with that payload when the key
+        existed there, ``op='D'`` when it did not. O(changed): the key
+        set comes from the undone range's own changefeed and the
+        target-state lookup is key-semi-joined.
+
+        Feed identity: revert rows carry ``(max undone commit, max
+        undone event_seq + 1)``, which beats every undone row in any
+        LWW fold (so downstream mirrors actually revert) while staying
+        at-or-below the table watermark the rollback preserves.
+        Constraint that makes this total-order-sound: post-rollback
+        ingest must resume at a commit STRICTLY GREATER than the
+        undone range's max commit (the standard replay-from-later-
+        binlog-position shape) — resuming inside that same commit
+        could collide with the revert identity. Rolling back a
+        rollback composes: the inner revert rows are part of the outer
+        undone feed, so the outer identity supersedes them."""
+        target = raw.get("rollback_of")
+        if target is None:
+            raise ValueError(
+                f"snapshot {sid} is a pre-upgrade 'rollback' header with no "
+                "rollback_of target: its revert emission is not derivable — "
+                "changefeeds cannot cross it; re-seed consumers"
+            )
+        undone = self.changes(target, raw["parent_id"])
+        if undone is None:
+            return None
+        mx = undone.agg(
+            F.max(F.struct("commit", "event_seq")).alias("m")
+        ).collect()[0]["m"]
+        null_s = F.lit(None).cast("string")
+        # each key's LAST undone version: supplies the payload a
+        # revert-DELETE carries (the WAL's deletes-carry-last-payload
+        # convention — engine consumers dead-letter bare tombstones)
+        # and drops no-op reverts of already-deleted keys
+        w = Window.partitionBy("repo", "path").orderBy(
+            F.col("commit").desc(), F.col("event_seq").desc()
+        )
+        last = (
+            undone.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
             .select(
-                "repo", "path", "commit", "event_seq", *payload, "op",
-                "snapshot_id",
+                "repo", "path",
+                *[
+                    (F.col(c) if c in undone.columns else null_s)
+                    .alias(f"_last_{c}")
+                    for c in payload
+                ],
+                F.col("op").alias("_last_op"),
+            )
+        )
+        state = self.read(target)
+        if state is not None:
+            st = state.join(last, ["repo", "path"], "left_semi").select(
+                "repo", "path",
+                # the target state may predate columns added later in
+                # the chain: NULL-fill, same as schema-evolution reads
+                *[
+                    F.col(c) if c in state.columns else null_s.alias(c)
+                    for c in payload
+                ],
+                F.lit(True).alias("_present"),
+            )
+            rv = last.join(st, ["repo", "path"], "left")
+        else:
+            rv = last.select(
+                "*", *[null_s.alias(c) for c in payload],
+                F.lit(None).cast("boolean").alias("_present"),
+            )
+        present = F.col("_present").isNotNull() & F.col("_present")
+        return (
+            # absent at target AND already deleted at parent: no-op
+            rv.filter(present | (F.col("_last_op") != "D"))
+            .select(
+                "repo", "path",
+                F.lit(mx["commit"]).alias("commit"),
+                F.lit(mx["event_seq"] + 1).cast("long").alias("event_seq"),
+                *[
+                    F.when(present, F.col(c))
+                    .otherwise(F.col(f"_last_{c}")).alias(c)
+                    for c in payload
+                ],
+                F.when(present, F.lit("U")).otherwise(F.lit("D")).alias("op"),
+                F.lit(sid).cast("int").alias("snapshot_id"),
             )
         )
 
@@ -1681,6 +1797,11 @@ class LakeTable:
         if any(
             (raw["num_buckets"], raw["path_salt"]) != layout
             for _, raw in chain
+        ) or any(
+            # a rollback's revert keys come from the UNDONE range,
+            # whose commits (and bucket touches) may predate `since` —
+            # the delta-diff can't see them, so pruning is unsound
+            raw.get("operation") == "rollback" for _, raw in chain
         ):
             touched = None
         else:

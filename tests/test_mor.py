@@ -466,3 +466,121 @@ class TestChangesWithImages:
         assert len(envs) == 1 and envs[0]["op"] == "d"
         assert envs[0]["before"]["repo"] == "r9"
         assert envs[0]["before"]["path"] == "ghost.py"
+
+
+class TestRollbackChangefeed:
+    """A rollback snapshot EMITS its revert through changes() — every
+    key changed in the undone range goes back to (or away from) its
+    target-state with a feed identity that supersedes the undone rows,
+    so mirrors and publishers follow instead of wedging."""
+
+    BASE_DDL = ("repo string, path string, `commit` string, event_seq long, "
+                "lang string, content string")
+
+    def _mk(self, spark, root):
+        from filters_spark.lake.table import bucket_expr
+
+        t = LakeTable.create(spark, str(root), ["repo", "path"], num_buckets=4)
+        bkt = bucket_expr(F.col("repo"), F.col("path"), 4, 16).cast("int").alias("_bucket")
+        # base lands as MoR deltas too, so feeds can span the whole
+        # history (sync_incremental reads changes(0))
+        base = spark.createDataFrame(
+            [("r1", "a.py", "000000000001", 1, "py", "v0", "U"),
+             ("r1", "c.py", "000000000001", 2, "py", "c0", "U")],
+            self.BASE_DDL + ", op string",
+        ).select("*", bkt)
+        bt = sorted(r[0] for r in base.select("_bucket").distinct().collect())
+        t.commit_deltas(base, bt, {})
+        d = spark.createDataFrame(
+            [("r1", "a.py", "000000000002", 1, "py", "v1", "U"),
+             ("r1", "b.py", "000000000002", 2, "py", "b1", "U"),
+             ("r1", "c.py", "000000000002", 3, None, None, "D")],
+            self.BASE_DDL + ", op string",
+        ).select("*", bkt)
+        dt = sorted(r[0] for r in d.select("_bucket").distinct().collect())
+        t.commit_deltas(d, dt, {})
+        return t
+
+    def test_revert_rows_and_identity(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "rb")
+        t.rollback(1)
+        rows = {r["path"]: r for r in t.changes(2).collect()}
+        # A reverts to v0, B (absent at target) deletes CARRYING its
+        # undone payload, C (deleted in range) restores c0
+        assert (rows["a.py"]["op"], rows["a.py"]["content"]) == ("U", "v0")
+        assert (rows["b.py"]["op"], rows["b.py"]["content"]) == ("D", "b1")
+        assert (rows["c.py"]["op"], rows["c.py"]["content"]) == ("U", "c0")
+        # identity supersedes every undone row: (max undone commit,
+        # max undone seq + 1)
+        assert all(
+            (r["commit"], r["event_seq"]) == ("000000000002", 4)
+            for r in rows.values()
+        )
+        assert all(r["snapshot_id"] == 3 for r in rows.values())
+        # LWW over the FULL feed reproduces the rolled-back state
+        from pyspark.sql import Window
+        w = Window.partitionBy("repo", "path").orderBy(
+            F.col("commit").desc(), F.col("event_seq").desc())
+        state = (t.changes(1).withColumn("rn", F.row_number().over(w))
+                 .filter((F.col("rn") == 1) & (F.col("op") != "D")))
+        assert (sorted((r["path"], r["content"]) for r in state.collect())
+                == [("a.py", "v0"), ("c.py", "c0")])
+
+    def test_mirror_sync_follows_rollback(self, spark, tmp_path):
+        from filters_spark.lake.sync import sync_incremental
+
+        src = self._mk(spark, tmp_path / "rbsrc")
+        dst = LakeTable.create(spark, str(tmp_path / "rbdst"), ["repo", "path"],
+                               num_buckets=8)
+        sync_incremental(src, dst)
+        assert (sorted((r["path"], r["content"]) for r in dst.read().collect())
+                == [("a.py", "v1"), ("b.py", "b1")])
+        src.rollback(1)
+        sync_incremental(src, dst)
+        want = sorted((r["path"], r["content"]) for r in src.read().collect())
+        got = sorted((r["path"], r["content"]) for r in dst.read().collect())
+        assert got == want == [("a.py", "v0"), ("c.py", "c0")]
+
+    def test_images_across_rollback(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "rbi")
+        t.rollback(1)
+        out = {(r["path"], r["snapshot_id"]): r
+               for r in t.changes_with_images(1).collect()}
+        a = out[("a.py", 3)]
+        assert (a["pre_op"], a["pre_content"], a["op_effective"]) == ("U", "v1", "U")
+        b = out[("b.py", 3)]
+        assert (b["pre_op"], b["pre_content"], b["op_effective"]) == ("U", "b1", "D")
+        # C restored after its in-range delete: effectively an INSERT
+        c = out[("c.py", 3)]
+        assert (c["pre_op"], c["op_effective"]) == ("D", "I")
+
+    def test_double_rollback_composes(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "rb2")
+        t.rollback(1)   # snapshot 3: back to base
+        t.rollback(2)   # snapshot 4: forward again to the delta state
+        rows = {r["path"]: r for r in t.changes(3).collect()}
+        assert (rows["a.py"]["op"], rows["a.py"]["content"]) == ("U", "v1")
+        assert (rows["b.py"]["op"], rows["b.py"]["content"]) == ("U", "b1")
+        assert rows["c.py"]["op"] == "D"
+        # outer identity supersedes the inner revert rows
+        assert all(r["event_seq"] == 5 for r in rows.values())
+        from pyspark.sql import Window
+        w = Window.partitionBy("repo", "path").orderBy(
+            F.col("commit").desc(), F.col("event_seq").desc())
+        state = (t.changes(1).withColumn("rn", F.row_number().over(w))
+                 .filter((F.col("rn") == 1) & (F.col("op") != "D")))
+        assert (sorted((r["path"], r["content"]) for r in state.collect())
+                == [("a.py", "v1"), ("b.py", "b1")])
+
+    def test_legacy_rollback_header_raises(self, spark, tmp_path):
+        import json as _json
+
+        t = self._mk(spark, tmp_path / "rbl")
+        t.rollback(1)
+        p = t._snap_path(3)
+        raw = _json.loads(t.io.read_text(p))
+        raw.pop("rollback_of")
+        t.io.remove(p)
+        t.io.write_text_atomic(p, _json.dumps(raw))
+        with pytest.raises(ValueError, match="rollback_of"):
+            t.changes(2).collect()

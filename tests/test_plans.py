@@ -10,7 +10,11 @@ from filters_spark.plans import (
     pushed_filters,
     scan_columns,
 )
-from filters_spark.plans.audit import broadcast_join_count, exchange_count
+from filters_spark.plans.audit import (
+    broadcast_join_count,
+    exchange_count,
+    formatted_plan,
+)
 
 SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
