@@ -163,3 +163,20 @@ class TestMaintenanceInteraction:
                 spark, t, str(tmp_path / "view"), GROUP,
                 {"total_bytes": "length(content) * 2"},
             )
+
+
+def test_refresh_follows_rollback(spark, tmp_path, src):
+    """A rollback in the refresh range emits revert rows through
+    changes(); the view retracts the undone contributions and matches
+    a from-scratch recompute of the rolled-back state."""
+    t, eng, ev1, ev2 = src
+    v = AggView(spark, t, str(tmp_path / "view"), GROUP, SUMS)
+    eng.replay(ev1, num_batches=1)
+    good = t.current_snapshot_id()
+    v.refresh()
+    eng.replay(ev2, num_batches=1)
+    v.refresh()
+    t.rollback(good)
+    r = v.refresh()
+    assert r["mode"] == "incremental"
+    assert _view_rows(v) == _recompute(t)
