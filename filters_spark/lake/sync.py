@@ -59,7 +59,10 @@ def sync_incremental(src: LakeTable, dst: LakeTable) -> dict | None:
     if cur <= last:
         return None
 
-    src_payload = src.payload_cols(src.current())
+    # payload from cur's RAW header (not a head re-read): a commit
+    # landing between the two reads could widen the column set past
+    # the feed's schema, failing the select below
+    src_payload = src.payload_cols(src._raw_snapshot(cur))
     dst_snap = dst.current()
     if dst.payload_cols(dst_snap) != src_payload:
         raise ValueError(

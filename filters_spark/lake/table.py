@@ -799,9 +799,28 @@ class LakeTable:
         header re-references the target's manifests (content addressing
         makes that free), history stays intact, and ``changes()``/time
         travel continue to work across the rollback point. The target
-        snapshot must not have been expired."""
+        snapshot must not have been expired.
+
+        The rollback is a FORWARD revert event, not a history rewrite:
+        watermarks are NOT reset to the target's — they are bumped one
+        seq past the pre-rollback global max, so (a) re-sending the
+        undone WAL range is deduped exactly like any replay (corrected
+        data must arrive under NEW commits — the WAL is immutable
+        history), and (b) the revert rows :meth:`changes` emits for
+        this snapshot (identity = max undone position + 1) sit
+        at-or-below the new watermark, so no future admitted event can
+        ever collide with or lose to them in a downstream LWW fold.
+        Like :meth:`rescale`, run on QUIESCED ingest: the global-max
+        bump means a bucket behind the global watermark could see
+        genuinely-new in-flight events at older commits dropped."""
         target = self.snapshot(snapshot_id)
         prev = self.current()
+        wms = dict(prev.get("watermarks") or {})
+        if wms:
+            g = max(wms.values())
+            g_commit, g_seq = g.split(":")
+            bumped = f"{g_commit}:{int(g_seq) + 1:010d}"
+            wms = {b: max(w, bumped) for b, w in wms.items()}
         snapshot = {
             **prev,
             "snapshot_id": prev["snapshot_id"] + 1,
@@ -815,7 +834,7 @@ class LakeTable:
             "columns": target.get("columns"),
             "buckets": target["buckets"],
             "deltas": target.get("deltas", {}),
-            "watermarks": target["watermarks"],
+            "watermarks": wms,
             "stats": target["stats"],
             # bucket layout + stats config travel WITH the manifests:
             # rolling back across a rescale() must restore the layout
@@ -1633,6 +1652,38 @@ class LakeTable:
                 feed = rv if feed is None else feed.unionByName(rv)
         return feed
 
+    def _touched_delta_buckets(
+        self, chain: list[tuple[int, dict]], base_raw: dict, base_sid: int
+    ) -> set[int] | None:
+        """Buckets whose delta set CHANGED in the chain's append-deltas
+        commits, diffed child-vs-parent on raw headers alone
+        (carried-over delta entries keep their content-addressed
+        manifest ref / file list, so the diff excludes them) — a sound
+        metadata-only bucket prune for a read at ``base_sid`` keyed to
+        the chain's feed. Returns None (prune nothing) when the bucket
+        layout varies anywhere in the range (a rescale round-trip
+        restores the endpoint layout with mid-range ids from another
+        modulus) or a rollback is present (its revert keys come from
+        undone commits that may predate the range)."""
+        layout = (base_raw["num_buckets"], base_raw["path_salt"])
+        if any(
+            (raw["num_buckets"], raw["path_salt"]) != layout
+            or raw.get("operation") == "rollback"
+            for _, raw in chain
+        ):
+            return None
+        raws = {sid: raw for sid, raw in chain}
+        raws[base_sid] = base_raw
+        touched: set[int] = set()
+        for _, raw in chain:
+            if raw.get("operation") != "append-deltas":
+                continue
+            pdel = raws[raw["parent_id"]].get("deltas", {})
+            for b, v in raw.get("deltas", {}).items():
+                if pdel.get(b) != v:
+                    touched.add(int(b))
+        return touched
+
     def _rollback_reverts(
         self, sid: int, raw: dict, payload: list[str]
     ) -> DataFrame | None:
@@ -1646,14 +1697,15 @@ class LakeTable:
         Feed identity: revert rows carry ``(max undone commit, max
         undone event_seq + 1)``, which beats every undone row in any
         LWW fold (so downstream mirrors actually revert) while staying
-        at-or-below the table watermark the rollback preserves.
-        Constraint that makes this total-order-sound: post-rollback
-        ingest must resume at a commit STRICTLY GREATER than the
-        undone range's max commit (the standard replay-from-later-
-        binlog-position shape) — resuming inside that same commit
-        could collide with the revert identity. Rolling back a
-        rollback composes: the inner revert rows are part of the outer
-        undone feed, so the outer identity supersedes them."""
+        at-or-below the rollback snapshot's watermarks —
+        :meth:`rollback` bumps them one seq past the pre-rollback
+        global max precisely so the engine's own dedupe gate ENFORCES
+        that every future admitted event is strictly above the revert
+        identity (and that re-sent undone commits are dropped as
+        replays; corrected data arrives under new commits). Rolling
+        back a rollback composes: the inner revert rows are part of
+        the outer undone feed, so the outer identity supersedes
+        them."""
         target = raw.get("rollback_of")
         if target is None:
             raise ValueError(
@@ -1661,9 +1713,24 @@ class LakeTable:
                 "rollback_of target: its revert emission is not derivable — "
                 "changefeeds cannot cross it; re-seed consumers"
             )
-        undone = self.changes(target, raw["parent_id"])
+        from filters_spark.operators.materialize import materialize
+
+        target_raw = self._raw_snapshot_if_retained(target)
+        if target_raw is None:
+            raise ValueError(
+                f"rollback snapshot {sid}'s target {target} is expired: its "
+                "revert emission is not derivable — changefeeds cannot cross "
+                "it; re-seed consumers (expire_snapshots retains rollback "
+                "dependencies, so this indicates hand-edited metadata)"
+            )
+        chain = self._change_chain(target, raw["parent_id"])
+        undone = self.changes(target, raw["parent_id"], _chain=chain)
         if undone is None:
             return None
+        # one barrier: the undone feed drives the max-position agg, the
+        # last-version window AND the target-state semi-join — without
+        # it each consumer re-scans every undone delta file
+        undone = materialize(undone)
         mx = undone.agg(
             F.max(F.struct("commit", "event_seq")).alias("m")
         ).collect()[0]["m"]
@@ -1688,7 +1755,12 @@ class LakeTable:
                 F.col("op").alias("_last_op"),
             )
         )
-        state = self.read(target)
+        touched = self._touched_delta_buckets(chain, target_raw, target)
+        state = self.read(
+            target,
+            buckets=sorted(touched) if touched is not None else None,
+            _snap=self._resolve_header(target_raw),
+        )
         if state is not None:
             st = state.join(last, ["repo", "path"], "left_semi").select(
                 "repo", "path",
@@ -1781,39 +1853,7 @@ class LakeTable:
             )
         payload = self.payload_cols(chain[0][1])
         keys = feed.select("repo", "path").distinct()
-        # Bucket-prune the seed read from METADATA alone: only buckets
-        # whose delta set CHANGED in the range's append-deltas commits
-        # can hold feed keys (carried-over delta entries keep their
-        # content-addressed manifest ref / file list, so the
-        # child-vs-parent diff excludes them). Sound only while the
-        # bucket layout is stable across the WHOLE range — a rescale()
-        # renumbers buckets, and a rescale round-trip restores the
-        # endpoint layout with mid-range commits numbered differently,
-        # so EVERY header in the range must agree before pruning; any
-        # mismatch falls back to the full seed read (the key semi-join
-        # still prunes rows).
-        layout = (since_raw["num_buckets"], since_raw["path_salt"])
-        touched: set[int] | None = set()
-        if any(
-            (raw["num_buckets"], raw["path_salt"]) != layout
-            for _, raw in chain
-        ) or any(
-            # a rollback's revert keys come from the UNDONE range,
-            # whose commits (and bucket touches) may predate `since` —
-            # the delta-diff can't see them, so pruning is unsound
-            raw.get("operation") == "rollback" for _, raw in chain
-        ):
-            touched = None
-        else:
-            raws = {sid: raw for sid, raw in chain}
-            raws[since_snapshot_id] = since_raw
-            for sid, raw in chain:
-                if raw.get("operation") != "append-deltas":
-                    continue
-                pdel = raws[raw["parent_id"]].get("deltas", {})
-                for b, v in raw.get("deltas", {}).items():
-                    if pdel.get(b) != v:
-                        touched.add(int(b))
+        touched = self._touched_delta_buckets(chain, since_raw, since_snapshot_id)
         base = self.read(
             since_snapshot_id,
             buckets=sorted(touched) if touched is not None else None,
@@ -2466,6 +2506,36 @@ class LakeTable:
                 if raw is None or raw.get("ref") is None:
                     break  # expired tail or reached the main chain
                 b = raw.get("parent_id")
+        # a retained ROLLBACK header's revert emission is re-derived by
+        # changes() from its target header plus the whole undone
+        # (target, parent] chain — expiring any of those would wedge
+        # every changefeed range crossing the rollback. Keep them,
+        # transitively (an undone range may itself contain rollbacks,
+        # and kept headers may be rollbacks of their own).
+        frontier = list(keep)
+        seen: set[int] = set()
+        while frontier:
+            s = frontier.pop()
+            if s in seen:
+                continue
+            seen.add(s)
+            raw = self._raw_snapshot_if_retained(s)
+            if raw is None or raw.get("operation") != "rollback":
+                continue
+            tgt = raw.get("rollback_of")
+            if tgt is None:
+                continue  # pre-upgrade header: nothing derivable to keep
+            dep: int | None = raw.get("parent_id")
+            while dep is not None:
+                if dep not in keep:
+                    keep.add(dep)
+                    frontier.append(dep)
+                if dep == tgt:
+                    break
+                r2 = self._raw_snapshot_if_retained(dep)
+                if r2 is None:
+                    break  # tail already expired before this upgrade
+                dep = r2.get("parent_id")
         expired = [i for i in ids if i not in keep]
 
         def refs(sid: int) -> set[str]:

@@ -584,3 +584,65 @@ class TestRollbackChangefeed:
         t.io.write_text_atomic(p, _json.dumps(raw))
         with pytest.raises(ValueError, match="rollback_of"):
             t.changes(2).collect()
+
+    def test_rollback_dedupes_undone_replay_and_mirror_converges(
+            self, spark, tmp_path):
+        """The rollback bumps watermarks past the revert identity, so
+        (a) re-sending the undone WAL range is dropped as a replay —
+        corrected data must arrive under NEW commits — and (b) no
+        future admitted event can collide with the revert rows; the
+        mirror follows the whole sequence to byte-equality."""
+        from filters_spark.lake.sync import sync_incremental
+
+        schema = ("commit string, event_seq long, op string, repo string, "
+                  "path string, lang string, content string, schema_version int")
+        t = LakeTable.create(spark, str(tmp_path / "rbw"), ["repo", "path"],
+                             num_buckets=4)
+        eng = CDCEngine(spark, t, default_registry(), write_mode="mor",
+                        compact_after=99)
+        eng.apply_batch(spark.createDataFrame(
+            [("000000000001", 0, "I", "r1", "a.py", "py", "good", 1)], schema))
+        good = t.current_snapshot_id()
+        bad = spark.createDataFrame(
+            [("000000000002", 0, "U", "r1", "a.py", "py", "bad", 1)], schema)
+        eng.apply_batch(bad)
+        dst = LakeTable.create(spark, str(tmp_path / "rbwd"), ["repo", "path"],
+                               num_buckets=8)
+        sync_incremental(t, dst)
+        t.rollback(good)
+        # undone replay: dropped, state unchanged
+        m = eng.apply_batch(bad)
+        assert m["applied"] == 0 and m["skipped_replays"] == 1
+        assert [r["content"] for r in t.read().collect()] == ["good"]
+        # corrected data under a NEW commit: admitted
+        m2 = eng.apply_batch(spark.createDataFrame(
+            [("000000000003", 0, "U", "r1", "a.py", "py", "fixed", 1)], schema))
+        assert m2["applied"] == 1
+        sync_incremental(t, dst)
+        src_rows = sorted(tuple(r) for r in t.read()
+                          .select("repo", "path", "content_sha").collect())
+        dst_rows = sorted(tuple(r) for r in dst.read()
+                          .select("repo", "path", "content_sha").collect())
+        assert src_rows == dst_rows
+        assert [r["content"] for r in dst.read().collect()] == ["fixed"]
+
+    def test_expiry_retains_rollback_dependencies(self, spark, tmp_path):
+        """expire_snapshots must keep a retained rollback's target and
+        undone-range headers — changes() re-derives the revert from
+        them; expiring them would wedge every range crossing the
+        rollback."""
+        t = self._mk(spark, tmp_path / "rbe")      # snapshots 1, 2
+        t.rollback(1)                              # snapshot 3
+        d = spark.createDataFrame(
+            [("r1", "z.py", "000000000009", 1, "py", "z1", "U")],
+            self.BASE_DDL + ", op string",
+        )
+        from filters_spark.lake.table import bucket_expr
+        d = d.select("*", bucket_expr(F.col("repo"), F.col("path"), 4, 16)
+                     .cast("int").alias("_bucket"))
+        dt = sorted(r[0] for r in d.select("_bucket").distinct().collect())
+        t.commit_deltas(d, dt, {})                 # snapshot 4
+        expired = t.expire_snapshots(keep_last=2)  # keeps {4, 3} + deps
+        assert expired == [0]                      # 1 and 2 are deps of 3
+        rows = {r["path"]: r for r in t.changes(2).collect()}
+        assert rows["a.py"]["content"] == "v0" and rows["z.py"]["content"] == "z1"
