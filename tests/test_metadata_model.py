@@ -35,6 +35,8 @@ class Model:
         self.tags = {}
         self.stages = {}  # wap_id -> (state, parent_sid)
         self.retained = {0}
+        self.parents = {0: None}  # sid -> parent sid
+        self.rollbacks = {}  # rollback sid -> target sid
 
     def _snap(self, state):
         return {
@@ -43,6 +45,7 @@ class Model:
         }
 
     def _commit(self, state):
+        self.parents[self.sid + 1] = self.sid
         self.sid += 1
         self.head = state
         self.history[self.sid] = self._snap(state)
@@ -183,11 +186,31 @@ def test_random_metadata_interleavings(spark, tmp_path, seed):
         sid = rng.choice(targets)
         t.rollback(sid)
         m._commit(m._snap(m.history[sid]))
+        m.rollbacks[m.sid] = sid
 
     def op_expire():
         keep = rng.randint(1, 3)
         t.expire_snapshots(keep_last=keep)
         kept = set(sorted(m.retained)[-keep:]) | {m.sid} | set(m.tags.values())
+        # mirror the expiry closure: a retained rollback keeps its
+        # target and the whole undone (target, parent] chain,
+        # transitively (kept deps may be rollbacks themselves); the
+        # walk stops where headers are already gone
+        frontier, seen = list(kept), set()
+        while frontier:
+            s = frontier.pop()
+            if s in seen or s not in m.rollbacks:
+                seen.add(s)
+                continue
+            seen.add(s)
+            tgt, dep = m.rollbacks[s], m.parents[s]
+            while dep is not None:
+                if dep not in kept:
+                    kept.add(dep)
+                    frontier.append(dep)
+                if dep == tgt or dep not in m.retained:
+                    break
+                dep = m.parents[dep]
         m.retained &= kept
         m.retained.add(m.sid)
 
