@@ -4009,6 +4009,133 @@ def q_kmeans(spark, sf):
     return out
 
 
+# --- row-level DML over the lake (lake/dml.py) ------------------------------
+#
+# DELETE/UPDATE ... WHERE as declarative snapshot operations. The
+# oracles recompute the post-DML logical state from the same parquet,
+# so value equality certifies the whole triage (kept-by-reference /
+# dropped-whole-from-stats / boundary-scan) plus the rewrite itself —
+# a wrong metadata-only drop proof would surface as a row diff here.
+
+
+@_q(
+    "lake_dml_delete",
+    f"""
+    WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE},
+    {_LAKE_LWW_CTES}
+    SELECT repo, path, "commit", event_seq, lang, content,
+           sha256(content) AS content_sha
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+      AND NOT coalesce(lang = 'F' AND event_seq <= 3000, false)
+    """,
+)
+def q_lake_dml_delete(spark, sf):
+    """DELETE FROM t WHERE lang='F' AND event_seq<=3000 (lake/dml.py
+    delete_where, copy-on-write): the residual predicate forces the
+    boundary-scan path, and pending MoR delta buckets fold in full
+    before the rewrite — so the final state is the LWW merge minus the
+    matching rows, row-level-exact."""
+    from filters_spark.lake.dml import delete_where
+
+    t = _lake_build(spark, sf, deltas=True)
+    delete_where(t, predicate="lang = 'F'", where=("event_seq", None, 3000))
+    return t.read().select(*_LAKE_STATE_COLS)
+
+
+@_q(
+    "lake_dml_delete_pruned",
+    f"""
+    WITH {_LAKE_BASE_CTE}
+    SELECT repo, path, "commit", event_seq, lang, content,
+           sha256(content) AS content_sha
+    FROM base WHERE NOT coalesce(event_seq <= 700, false)
+    """,
+)
+def q_lake_dml_delete_pruned(spark, sf):
+    """Pure-range DELETE over a stats+sort clustered table (lake/dml.py
+    delete_where): files whose manifest [min,max] + zero-null proof
+    covers the range drop METADATA-ONLY (no IO), out-of-range files are
+    kept by reference, only boundary files rewrite. Value equality
+    against the recomputed survivor set certifies the drop proof never
+    over- or under-deletes."""
+    from filters_spark.lake.dml import delete_where
+    from filters_spark.lake.table import LakeTable
+
+    t = _lake_build(spark, sf, deltas=False, skipping=True)
+    delete_where(t, where=("event_seq", None, 700))
+    out = t.read()
+    if out is None:  # tiny sf can delete every row: empty frame, same schema
+        out = spark.createDataFrame([], LakeTable._base_ddl(["lang", "content"]))
+    return out.select(*_LAKE_STATE_COLS)
+
+
+@_q(
+    "lake_dml_update",
+    f"""
+    WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE},
+    {_LAKE_LWW_CTES},
+    st AS (
+      SELECT repo, path, "commit", event_seq, lang, content,
+             coalesce(content LIKE 'U:%', false) AS hit
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT repo, path, "commit", event_seq,
+           CASE WHEN hit THEN lower(lang) ELSE lang END AS lang,
+           CASE WHEN hit THEN 'X:' || content ELSE content END AS content,
+           sha256(CASE WHEN hit THEN 'X:' || content ELSE content END)
+             AS content_sha
+    FROM st
+    """,
+)
+def q_lake_dml_update(spark, sf):
+    """UPDATE t SET content='X:'||content, lang=lower(lang) WHERE
+    content LIKE 'U:%' (lake/dml.py update_where, copy-on-write): SET
+    expressions evaluate over the OLD row, content_sha re-derives from
+    the final content — the per-row invariant the north rule checks."""
+    from filters_spark.lake.dml import update_where
+
+    t = _lake_build(spark, sf, deltas=True)
+    update_where(
+        t,
+        {"content": "'X:' || content", "lang": "lower(lang)"},
+        predicate="content LIKE 'U:%'",
+    )
+    return t.read().select(*_LAKE_STATE_COLS)
+
+
+@_q(
+    "lake_dml_mor_update",
+    f"""
+    WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE},
+    {_LAKE_LWW_CTES},
+    st AS (
+      SELECT repo, path, "commit", event_seq, lang, content,
+             coalesce(lang = 'O', false) AS hit
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT repo, path, lang,
+           CASE WHEN hit THEN content || '+' ELSE content END AS content,
+           sha256(CASE WHEN hit THEN content || '+' ELSE content END)
+             AS content_sha
+    FROM st
+    """,
+)
+def q_lake_dml_mor_update(spark, sf):
+    """Merge-on-read UPDATE (lake/dml.py update_where mode='mor'): the
+    change appends as op='U' delta rows under ONE synthetic feed
+    identity strictly above the global watermark and every matched
+    row's own (commit, event_seq) — O(matched), no bucket rewrite — and
+    the read-time LWW fold must elect them. (commit, event_seq) are
+    excluded from the compare (the winners carry the synthetic
+    engine-internal identity); the payload and re-derived sha are the
+    contract."""
+    from filters_spark.lake.dml import update_where
+
+    t = _lake_build(spark, sf, deltas=True)
+    update_where(t, {"content": "content || '+'"}, predicate="lang = 'O'", mode="mor")
+    return t.read().select("repo", "path", "lang", "content", "content_sha")
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -417,12 +417,17 @@ class LakeTable:
                 if i is None:
                     continue
                 mn = mx = None
-                ok = True
+                nulls = 0
+                ok = nulls_ok = True
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(i).statistics
                     if st is None or not st.has_min_max:
                         ok = False
                         break
+                    if st.has_null_count:
+                        nulls += st.null_count
+                    else:
+                        nulls_ok = False
                     lo, hi = st.min, st.max
                     if not isinstance(lo, (str, int, float)) or isinstance(lo, bool):
                         ok = False
@@ -431,6 +436,12 @@ class LakeTable:
                     mx = hi if mx is None else max(mx, hi)
                 if ok and mn is not None:
                     fstats[c] = [mn, mx]
+                    if nulls_ok:
+                        # null count enables the ALL-rows-match proof
+                        # (whole-file drops in dml.delete_where): [min,
+                        # max] inside the range says nothing about NULL
+                        # cells, which never match a range predicate
+                        fstats[f"__nulls:{c}"] = nulls
             if fstats:
                 self._file_stats_cache[p] = fstats
 

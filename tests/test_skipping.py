@@ -68,7 +68,9 @@ class TestDataSkipping:
                 continue
             body = json.loads(table.io.read_text(os.path.join(table.meta_dir, name)))
             for f, st in body.get("stats", {}).items():
-                assert set(st) == {"event_seq", "__rows", "__bytes"}
+                assert set(st) == {
+                    "event_seq", "__rows", "__bytes", "__nulls:event_seq"
+                }
                 mn, mx = st["event_seq"]
                 assert 0 <= mn <= mx < 2000
                 assert st["__rows"] > 0
@@ -182,8 +184,11 @@ class TestRollback:
         snap = t.rollback(sid1)
         assert snap["operation"] == "rollback"
         assert _rows(t.read()) == rows1
-        # watermarks restored too: a replayed commit 2 would re-apply
-        assert snap["watermarks"] == t.snapshot(sid1)["watermarks"]
+        # forward-revert watermarks: bumped strictly ABOVE the undone
+        # range's max, so a re-sent commit 2 dedupes as a replay and the
+        # changefeed's revert rows win any downstream LWW fold
+        pre_max = max(t.snapshot(sid1 + 1)["watermarks"].values())
+        assert all(w > pre_max for w in snap["watermarks"].values())
         # metadata-only: no new data files were written
         assert len({f for f in t.live_files()}) <= n_data_files
         # history intact — the rolled-over snapshot is still readable
