@@ -1897,12 +1897,20 @@ class LakeTable:
         )
         pre_op = F.lag("op").over(w)
         # a prior DELETE leaves the key absent: its payload pre-images
-        # are NULL by construction (tombstones carry NULL payload), and
-        # pre_op='D' lets op_effective re-classify the next event as I
+        # are NULL regardless of what the tombstone row carries — the
+        # engine's WAL convention has deletes CARRY the last payload
+        # (see _rollback_reverts / dml), and lagging that through would
+        # leak the deleted payload as the next event's "before". Mask
+        # it; pre_op='D' lets op_effective re-classify the event as I.
         out = rows.select(
             "*",
             pre_op.alias("pre_op"),
-            *[F.lag(c).over(w).alias(f"pre_{c}") for c in payload],
+            *[
+                F.when(pre_op == "D", F.lit(None).cast("string"))
+                .otherwise(F.lag(c).over(w))
+                .alias(f"pre_{c}")
+                for c in payload
+            ],
         ).filter(F.col("op") != "K")
         return out.withColumn(
             "op_effective",

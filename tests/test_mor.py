@@ -353,6 +353,39 @@ class TestChangesWithImages:
             to_debezium(feed.drop("pre_op"), ["repo", "path"],
                         before_cols={"repo": "repo", "path": "path"})
 
+    def test_payload_carrying_tombstone_masks_pre_images(self, spark, tmp_path):
+        """The engine's WAL convention has deletes CARRY the last
+        payload (cdc.py keeps tombstones as-is; _rollback_reverts and
+        dml emit them that way). The event AFTER such a delete must
+        still see NULL pre-images — the key was absent — not the
+        deleted payload lagged through."""
+        from filters_spark.lake.table import bucket_expr
+
+        t = LakeTable.create(spark, str(tmp_path / "img5"), ["repo", "path"],
+                             num_buckets=8)
+        bkt = bucket_expr(F.col("repo"), F.col("path"), 8, 16).cast("int").alias("_bucket")
+        base = spark.createDataFrame(
+            [("r1", "x.py", "000000000001", 1, "py", "x0")], self.BASE_DDL,
+        ).select("*", F.sha2(F.coalesce("content", F.lit("")), 256).alias("content_sha"), bkt)
+        t.commit_buckets(base, sorted(r[0] for r in base.select("_bucket").distinct().collect()), {})
+        for rows in (
+            # delete CARRYING the last payload (engine convention)
+            [("r1", "x.py", "000000000002", 1, "py", "x0", "D")],
+            # re-insert after the delete
+            [("r1", "x.py", "000000000003", 1, "py", "x1", "U")],
+        ):
+            d = spark.createDataFrame(rows, self.BASE_DDL + ", op string").select("*", bkt)
+            t.commit_deltas(d, sorted(r[0] for r in d.select("_bucket").distinct().collect()), {})
+        out = {r["commit"]: r for r in t.changes_with_images(1).collect()}
+        dele = out["000000000002"]
+        # the delete's OWN pre-image is the true prior state
+        assert (dele["pre_op"], dele["pre_content"], dele["op_effective"]) == ("K", "x0", "D")
+        re_ins = out["000000000003"]
+        # after the payload-carrying tombstone: NULL pre-images, effective I
+        assert re_ins["pre_op"] == "D"
+        assert re_ins["pre_content"] is None and re_ins["pre_lang"] is None
+        assert re_ins["op_effective"] == "I"
+
     def test_rescale_in_range_falls_back_to_full_seed(self, spark, tmp_path):
         """A mid-range rescale renumbers buckets, so the metadata
         bucket-prune of the seed read must disable itself (params
