@@ -1,0 +1,227 @@
+"""Multi-table CDC fan-out (engine/fanout.py): one mixed Debezium
+envelope stream routed to per-table engines in a single parse pass —
+routing correctness, unrouted policies, per-table exactly-once under
+crash-replay, and the Structured-Streaming front-end."""
+
+import os
+
+import pytest
+import pyspark.sql.functions as F
+
+from filters_spark.engine.fanout import (
+    TableRoute,
+    fan_out_debezium,
+    start_fanout_stream,
+)
+
+from tests.test_cdc_engine import events_df, final_state, make_engine
+
+SEQ = lambda s: s["pos"].cast("long")  # noqa: E731 — envelope pos IS event_seq
+
+
+def envelopes(ev, db="d", table="t"):
+    """Wrap engine events as Debezium envelopes tagged with a source
+    db/table — the mixed-stream shape one binlog connector emits.
+    Mirrors tests.test_debezium.envelope_df plus the routing fields."""
+    dbz_op = (
+        F.when(F.col("op") == "I", F.lit("c"))
+        .when(F.col("op") == "U", F.lit("u"))
+        .otherwise(F.lit("d"))
+    )
+    image = F.create_map(
+        F.lit("repo"), F.col("repo"), F.lit("path"), F.col("path"),
+        F.lit("lang"), F.col("lang"), F.lit("content"), F.col("content"),
+    )
+    src = F.struct(
+        F.lit(db).alias("db"),
+        F.lit(table).alias("table"),
+        F.concat(F.lit("mysql-bin."),
+                 F.lpad(F.conv(F.col("commit"), 16, 10), 9, "0")).alias("file"),
+        F.col("event_seq").alias("pos"),
+        F.lit(0).alias("row"),
+    )
+    return ev.select(
+        F.to_json(
+            F.struct(
+                F.when(F.col("op") == "D", image).alias("before"),
+                F.when(F.col("op") != "D", image).alias("after"),
+                src.alias("source"),
+                dbz_op.alias("op"),
+            )
+        ).alias("value")
+    )
+
+
+def _two_streams(spark):
+    """Two independent tables' change streams (different seeds so their
+    contents differ) plus the interleaved mixed wire stream."""
+    ev_a = events_df(spark, n_events=600, seed=11, dirty_frac=0.05)
+    ev_b = events_df(spark, n_events=400, seed=23, dirty_frac=0.05)
+    mixed = envelopes(ev_a, table="repos").unionAll(envelopes(ev_b, table="users"))
+    return ev_a, ev_b, mixed
+
+
+def _direct(spark, tmp_path, ev, name):
+    eng = make_engine(spark, str(tmp_path / name))
+    eng.apply_batch(ev)
+    return final_state(eng)
+
+
+def test_mixed_batch_routes_to_both_tables(spark, tmp_path):
+    """One fan-out over the interleaved stream == two direct
+    single-table applies, byte-identical final states."""
+    ev_a, ev_b, mixed = _two_streams(spark)
+    eng_a = make_engine(spark, str(tmp_path / "a"))
+    eng_b = make_engine(spark, str(tmp_path / "b"))
+
+    report = fan_out_debezium(
+        mixed,
+        [TableRoute("repos", eng_a), TableRoute("users", eng_b)],
+        seq_expr=SEQ,
+    )
+
+    assert final_state(eng_a) == _direct(spark, tmp_path, ev_a, "da")
+    assert final_state(eng_b) == _direct(spark, tmp_path, ev_b, "db")
+    assert report["unrouted"] == {}
+    assert report["tables"]["repos"]["events_in"] == 600
+    assert report["tables"]["users"]["events_in"] == 400
+
+
+def test_unrouted_policies(spark, tmp_path):
+    """Default counts unrouted events per source table; 'raise' fails
+    the batch BEFORE any table applies; 'ignore' skips the count job."""
+    ev_a = events_df(spark, n_events=300, seed=11, dirty_frac=0.0)
+    ev_x = events_df(spark, n_events=200, seed=5, dirty_frac=0.0)
+    mixed = envelopes(ev_a, table="repos").unionAll(envelopes(ev_x, table="extra"))
+
+    eng = make_engine(spark, str(tmp_path / "a"))
+    report = fan_out_debezium(mixed, [TableRoute("repos", eng)], seq_expr=SEQ)
+    assert report["unrouted"] == {"d.extra": 200}
+    assert final_state(eng) == _direct(spark, tmp_path, ev_a, "direct")
+
+    eng2 = make_engine(spark, str(tmp_path / "b"))
+    with pytest.raises(ValueError, match="unrouted source tables"):
+        fan_out_debezium(mixed, [TableRoute("repos", eng2)],
+                         seq_expr=SEQ, unrouted="raise")
+    assert final_state(eng2) == {}  # raise precedes every apply
+
+    eng3 = make_engine(spark, str(tmp_path / "c"))
+    report3 = fan_out_debezium(mixed, [TableRoute("repos", eng3)],
+                               seq_expr=SEQ, unrouted="ignore")
+    assert report3["unrouted"] == {}
+    assert final_state(eng3) == final_state(eng)
+
+
+def test_db_qualifier_disambiguates_same_table_name(spark, tmp_path):
+    """Two databases carrying the same table name split cleanly when
+    routes carry the db qualifier; a db-less route matches any db."""
+    ev_a = events_df(spark, n_events=300, seed=11, dirty_frac=0.0)
+    ev_b = events_df(spark, n_events=200, seed=23, dirty_frac=0.0)
+    mixed = envelopes(ev_a, db="prod", table="t").unionAll(
+        envelopes(ev_b, db="staging", table="t"))
+
+    eng_p = make_engine(spark, str(tmp_path / "p"))
+    eng_s = make_engine(spark, str(tmp_path / "s"))
+    report = fan_out_debezium(
+        mixed,
+        [TableRoute("t", eng_p, db="prod"), TableRoute("t", eng_s, db="staging")],
+        seq_expr=SEQ,
+    )
+    assert report["unrouted"] == {}
+    assert final_state(eng_p) == _direct(spark, tmp_path, ev_a, "dp")
+    assert final_state(eng_s) == _direct(spark, tmp_path, ev_b, "ds")
+
+    # db-less route swallows both dbs into one table
+    eng_any = make_engine(spark, str(tmp_path / "any"))
+    fan_out_debezium(mixed, [TableRoute("t", eng_any)], seq_expr=SEQ)
+    merged = _two_db_merge(spark, tmp_path, ev_a, ev_b)
+    assert final_state(eng_any) == merged
+
+
+def _two_db_merge(spark, tmp_path, ev_a, ev_b):
+    eng = make_engine(spark, str(tmp_path / "merged"))
+    eng.apply_batch(ev_a.unionAll(ev_b))
+    return final_state(eng)
+
+
+def test_route_validation(spark, tmp_path):
+    eng = make_engine(spark, str(tmp_path / "a"))
+    with pytest.raises(ValueError, match="missing \\['path'\\]"):
+        TableRoute("t", eng, fields=("repo", "lang"))
+    with pytest.raises(ValueError, match="duplicate route"):
+        fan_out_debezium(
+            envelopes(events_df(spark, n_events=10, seed=1)),
+            [TableRoute("t", eng), TableRoute("t", eng)],
+        )
+    with pytest.raises(ValueError, match="unrouted must be"):
+        fan_out_debezium(
+            envelopes(events_df(spark, n_events=10, seed=1)),
+            [TableRoute("t", eng)], unrouted="explode",
+        )
+
+
+def test_crash_between_table_commits_replays_only_the_loser(spark, tmp_path):
+    """The claimed per-table exactly-once: a crash AFTER table A's
+    commit but BEFORE table B's re-delivers the whole mixed batch —
+    A's watermarks skip every replayed event, B applies normally, and
+    a full second replay is a no-op on both."""
+    ev_a, ev_b, mixed = _two_streams(spark)
+    eng_a = make_engine(spark, str(tmp_path / "a"))
+    eng_b = make_engine(spark, str(tmp_path / "b"))
+
+    # simulate the pre-crash half: table A already committed this batch
+    from filters_spark.sources.debezium import parse_debezium
+
+    parsed_a = parse_debezium(
+        envelopes(ev_a, table="repos"),
+        ["repo", "path", "lang", "content"], seq_expr=SEQ,
+    )
+    eng_a.apply_batch(parsed_a)
+    sid_a = eng_a.table.current_snapshot_id()
+
+    routes = [TableRoute("repos", eng_a), TableRoute("users", eng_b)]
+    report = fan_out_debezium(mixed, routes, seq_expr=SEQ)
+    assert report["tables"]["repos"]["applied"] == 0
+    assert report["tables"]["repos"]["skipped_replays"] > 0
+    assert report["tables"]["users"]["applied"] > 0
+    assert final_state(eng_a) == _direct(spark, tmp_path, ev_a, "da")
+    assert final_state(eng_b) == _direct(spark, tmp_path, ev_b, "db")
+
+    # replaying the WHOLE mixed batch again is a no-op everywhere
+    sid_a2 = eng_a.table.current_snapshot_id()
+    sid_b = eng_b.table.current_snapshot_id()
+    report2 = fan_out_debezium(mixed, routes, seq_expr=SEQ)
+    assert report2["tables"]["repos"]["applied"] == 0
+    assert report2["tables"]["users"]["applied"] == 0
+    assert eng_a.table.current_snapshot_id() == sid_a2
+    assert eng_b.table.current_snapshot_id() == sid_b
+    assert sid_a2 == sid_a  # a fully-replayed batch commits nothing
+
+
+def test_streaming_fanout_end_to_end(spark, tmp_path):
+    """WAL text segments -> readStream -> start_fanout_stream: both
+    tables converge to the direct applies; a restart over the same
+    checkpoint changes nothing."""
+    ev_a, ev_b, mixed = _two_streams(spark)
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal)
+    mixed.coalesce(1).write.text(os.path.join(wal, "seg1"))
+
+    eng_a = make_engine(spark, str(tmp_path / "a"))
+    eng_b = make_engine(spark, str(tmp_path / "b"))
+    routes = [TableRoute("repos", eng_a), TableRoute("users", eng_b)]
+
+    raw = spark.readStream.text(wal + "/*/")
+    q = start_fanout_stream(routes, raw, str(tmp_path / "ckpt"),
+                            trigger_once=True, seq_expr=SEQ)
+    q.awaitTermination(300)
+    assert final_state(eng_a) == _direct(spark, tmp_path, ev_a, "da")
+    assert final_state(eng_b) == _direct(spark, tmp_path, ev_b, "db")
+
+    sids = (eng_a.table.current_snapshot_id(), eng_b.table.current_snapshot_id())
+    q2 = start_fanout_stream(routes, spark.readStream.text(wal + "/*/"),
+                             str(tmp_path / "ckpt"), trigger_once=True,
+                             seq_expr=SEQ)
+    q2.awaitTermination(300)
+    assert (eng_a.table.current_snapshot_id(),
+            eng_b.table.current_snapshot_id()) == sids
