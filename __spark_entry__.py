@@ -441,6 +441,115 @@ def q_cdc_debezium_parse(spark, sf):
     return parse_debezium(envelopes, ["repo", "path", "lang", "content"])
 
 
+# A SERVER-level feed: the same envelope synthesis, but each event is
+# tagged with its source table (repos / users / extra — 'extra' stays
+# deliberately unrouted) and keys repeat across events so the per-table
+# LWW fold is non-trivial.
+_DBZ_FAN_ROW_EXPRS = [
+    "'repo-' || lpad(CAST(o_custkey % 40 AS STRING), 4, '0') AS repo",
+    "'f/' || CAST(o_orderkey % 500 AS STRING) || '.py' AS path",
+    "'status=' || o_orderstatus || ';prio=' || o_orderpriority AS content",
+    "CASE o_orderkey % 7 WHEN 0 THEN 'd' WHEN 1 THEN 'r' WHEN 2 THEN 'c' "
+    "ELSE 'u' END AS dop",
+    "o_orderkey % 4 + 1 AS fileno",
+    "o_orderkey AS pos",
+    "o_orderkey % 3 AS rw",
+    "CASE o_orderkey % 5 WHEN 4 THEN 'extra' WHEN 2 THEN 'users' "
+    "ELSE 'repos' END AS tbl",
+]
+_DBZ_FAN_VALUE_SQL = f"""
+    '{{"before":' || CASE WHEN dop = 'd' THEN {_DBZ_IMAGE_SQL} ELSE 'null' END
+    || ',"after":' || CASE WHEN dop = 'd' THEN 'null' ELSE {_DBZ_IMAGE_SQL} END
+    || ',"source":{{"db":"d","table":"' || tbl
+    || '","file":"mysql-bin.' || lpad(CAST(fileno AS STRING), 6, '0')
+    || '","pos":' || CAST(pos AS STRING) || ',"row":' || CAST(rw AS STRING)
+    || '}},"op":"' || dop || '"}}'
+"""
+
+
+@_q(
+    "cdc_fanout_routes",
+    f"""
+    WITH r AS (SELECT {", ".join(_DBZ_FAN_ROW_EXPRS)} FROM orders),
+    v AS (SELECT tbl, {_DBZ_FAN_VALUE_SQL} AS value FROM r),
+    p AS (
+      SELECT value,
+             json_extract_string(value, '$.source.table') AS route_table,
+             json_extract_string(value, '$.op') AS dop,
+             json_extract_string(value, '$.source.file') AS file,
+             CAST(json_extract_string(value, '$.source.pos') AS BIGINT) AS pos,
+             CAST(json_extract_string(value, '$.source.row') AS BIGINT) AS rw
+      FROM v WHERE tbl IN ('repos', 'users')
+    ),
+    ev AS (
+      SELECT route_table,
+        printf('%012x', CAST(regexp_extract(file, '(\\d+)$', 1) AS BIGINT)) AS "commit",
+        pos * 65536 + rw AS event_seq,
+        CASE dop WHEN 'u' THEN 'U' WHEN 'd' THEN 'D' ELSE 'I' END AS op,
+        CASE WHEN dop = 'd' THEN json_extract_string(value, '$.before.repo')
+             ELSE json_extract_string(value, '$.after.repo') END AS repo,
+        CASE WHEN dop = 'd' THEN json_extract_string(value, '$.before.path')
+             ELSE json_extract_string(value, '$.after.path') END AS path,
+        CASE WHEN dop = 'd' THEN json_extract_string(value, '$.before.lang')
+             ELSE json_extract_string(value, '$.after.lang') END AS lang,
+        CASE WHEN dop = 'd' THEN json_extract_string(value, '$.before.content')
+             ELSE json_extract_string(value, '$.after.content') END AS content
+      FROM p
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY route_table, repo, path
+        ORDER BY "commit" DESC, event_seq DESC
+      ) AS rn FROM ev
+    )
+    SELECT route_table, repo, path, "commit", event_seq, lang, content,
+           sha256(content) AS content_sha
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_fanout_routes(spark, sf):
+    """Multi-table CDC fan-out (engine/fanout.py): ONE mixed server-level
+    Debezium feed (three source tables interleaved) decoded in a single
+    parse pass and routed to two independent engines, the third table
+    left unrouted (counted, not applied). The returned frame is the
+    union of both LAKE TABLES' final states tagged with the route — so
+    a green hash value-checks routing, per-table engine apply and the
+    per-table LWW fold end-to-end against DuckDB's respelling of the
+    whole lifecycle (route filter -> ordering derivation -> tombstone
+    drop -> windowed fold)."""
+    from filters_spark.engine import CDCEngine, TableRoute, fan_out_debezium
+    from filters_spark.engine.evolution import SpecRegistry, VersionSpec
+    from filters_spark.lake.table import LakeTable
+
+    envelopes = (
+        _t(spark, sf, "orders")
+        .selectExpr(*_DBZ_FAN_ROW_EXPRS)
+        .selectExpr(f"{_DBZ_FAN_VALUE_SQL} AS value")
+    )
+    root = _tmpdir("filters_spark_fanq_")
+
+    def mk(name):
+        reg = SpecRegistry(["repo", "path", "lang", "content"])
+        reg.register(VersionSpec(1, _EVO_SPECS_V1))
+        t = LakeTable.create(spark, os.path.join(root, name), ["repo", "path"], num_buckets=8)
+        return CDCEngine(spark, t, reg), t
+
+    eng_r, t_r = mk("repos")
+    eng_u, t_u = mk("users")
+    report = fan_out_debezium(
+        envelopes, [TableRoute("repos", eng_r), TableRoute("users", eng_u)]
+    )
+    if set(report["unrouted"]) != {"d.extra"}:
+        raise AssertionError(f"expected only d.extra unrouted: {report['unrouted']}")
+    if any(m["dead_lettered"] for m in report["tables"].values()):
+        raise AssertionError("fan-out feed must validate clean")
+    cols = ["repo", "path", "commit", "event_seq", "lang", "content", "content_sha"]
+    return (
+        t_r.read().select(F.lit("repos").alias("route_table"), *cols)
+        .unionByName(t_u.read().select(F.lit("users").alias("route_table"), *cols))
+    )
+
+
 # --- filter layer: reference operator semantics over testdata ----------------
 
 
