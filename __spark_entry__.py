@@ -550,6 +550,92 @@ def q_cdc_fanout_routes(spark, sf):
     )
 
 
+@_q(
+    "cdc_fanout_consistent_cut",
+    f"""
+    WITH r AS (SELECT {", ".join(_DBZ_FAN_ROW_EXPRS)} FROM orders),
+    v AS (SELECT tbl, fileno, {_DBZ_FAN_VALUE_SQL} AS value FROM r),
+    p AS (
+      SELECT value,
+             json_extract_string(value, '$.op') AS dop,
+             json_extract_string(value, '$.source.file') AS file,
+             CAST(json_extract_string(value, '$.source.pos') AS BIGINT) AS pos,
+             CAST(json_extract_string(value, '$.source.row') AS BIGINT) AS rw,
+             tbl AS route_table
+      FROM v WHERE tbl IN ('repos', 'users') AND fileno <= 2
+    ),
+    ev AS (
+      SELECT route_table,
+        printf('%012x', CAST(regexp_extract(file, '(\\d+)$', 1) AS BIGINT)) AS "commit",
+        pos * 65536 + rw AS event_seq,
+        CASE dop WHEN 'u' THEN 'U' WHEN 'd' THEN 'D' ELSE 'I' END AS op,
+        CASE WHEN dop = 'd' THEN json_extract_string(value, '$.before.repo')
+             ELSE json_extract_string(value, '$.after.repo') END AS repo,
+        CASE WHEN dop = 'd' THEN json_extract_string(value, '$.before.path')
+             ELSE json_extract_string(value, '$.after.path') END AS path,
+        CASE WHEN dop = 'd' THEN json_extract_string(value, '$.before.lang')
+             ELSE json_extract_string(value, '$.after.lang') END AS lang,
+        CASE WHEN dop = 'd' THEN json_extract_string(value, '$.before.content')
+             ELSE json_extract_string(value, '$.after.content') END AS content
+      FROM p
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY route_table, repo, path
+        ORDER BY "commit" DESC, event_seq DESC
+      ) AS rn FROM ev
+    )
+    SELECT route_table, repo, path, "commit", event_seq, lang, content,
+           sha256(content) AS content_sha
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_fanout_consistent_cut(spark, sf):
+    """Cross-table consistent cut (engine/fanout.py consistent_cut):
+    the mixed feed splits into two ascending commit ranges; both tables
+    apply batch 1, then a simulated crash lands batch 2 on 'repos'
+    ONLY — the topology is torn. consistent_cut pins the last feed
+    position both tables hold (batch 1's), and the returned frame reads
+    BOTH tables time-traveled to their cut snapshots — for 'repos' that
+    is strictly behind its head, so a green hash proves the ledger
+    picked the right snapshot and the travel read excludes the torn
+    batch. Oracle = per-table LWW fold over commits <= the cut."""
+    from filters_spark.engine import (
+        CDCEngine, TableRoute, consistent_cut, fan_out_debezium,
+    )
+    from filters_spark.engine.evolution import SpecRegistry, VersionSpec
+    from filters_spark.lake.table import LakeTable
+
+    rows = _t(spark, sf, "orders").selectExpr(*_DBZ_FAN_ROW_EXPRS)
+    env1 = rows.filter("fileno <= 2").selectExpr(f"{_DBZ_FAN_VALUE_SQL} AS value")
+    env2 = rows.filter("fileno >= 3").selectExpr(f"{_DBZ_FAN_VALUE_SQL} AS value")
+    root = _tmpdir("filters_spark_cutq_")
+
+    def mk(name):
+        reg = SpecRegistry(["repo", "path", "lang", "content"])
+        reg.register(VersionSpec(1, _EVO_SPECS_V1))
+        t = LakeTable.create(spark, os.path.join(root, name), ["repo", "path"], num_buckets=8)
+        return CDCEngine(spark, t, reg), t
+
+    eng_r, t_r = mk("repos")
+    eng_u, t_u = mk("users")
+    routes = [TableRoute("repos", eng_r), TableRoute("users", eng_u)]
+    fan_out_debezium(env1, routes, unrouted="ignore")
+    fan_out_debezium(env2, [routes[0]], unrouted="ignore")  # torn: users missing
+    cut = consistent_cut({"repos": t_r, "users": t_u})
+    if cut["snapshots"]["repos"] == t_r.current_snapshot_id():
+        raise AssertionError("cut must be strictly behind the torn table's head")
+    cols = ["repo", "path", "commit", "event_seq", "lang", "content", "content_sha"]
+    return (
+        t_r.read(snapshot_id=cut["snapshots"]["repos"])
+        .select(F.lit("repos").alias("route_table"), *cols)
+        .unionByName(
+            t_u.read(snapshot_id=cut["snapshots"]["users"])
+            .select(F.lit("users").alias("route_table"), *cols)
+        )
+    )
+
+
 # --- filter layer: reference operator semantics over testdata ----------------
 
 

@@ -32,6 +32,8 @@ engine surface (binlog tail → lake ingest).
 
 from __future__ import annotations
 
+import json
+import os
 from dataclasses import dataclass
 from typing import Callable
 
@@ -40,7 +42,13 @@ from pyspark.sql import DataFrame
 
 from filters_spark.engine.cdc import CDCEngine
 
-__all__ = ["TableRoute", "fan_out_debezium", "start_fanout_stream"]
+__all__ = [
+    "TableRoute",
+    "consistent_cut",
+    "fan_out_debezium",
+    "feed_positions",
+    "start_fanout_stream",
+]
 
 
 @dataclass(frozen=True)
@@ -79,6 +87,83 @@ def _route_match(r: TableRoute):
     return m
 
 
+# --- cross-table consistent cuts ------------------------------------------
+#
+# Fan-out applies tables INDEPENDENTLY, so a reader joining two tables
+# mid-ingest (or after a crash between two tables' commits) can observe
+# a torn transaction: table A at server-log position N, table B at N-1.
+# The classic fix — and the one Debezium itself punts to consumers — is
+# to read every table AS OF a common log position. Each fan-out batch
+# therefore stamps every routed table with the batch's FEED POSITION
+# (the max (commit, event_seq) watermark of the WHOLE mixed batch, not
+# just the table's slice — a table whose last event was early in the
+# batch is still current through the batch end), written AFTER the
+# table's apply so a crash can only under-report, never over-report.
+
+_FEED_STATE = "feed-state.json"
+_FEED_KEEP = 4096  # entries retained per table; one per batch
+
+
+def feed_positions(table) -> list[dict]:
+    """The table's feed-position ledger, ascending:
+    ``[{"feed_to": "<commit>:<seq>", "snapshot_id": int}, ...]``.
+    Empty if the table was never fed through :func:`fan_out_debezium`."""
+    p = os.path.join(table.meta_dir, _FEED_STATE)
+    if not table.io.exists(p):
+        return []
+    return json.loads(table.io.read_text(p))
+
+
+def _record_feed_position(table, feed_to: str) -> None:
+    entries = feed_positions(table)
+    if entries and entries[-1]["feed_to"] >= feed_to:
+        return  # replayed batch — position already recorded
+    entries.append(
+        {"feed_to": feed_to, "snapshot_id": table.current_snapshot_id()}
+    )
+    table.io.write_text_atomic(
+        os.path.join(table.meta_dir, _FEED_STATE),
+        json.dumps(entries[-_FEED_KEEP:]),
+    )
+
+
+def consistent_cut(tables: dict) -> dict:
+    """A transactionally consistent cross-table read point over tables
+    fed from ONE server log via :func:`fan_out_debezium`.
+
+    Returns ``{"feed_to": F, "snapshots": {name: snapshot_id}}`` where
+    ``F`` is the greatest feed position EVERY table has reached and
+    each snapshot is that table's state at ``F`` — read them with
+    ``table.read(snapshot_id=...)`` and cross-table joins see a single
+    log prefix: no torn transactions, regardless of crashes between
+    table commits or reads racing an in-flight batch.
+
+    Correctness requires each table to have been routed in every batch
+    since it joined the feed (fan-out records a position even for
+    batches where a table's slice is empty); a table that skipped
+    batches below ``F`` would silently miss events, so entries are
+    matched at exactly ``F`` and a gap raises."""
+    hist = {name: feed_positions(t) for name, t in tables.items()}
+    for name, h in hist.items():
+        if not h:
+            raise ValueError(
+                f"table {name!r} has no feed-position ledger — it was "
+                "never fed through fan_out_debezium(track_feed=True)"
+            )
+    cut = min(h[-1]["feed_to"] for h in hist.values())
+    snaps = {}
+    for name, h in hist.items():
+        at = [e for e in h if e["feed_to"] == cut]
+        if not at:
+            raise ValueError(
+                f"table {name!r} has no ledger entry at cut {cut!r} "
+                "(joined the feed later, or skipped batches — its state "
+                "at that position is unknowable)"
+            )
+        snaps[name] = at[0]["snapshot_id"]
+    return {"feed_to": cut, "snapshots": snaps}
+
+
 def fan_out_debezium(
     raw: DataFrame,
     routes: list[TableRoute],
@@ -86,6 +171,7 @@ def fan_out_debezium(
     commit_expr: Callable | None = None,
     seq_expr: Callable | None = None,
     unrouted: str = "count",
+    track_feed: bool = True,
 ) -> dict:
     """Apply one mixed Debezium envelope batch to every route's table.
 
@@ -96,10 +182,16 @@ def fan_out_debezium(
     ``parse_debezium``).
 
     Returns ``{"tables": {route.table: apply_batch metrics},
-    "unrouted": {"db.table": event count}}``. Routes are applied in
-    list order, each an independent exactly-once engine apply —
-    re-running the same mixed batch (crash between table commits)
-    re-applies only the tables whose watermarks haven't seen it.
+    "unrouted": {"db.table": event count}, "feed_to": str | None}``.
+    Routes are applied in list order, each an independent exactly-once
+    engine apply — re-running the same mixed batch (crash between table
+    commits) re-applies only the tables whose watermarks haven't seen
+    it.
+
+    ``track_feed``: stamp each routed table's feed-position ledger with
+    the batch's global max watermark after its apply (one tiny agg job
+    per batch), enabling :func:`consistent_cut` reads across the
+    topology's tables.
     """
     if unrouted not in ("count", "raise", "ignore"):
         raise ValueError(
@@ -130,7 +222,16 @@ def fan_out_debezium(
         )
     )
 
-    report: dict = {"tables": {}, "unrouted": {}}
+    report: dict = {"tables": {}, "unrouted": {}, "feed_to": None}
+    if track_feed:
+        from filters_spark.lake.table import watermark_str
+
+        row = parsed.agg(
+            F.max(
+                watermark_str(F.col("commit"), F.col("event_seq"))
+            ).alias("wm")
+        ).collect()[0]
+        report["feed_to"] = row["wm"]  # None on an empty batch
     if unrouted != "ignore":
         any_route = None
         for r in routes:
@@ -161,7 +262,12 @@ def fan_out_debezium(
             *r.fields,
             F.lit(r.schema_version).alias("schema_version"),
         )
-        report["tables"][r.table] = r.engine.apply_batch(events)
+        metrics = r.engine.apply_batch(events)
+        report["tables"][r.table] = metrics
+        # an audit-REJECTED batch was not applied — advancing the
+        # ledger would claim a log prefix the table doesn't hold
+        if report["feed_to"] is not None and metrics.get("audit") != "rejected":
+            _record_feed_position(r.engine.table, report["feed_to"])
     return report
 
 

@@ -10,7 +10,9 @@ import pyspark.sql.functions as F
 
 from filters_spark.engine.fanout import (
     TableRoute,
+    consistent_cut,
     fan_out_debezium,
+    feed_positions,
     start_fanout_stream,
 )
 
@@ -196,6 +198,82 @@ def test_crash_between_table_commits_replays_only_the_loser(spark, tmp_path):
     assert eng_a.table.current_snapshot_id() == sid_a2
     assert eng_b.table.current_snapshot_id() == sid_b
     assert sid_a2 == sid_a  # a fully-replayed batch commits nothing
+
+
+def _commit_split(ev):
+    """A mid-stream commit boundary: (batch1, batch2) with every batch-1
+    watermark strictly below every batch-2 watermark (commit-major)."""
+    commits = sorted(r["commit"] for r in ev.select("commit").distinct().collect())
+    assert len(commits) >= 2, "need at least two commits to split"
+    mid = commits[(len(commits) - 1) // 2]
+    return ev.filter(F.col("commit") <= mid), ev.filter(F.col("commit") > mid)
+
+
+def test_consistent_cut_across_torn_batch(spark, tmp_path):
+    """A crash after table A's batch-2 commit but before table B's
+    leaves the topology torn; consistent_cut returns the last position
+    BOTH tables hold, and time-travel reads there see the un-torn
+    prefix. Recovery (full re-delivery) advances the cut."""
+    ev_a, ev_b, _ = _two_streams(spark)
+    a1, a2 = _commit_split(ev_a)
+    b1, b2 = _commit_split(ev_b)
+    eng_a = make_engine(spark, str(tmp_path / "a"))
+    eng_b = make_engine(spark, str(tmp_path / "b"))
+    routes = [TableRoute("repos", eng_a), TableRoute("users", eng_b)]
+
+    mixed1 = envelopes(a1, table="repos").unionAll(envelopes(b1, table="users"))
+    mixed2 = envelopes(a2, table="repos").unionAll(envelopes(b2, table="users"))
+    rep1 = fan_out_debezium(mixed1, routes, seq_expr=SEQ)
+    assert rep1["feed_to"] is not None
+    # crash mid-batch-2: only table A's route runs
+    fan_out_debezium(mixed2, [routes[0]], seq_expr=SEQ, unrouted="ignore")
+
+    cut = consistent_cut({"repos": eng_a.table, "users": eng_b.table})
+    assert cut["feed_to"] == rep1["feed_to"]
+    state_a1 = _direct(spark, tmp_path, a1, "da1")
+    cut_read = eng_a.table.read(snapshot_id=cut["snapshots"]["repos"])
+    got = {(r.repo, r.path): r.content_sha for r in cut_read.collect()}
+    assert got == state_a1
+    # B's head IS the cut — no travel needed
+    assert cut["snapshots"]["users"] == eng_b.table.current_snapshot_id()
+
+    # recovery: the whole batch re-delivers; A skips replays, B applies
+    rep2 = fan_out_debezium(mixed2, routes, seq_expr=SEQ)
+    assert rep2["tables"]["repos"]["applied"] == 0
+    cut2 = consistent_cut({"repos": eng_a.table, "users": eng_b.table})
+    assert cut2["feed_to"] == rep2["feed_to"] > cut["feed_to"]
+    assert cut2["snapshots"]["repos"] == eng_a.table.current_snapshot_id()
+    assert cut2["snapshots"]["users"] == eng_b.table.current_snapshot_id()
+
+    # ledger: one entry per batch, ascending, replay added nothing new
+    led = feed_positions(eng_a.table)
+    assert [e["feed_to"] for e in led] == sorted({e["feed_to"] for e in led})
+    assert len(led) == 2
+
+
+def test_consistent_cut_requires_full_ledgers(spark, tmp_path):
+    ev_a = events_df(spark, n_events=200, seed=11, dirty_frac=0.0)
+    a1, a2 = _commit_split(ev_a)
+    eng_a = make_engine(spark, str(tmp_path / "a"))
+    eng_b = make_engine(spark, str(tmp_path / "b"))
+
+    # never-fed table
+    fan_out_debezium(envelopes(a1, table="repos"),
+                     [TableRoute("repos", eng_a)], seq_expr=SEQ)
+    with pytest.raises(ValueError, match="no feed-position ledger"):
+        consistent_cut({"repos": eng_a.table, "users": eng_b.table})
+
+    # late joiner: B first appears at batch 2, so it has no entry at
+    # the cut a slower A pins — its batch-1 state is unknowable
+    fan_out_debezium(envelopes(a2, table="users"),
+                     [TableRoute("users", eng_b)], seq_expr=SEQ,
+                     unrouted="ignore")
+    eng_c = make_engine(spark, str(tmp_path / "c"))
+    fan_out_debezium(envelopes(a1, table="other"),
+                     [TableRoute("other", eng_c)], seq_expr=SEQ,
+                     unrouted="ignore")
+    with pytest.raises(ValueError, match="no ledger entry at cut"):
+        consistent_cut({"users": eng_b.table, "other": eng_c.table})
 
 
 def test_streaming_fanout_end_to_end(spark, tmp_path):
