@@ -276,6 +276,27 @@ def test_consistent_cut_requires_full_ledgers(spark, tmp_path):
         consistent_cut({"users": eng_b.table, "other": eng_c.table})
 
 
+def test_route_slices_never_reparse_the_json(spark):
+    """The module's scale claim: the raw JSON is decoded ONCE and each
+    route's slice filters the MATERIALIZED columns — a per-route
+    re-parse would multiply the most expensive stage by the route
+    count. Pin it on the exact composition fan_out_debezium builds:
+    the sliced plan must scan the checkpoint, not JsonToStructs."""
+    from filters_spark.operators.materialize import materialize
+    from filters_spark.sources.debezium import parse_debezium
+
+    ev = events_df(spark, n_events=50, seed=7, dirty_frac=0.0)
+    parsed = materialize(parse_debezium(
+        envelopes(ev, table="repos"),
+        ["repo", "path", "lang", "content"],
+        seq_expr=SEQ, include_source=True,
+    ))
+    sliced = parsed.filter(F.col("_src_table") == "repos")
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    assert "from_json" not in plan and "JsonToStructs" not in plan
+    assert sliced.count() == 50
+
+
 def test_streaming_fanout_end_to_end(spark, tmp_path):
     """WAL text segments -> readStream -> start_fanout_stream: both
     tables converge to the direct applies; a restart over the same
