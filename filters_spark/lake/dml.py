@@ -341,7 +341,7 @@ def _dml_mor(
     base = max(gw, agg["m"])
     c_str, s_str = base.rsplit(":", 1)
     ident_commit, ident_seq = c_str, int(s_str) + 1
-    ident_wm = f"{ident_commit}:{ident_seq:010d}"
+    ident_wm = f"{ident_commit}:{ident_seq:020d}"
     if upd is None:
         rows = matched.select(
             "repo",

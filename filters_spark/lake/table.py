@@ -75,8 +75,19 @@ def bucket_expr(repo_col, path_col, num_buckets: int, path_salt: int = 16):
 
 def watermark_str(commit_col, seq_col):
     """Sortable watermark string 'commit:seq' (commit is zero-padded hex,
-    seq zero-padded decimal) — lexicographic order == event order."""
-    return F.concat_ws(":", commit_col, F.lpad(seq_col.cast("string"), 10, "0"))
+    seq zero-padded decimal) — lexicographic order == event order.
+
+    The 20-digit seq pad covers the full BIGINT range (19 digits); a
+    narrower pad silently PREFIX-TRUNCATES in Spark's lpad, breaking
+    the order isomorphism — the Debezium default seq (pos*65536+row)
+    crosses 10 digits at binlog pos ~152k. The pad width is part of the
+    table's on-disk watermark format (manifest `watermarks` values mix
+    with freshly computed strings in max() comparisons), so changing it
+    requires fresh tables. NULL commit or seq (an envelope whose
+    ordering can't be derived) yields NULL, never a seq-only string
+    that would mis-sort against real positions: F.concat propagates
+    NULLs where concat_ws would silently skip them."""
+    return F.concat(commit_col, F.lit(":"), F.lpad(seq_col.cast("string"), 20, "0"))
 
 
 DEFAULT_PAYLOAD_COLS = ["lang", "content"]
@@ -830,7 +841,7 @@ class LakeTable:
         if wms:
             g = max(wms.values())
             g_commit, g_seq = g.split(":")
-            bumped = f"{g_commit}:{int(g_seq) + 1:010d}"
+            bumped = f"{g_commit}:{int(g_seq) + 1:020d}"
             wms = {b: max(w, bumped) for b, w in wms.items()}
         snapshot = {
             **prev,

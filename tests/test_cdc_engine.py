@@ -553,3 +553,26 @@ def test_seed_table_shares_event_key_space(spark, tmp_path):
     deleted = sum(1 for k in seed_state if k not in final_state)
     assert updated > 0, "no seeded row was updated by the stream"
     assert deleted > 0, "no seeded row was deleted by the stream"
+
+
+def test_event_seq_crossing_ten_digits_orders_correctly(spark, tmp_path):
+    """Watermark-width regression: Spark's lpad PREFIX-TRUNCATES a seq
+    longer than the pad, so a 10-digit pad mis-sorts seq 10^10 BELOW
+    10^10-1 (the Debezium default seq pos*65536+row crosses 10 digits
+    at binlog pos ~152k). The 20-digit pad covers the full BIGINT range
+    — both the in-batch LWW fold and the stored-watermark replay dedupe
+    must order the wide seq above the narrow one."""
+    import hashlib
+
+    eng = make_engine(spark, str(tmp_path))
+    schema = ("commit string, event_seq long, op string, repo string, "
+              "path string, lang string, content string, schema_version int")
+    lo = [("00000000000a", 9_999_999_999, "U", "r", "a.py", "py", "old", 1)]
+    hi = [("00000000000a", 10_000_000_000, "U", "r", "a.py", "py", "new", 1)]
+    want = {("r", "a.py"): hashlib.sha256(b"new").hexdigest()}
+
+    eng.apply_batch(spark.createDataFrame(lo + hi, schema))
+    assert final_state(eng) == want  # in-batch fold
+    m = eng.apply_batch(spark.createDataFrame(lo, schema))
+    assert m["applied"] == 0 and m["skipped_replays"] == 1  # stored-wm dedupe
+    assert final_state(eng) == want
