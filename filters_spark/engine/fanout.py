@@ -47,6 +47,7 @@ __all__ = [
     "consistent_cut",
     "fan_out_debezium",
     "feed_positions",
+    "route_key",
     "start_fanout_stream",
 ]
 
@@ -60,16 +61,23 @@ class TableRoute:
     spec registry). ``fields``: payload columns to extract from the row
     image — must include the key fields (``repo``, ``path``).
     ``db``: optional ``source.db`` qualifier — two databases can carry
-    the same table name; leave None to match any.
+    the same table name; leave None to match any db NOT claimed by a
+    db-qualified sibling route of the same table name (rest-of
+    semantics — without the exclusion the qualified table's events
+    would be silently double-ingested).
     ``schema_version``: the registry version the route's events
     validate under (a feed-level fact — the wire envelope carries no
-    registry version)."""
+    registry version).
+    ``audit_fn``: optional write-audit-publish gate forwarded to the
+    engine's ``apply_batch`` — a rejected batch neither commits nor
+    advances the table's feed-position ledger."""
 
     table: str
     engine: CDCEngine
     fields: tuple[str, ...] = ("repo", "path", "lang", "content")
     db: str | None = None
     schema_version: int = 1
+    audit_fn: Callable | None = None
 
     def __post_init__(self):
         missing = {"repo", "path"} - set(self.fields)
@@ -80,11 +88,23 @@ class TableRoute:
             )
 
 
-def _route_match(r: TableRoute):
-    m = F.col("_src_table") == r.table
-    if r.db is not None:
-        m = m & (F.col("_src_db") == r.db)
-    return m
+def _route_matches(routes: list[TableRoute]) -> list:
+    """One match predicate per route. A db-less route excludes the dbs
+    claimed by db-qualified routes of the same table name."""
+    claimed: dict[str, set[str]] = {}
+    for r in routes:
+        if r.db is not None:
+            claimed.setdefault(r.table, set()).add(r.db)
+    out = []
+    for r in routes:
+        m = F.col("_src_table") == r.table
+        if r.db is not None:
+            m = m & (F.col("_src_db") == r.db)
+        else:
+            for db in sorted(claimed.get(r.table, ())):
+                m = m & (F.col("_src_db").isNull() | (F.col("_src_db") != db))
+        out.append(m)
+    return out
 
 
 # --- cross-table consistent cuts ------------------------------------------
@@ -157,10 +177,21 @@ def consistent_cut(tables: dict) -> dict:
         if not at:
             raise ValueError(
                 f"table {name!r} has no ledger entry at cut {cut!r} "
-                "(joined the feed later, or skipped batches — its state "
-                "at that position is unknowable)"
+                "(joined the feed later, skipped batches, or out-lagged "
+                f"the {_FEED_KEEP}-entry ledger retention — its state at "
+                "that position is unknowable)"
             )
-        snaps[name] = at[0]["snapshot_id"]
+        sid = at[0]["snapshot_id"]
+        # the ledger outlives snapshot retention: a leader's old
+        # snapshot at a laggard's position may have been expired
+        if tables[name]._raw_snapshot_if_retained(sid) is None:
+            raise ValueError(
+                f"table {name!r}'s snapshot {sid} at cut {cut!r} has "
+                "been expired — size expire_snapshots retention to the "
+                "topology's max inter-table lag, or catch the laggard "
+                "up first"
+            )
+        snaps[name] = sid
     return {"feed_to": cut, "snapshots": snaps}
 
 
@@ -181,8 +212,10 @@ def fan_out_debezium(
     shared by all routes (one server log = one ordering domain; see
     ``parse_debezium``).
 
-    Returns ``{"tables": {route.table: apply_batch metrics},
+    Returns ``{"tables": {route key: apply_batch metrics},
     "unrouted": {"db.table": event count}, "feed_to": str | None}``.
+    Route keys are the bare table name, or ``"db.table"`` for a
+    db-qualified route (two qualified routes may share a table name).
     Routes are applied in list order, each an independent exactly-once
     engine apply — re-running the same mixed batch (crash between table
     commits) re-applies only the tables whose watermarks haven't seen
@@ -191,13 +224,37 @@ def fan_out_debezium(
     ``track_feed``: stamp each routed table's feed-position ledger with
     the batch's global max watermark after its apply (one tiny agg job
     per batch), enabling :func:`consistent_cut` reads across the
-    topology's tables.
+    topology's tables. The same agg REFUSES envelopes whose ordering
+    can't be derived (NULL commit/seq after ``commit_expr``/
+    ``seq_expr``) — applying unorderable events would corrupt both the
+    ledger and the engines' watermark dedupe.
     """
-    if unrouted not in ("count", "raise", "ignore"):
-        raise ValueError(
-            f"unrouted must be 'count', 'raise' or 'ignore', got {unrouted!r}"
+    parsed, matches, report = _parse_and_gate(
+        raw, routes, value_col, commit_expr, seq_expr, unrouted, track_feed
+    )
+    for r, m in zip(routes, matches):
+        metrics = r.engine.apply_batch(
+            _route_slice(parsed, r, m), audit_fn=r.audit_fn
         )
+        report["tables"][route_key(r)] = metrics
+        # an audit-REJECTED batch was not applied — advancing the
+        # ledger would claim a log prefix the table doesn't hold
+        if report["feed_to"] is not None and metrics.get("audit") != "rejected":
+            _record_feed_position(r.engine.table, report["feed_to"])
+    return report
+
+
+def route_key(r: TableRoute) -> str:
+    """Report key for a route: bare table name, or ``"db.table"`` for a
+    db-qualified route (two qualified routes may share a table name)."""
+    return f"{r.db}.{r.table}" if r.db else r.table
+
+
+def _check_routes(routes: list[TableRoute]) -> None:
+    if not routes:
+        raise ValueError("fan-out needs at least one route")
     seen: set[tuple] = set()
+    targets: dict[str, tuple] = {}
     for r in routes:
         key = (r.db, r.table)
         if key in seen:
@@ -207,6 +264,40 @@ def fan_out_debezium(
                 "one table needs one engine, not two routes"
             )
         seen.add(key)
+        # distinct source tables must land in distinct LAKE tables: two
+        # routes sharing an engine (or two engines over one root) make
+        # the first route's watermarks swallow the second's slice as
+        # replays — silent data loss with a clean report
+        root = getattr(r.engine.table, "root", None) or id(r.engine)
+        if root in targets:
+            raise ValueError(
+                f"routes {targets[root]} and {key} share the lake table "
+                f"at {root!r}: per-table exactly-once needs one engine "
+                "and one table per route — to merge source tables, "
+                "union their envelopes upstream of ONE route"
+            )
+        targets[root] = key
+
+
+def _parse_and_gate(
+    raw: DataFrame,
+    routes: list[TableRoute],
+    value_col: str,
+    commit_expr: Callable | None,
+    seq_expr: Callable | None,
+    unrouted: str,
+    track_feed: bool,
+):
+    """The shared front half of every fan-out flavor: validate the
+    route topology, decode the mixed envelope stream ONCE (materialized
+    — each route's slice is a column filter, never a re-parse), refuse
+    unorderable envelopes, and count/raise on unrouted tables. Returns
+    ``(parsed, matches, report)`` with ``report["tables"]`` empty."""
+    if unrouted not in ("count", "raise", "ignore"):
+        raise ValueError(
+            f"unrouted must be 'count', 'raise' or 'ignore', got {unrouted!r}"
+        )
+    _check_routes(routes)
     from filters_spark.operators.materialize import materialize
     from filters_spark.sources.debezium import parse_debezium
 
@@ -221,6 +312,7 @@ def fan_out_debezium(
             include_source=True,
         )
     )
+    matches = _route_matches(routes)
 
     report: dict = {"tables": {}, "unrouted": {}, "feed_to": None}
     if track_feed:
@@ -229,13 +321,23 @@ def fan_out_debezium(
         row = parsed.agg(
             F.max(
                 watermark_str(F.col("commit"), F.col("event_seq"))
-            ).alias("wm")
+            ).alias("wm"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("commit").isNull() | F.col("event_seq").isNull())
+                .cast("long")
+            ).alias("n_unordered"),
         ).collect()[0]
+        if row["n_unordered"]:
+            raise ValueError(
+                f"{row['n_unordered']} of {row['n']} envelopes have no "
+                "derivable (commit, event_seq) ordering — fix the feed "
+                "or supply commit_expr/seq_expr for its ordering scheme"
+            )
         report["feed_to"] = row["wm"]  # None on an empty batch
     if unrouted != "ignore":
         any_route = None
-        for r in routes:
-            m = _route_match(r)
+        for m in matches:
             any_route = m if any_route is None else any_route | m
         misses = (
             parsed.filter(~F.coalesce(any_route, F.lit(False)))
@@ -253,22 +355,17 @@ def fan_out_debezium(
                 "— add routes, or pass unrouted='count'/'ignore' if the "
                 "drop is intended"
             )
+    return parsed, matches, report
 
-    for r in routes:
-        events = parsed.filter(_route_match(r)).select(
-            "commit",
-            "event_seq",
-            "op",
-            *r.fields,
-            F.lit(r.schema_version).alias("schema_version"),
-        )
-        metrics = r.engine.apply_batch(events)
-        report["tables"][r.table] = metrics
-        # an audit-REJECTED batch was not applied — advancing the
-        # ledger would claim a log prefix the table doesn't hold
-        if report["feed_to"] is not None and metrics.get("audit") != "rejected":
-            _record_feed_position(r.engine.table, report["feed_to"])
-    return report
+
+def _route_slice(parsed: DataFrame, r: TableRoute, m) -> DataFrame:
+    return parsed.filter(m).select(
+        "commit",
+        "event_seq",
+        "op",
+        *r.fields,
+        F.lit(r.schema_version).alias("schema_version"),
+    )
 
 
 def start_fanout_stream(

@@ -324,3 +324,132 @@ def test_streaming_fanout_end_to_end(spark, tmp_path):
     q2.awaitTermination(300)
     assert (eng_a.table.current_snapshot_id(),
             eng_b.table.current_snapshot_id()) == sids
+
+
+def test_two_routes_must_not_share_a_lake_table(spark, tmp_path):
+    """Distinct source tables into ONE lake table would let the first
+    route's watermarks swallow the second's slice as replays — refused
+    up front, before any parse or apply."""
+    ev = events_df(spark, n_events=20, seed=3, dirty_frac=0.0)
+    mixed = envelopes(ev, table="a").unionAll(envelopes(ev, table="b"))
+    eng = make_engine(spark, str(tmp_path / "one"))
+    with pytest.raises(ValueError, match="share the lake table"):
+        fan_out_debezium(
+            mixed, [TableRoute("a", eng), TableRoute("b", eng)], seq_expr=SEQ
+        )
+    with pytest.raises(ValueError, match="at least one route"):
+        fan_out_debezium(mixed, [], seq_expr=SEQ)
+
+
+def test_dbless_route_excludes_qualified_sibling_dbs(spark, tmp_path):
+    """Rest-of semantics: a db-less route alongside a db-qualified
+    sibling of the SAME table name takes only the unclaimed dbs —
+    without the exclusion prod's events would double-ingest."""
+    ev_p = events_df(spark, n_events=300, seed=11, dirty_frac=0.0)
+    ev_s = events_df(spark, n_events=200, seed=23, dirty_frac=0.0)
+    ev_t = events_df(spark, n_events=100, seed=31, dirty_frac=0.0)
+    mixed = (
+        envelopes(ev_p, db="prod", table="t")
+        .unionAll(envelopes(ev_s, db="staging", table="t"))
+        .unionAll(envelopes(ev_t, db="test", table="t"))
+    )
+    eng_p = make_engine(spark, str(tmp_path / "p"))
+    eng_rest = make_engine(spark, str(tmp_path / "rest"))
+    report = fan_out_debezium(
+        mixed,
+        [TableRoute("t", eng_p, db="prod"), TableRoute("t", eng_rest)],
+        seq_expr=SEQ,
+    )
+    assert report["unrouted"] == {}
+    assert report["tables"]["prod.t"]["events_in"] == 300
+    assert report["tables"]["t"]["events_in"] == 300  # staging + test only
+    assert final_state(eng_p) == _direct(spark, tmp_path, ev_p, "dp")
+    assert final_state(eng_rest) == _two_db_merge(spark, tmp_path, ev_s, ev_t)
+
+
+def test_unorderable_envelopes_refused(spark, tmp_path):
+    """Envelopes whose (commit, event_seq) can't be derived (NULL after
+    the seq/commit exprs) are refused BEFORE any apply — silently
+    applying them would corrupt the feed ledger and the engines'
+    watermark dedupe (watermark_str propagates NULL, never a mis-
+    sorting seq-only string)."""
+    ev = events_df(spark, n_events=100, seed=3, dirty_frac=0.0)
+    holed = ev.withColumn(
+        "event_seq",
+        F.when(F.col("event_seq") % 7 == 0, F.lit(None)).otherwise(
+            F.col("event_seq")
+        ),
+    )
+    eng = make_engine(spark, str(tmp_path / "a"))
+    with pytest.raises(ValueError, match="no derivable"):
+        fan_out_debezium(
+            envelopes(holed, table="repos"),
+            [TableRoute("repos", eng)], seq_expr=SEQ,
+        )
+    assert final_state(eng) == {}  # refusal precedes every apply
+    # the un-holed stream applies fine through the same path
+    fan_out_debezium(envelopes(ev, table="repos"),
+                     [TableRoute("repos", eng)], seq_expr=SEQ)
+    assert final_state(eng) == _direct(spark, tmp_path, ev, "da")
+
+
+def test_audit_rejected_route_holds_table_and_ledger(spark, tmp_path):
+    """A route's write-audit-publish gate rejecting the batch leaves
+    BOTH the lake table and the feed-position ledger untouched, so the
+    re-delivery after fixing the producer is not treated as a replay;
+    sibling routes in the same batch publish and advance normally."""
+    ev_a, ev_b, mixed = _two_streams(spark)
+    eng_a = make_engine(spark, str(tmp_path / "a"))
+    eng_b = make_engine(spark, str(tmp_path / "b"))
+
+    report = fan_out_debezium(
+        mixed,
+        [TableRoute("repos", eng_a),
+         TableRoute("users", eng_b, audit_fn=lambda t, wap_id: False)],
+        seq_expr=SEQ,
+    )
+    assert report["tables"]["repos"].get("audit") is None
+    assert report["tables"]["users"]["audit"] == "rejected"
+    assert final_state(eng_b) == {}
+    assert feed_positions(eng_b.table) == []
+    assert [e["feed_to"] for e in feed_positions(eng_a.table)] == [report["feed_to"]]
+
+    # re-delivery with a passing audit applies in full — no replay skips
+    audited = []
+    rep2 = fan_out_debezium(
+        mixed,
+        [TableRoute("repos", eng_a),
+         TableRoute("users", eng_b,
+                    audit_fn=lambda t, wap_id: audited.append(
+                        t.read(wap_id=wap_id).count()) or True)],
+        seq_expr=SEQ,
+    )
+    assert rep2["tables"]["users"]["audit"] == "published"
+    assert rep2["tables"]["users"]["skipped_replays"] == 0
+    assert audited and audited[0] > 0
+    assert final_state(eng_b) == _direct(spark, tmp_path, ev_b, "db")
+    assert feed_positions(eng_b.table)[-1]["feed_to"] == rep2["feed_to"]
+
+
+def test_consistent_cut_refuses_expired_snapshots(spark, tmp_path):
+    """The feed ledger outlives snapshot retention: when the leader has
+    expired its snapshot at the laggard's position, the cut is
+    unreadable and must raise rather than hand out a dangling id."""
+    ev_a, ev_b, _ = _two_streams(spark)
+    a1, a2 = _commit_split(ev_a)
+    b1, _ = _commit_split(ev_b)
+    eng_a = make_engine(spark, str(tmp_path / "a"))
+    eng_b = make_engine(spark, str(tmp_path / "b"))
+
+    mixed1 = envelopes(a1, table="repos").unionAll(envelopes(b1, table="users"))
+    fan_out_debezium(
+        mixed1,
+        [TableRoute("repos", eng_a), TableRoute("users", eng_b)],
+        seq_expr=SEQ,
+    )
+    # leader A advances alone, then expires history past the cut
+    fan_out_debezium(envelopes(a2, table="repos"),
+                     [TableRoute("repos", eng_a)], seq_expr=SEQ)
+    assert eng_a.table.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="has been expired"):
+        consistent_cut({"repos": eng_a.table, "users": eng_b.table})
