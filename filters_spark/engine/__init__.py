@@ -9,3 +9,8 @@ from filters_spark.engine.fanout import (  # noqa: F401
     feed_positions,
     start_fanout_stream,
 )
+from filters_spark.engine.txn import (  # noqa: F401
+    fan_out_atomic,
+    pending_txns,
+    recover_fanout,
+)

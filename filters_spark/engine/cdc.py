@@ -40,6 +40,7 @@ import os
 import time
 import uuid
 from contextlib import contextmanager
+from dataclasses import dataclass, field
 from typing import Mapping
 
 import pyspark.sql.functions as F
@@ -49,6 +50,132 @@ from filters_spark.engine.evolution import SpecRegistry
 from filters_spark.lake.table import LakeTable, WATERMARK_ZERO, bucket_expr, lww_merge, watermark_str
 
 PASSTHROUGH = ["commit", "event_seq", "op", "schema_version"]
+
+
+@dataclass
+class StagedBatch:
+    """A batch applied up to — but not including — the publish: the
+    merge's data files and a staged (write-audit-publish) header are on
+    disk, the table head has NOT moved, and the validated scratch dir
+    (carrying the batch's dead letters) is retained. The decision is
+    deferred to the caller: :meth:`publish` fast-forwards the head and
+    completes the side effects (dead-letter adoption, lineage, scratch
+    cleanup); :meth:`abandon` drops everything, leaving the table as if
+    the batch never arrived.
+
+    This is the per-table half of a multi-table atomic fan-out
+    (engine/txn.py): stage every table, persist one commit decision,
+    then publish all — a crash between publishes rolls forward from
+    the decision record instead of tearing the batch across tables.
+
+    Every field except ``engine`` is JSON-serializable (``to_entry``/
+    ``from_entry``) so a coordinator can persist the handle and a
+    recovery process in a fresh session can finish the publish.
+
+    ``wap_id`` is None when the batch touched no bucket (empty slice,
+    all dead-lettered, or all replays) — publish then only adopts dead
+    letters and cleans up; the head never moves.
+    """
+
+    engine: "CDCEngine"
+    wap_id: str | None
+    parent_sid: int
+    staged_sid: int | None
+    scratch: str | None
+    dead_src: str | None
+    adopt_name: str | None
+    n_dead: int
+    events_in: int
+    applied: int
+    skipped: int
+    # per-bucket (bucket, max_watermark, rows) for lineage
+    bucket_stats: list = field(default_factory=list)
+    t0: float = 0.0
+
+    _ENTRY_FIELDS = (
+        "wap_id", "parent_sid", "staged_sid", "scratch", "dead_src",
+        "adopt_name", "n_dead", "events_in", "applied", "skipped",
+        "bucket_stats",
+    )
+
+    def to_entry(self) -> dict:
+        return {k: getattr(self, k) for k in self._ENTRY_FIELDS}
+
+    @classmethod
+    def from_entry(cls, engine: "CDCEngine", entry: dict) -> "StagedBatch":
+        e = {k: entry[k] for k in cls._ENTRY_FIELDS}
+        e["bucket_stats"] = [tuple(r) for r in e["bucket_stats"]]
+        return cls(engine=engine, t0=time.time(), **e)
+
+    def publish(self) -> dict:
+        """Fast-forward the table to the staged state and complete the
+        deferred side effects. Raises if the head moved since staging
+        (a concurrent writer) — the stage is left intact for the caller
+        to abandon or re-stage."""
+        eng = self.engine
+        if self.wap_id is not None:
+            new_snap = eng.table.publish_wap(self.wap_id)
+            sid = new_snap["snapshot_id"]
+            if eng.write_mode == "mor":
+                ripe = eng.table.buckets_needing_compaction(eng.compact_after)
+                if ripe:
+                    eng.table.compact(ripe)
+        else:
+            sid = self.parent_sid
+        self.finalize(sid)
+        return self._metrics(sid, status="published")
+
+    def finalize(self, sid: int, dedupe_lineage: bool = False) -> None:
+        """The post-publish side effects, each idempotent so crash
+        recovery can re-run them: dead-letter adoption (a rename —
+        skipped when the source dir is already gone), lineage rows
+        (``dedupe_lineage`` skips the write when rows for ``sid``
+        already exist — recovery can't know whether the first attempt
+        got this far), scratch cleanup."""
+        eng = self.engine
+        if self.dead_src is not None:
+            eng._adopt_dead_letters(self.dead_src, self.adopt_name, self.n_dead)
+        rows = [
+            (sid, int(b), w, int(n), self.n_dead, int(time.time() * 1000))
+            for b, w, n in self.bucket_stats
+        ]
+        if rows and dedupe_lineage and self._lineage_has(sid):
+            rows = []
+        eng._write_lineage(rows)
+        if self.scratch is not None:
+            eng.io.rmtree(self.scratch)
+
+    def _lineage_has(self, sid: int) -> bool:
+        eng = self.engine
+        if not eng.io.isdir(eng.lineage_dir):
+            return False
+        return bool(
+            eng.spark.read.parquet(eng.lineage_dir)
+            .filter(F.col("snapshot_id") == sid)
+            .head(1)
+        )
+
+    def abandon(self) -> dict:
+        """Drop the stage: table head, watermarks and dead-letter table
+        all untouched — re-applying the batch later is NOT a replay."""
+        eng = self.engine
+        if self.wap_id is not None and eng.io.exists(eng.table._wap_path(self.wap_id)):
+            eng.table.abandon_wap(self.wap_id)
+        if self.scratch is not None:
+            eng.io.rmtree(self.scratch)
+        return self._metrics(self.parent_sid, status="abandoned", rejected=True)
+
+    def _metrics(self, sid: int, status: str, rejected: bool = False) -> dict:
+        return {
+            "events_in": self.events_in,
+            "applied": 0 if rejected else self.applied,
+            "dead_lettered": 0 if rejected else self.n_dead,
+            "skipped_replays": self.skipped,
+            "touched_buckets": 0 if rejected else len(self.bucket_stats),
+            "txn": status,
+            "snapshot_id": sid,
+            "seconds": time.time() - self.t0,
+        }
 
 
 class CDCEngine:
@@ -342,6 +469,61 @@ class CDCEngine:
         finally:
             self.io.rmtree(scratch)
 
+    def stage_batch(self, events: DataFrame, wap_id: str) -> StagedBatch:
+        """:meth:`apply_batch` halted at the commit point: validate,
+        watermark-filter and merge the batch, write the merged data
+        files and a staged (WAP) header under ``wap_id``, but do NOT
+        move the table head — return a :class:`StagedBatch` whose
+        ``publish()``/``abandon()`` decides later. The scratch dir
+        (dead letters included) is retained until that decision; on any
+        failure here it is cleaned up and nothing was staged.
+
+        This is the participant half of the multi-table atomic fan-out
+        (engine/txn.py). Single-table callers wanting an audit gate
+        should prefer ``apply_batch(audit_fn=...)``, which bounds the
+        stage's lifetime to the call."""
+        t0 = time.time()
+        snap = self.table.current()
+        scratch = self._stage(events, snap)
+        try:
+            if not self.io.tree_has_suffix(scratch, ".parquet"):  # empty input
+                self.io.rmtree(scratch)
+                return StagedBatch(
+                    engine=self, wap_id=None,
+                    parent_sid=snap["snapshot_id"], staged_sid=None,
+                    scratch=None, dead_src=None, adopt_name=None,
+                    n_dead=0, events_in=0, applied=0, skipped=0,
+                    bucket_stats=[], t0=t0,
+                )
+            staged = (
+                self.spark.read.option("basePath", scratch).parquet(scratch)
+                .withColumn("_dead", F.col("_dead").cast("boolean"))
+            )
+            handle = self._apply_staged(
+                staged, os.path.join(scratch, "_dead=true"),
+                os.path.basename(scratch), t0, stage_only_wap=wap_id,
+            )
+            handle.scratch = scratch
+            return handle
+        except BaseException:
+            self.io.rmtree(scratch)
+            raise
+
+    def _staged_handle(self, wap_id, snap, staged_header, dead_src, adopt_name,
+                       n_dead, events_in, applied, skipped, bucket_stats, t0):
+        return StagedBatch(
+            engine=self, wap_id=wap_id,
+            parent_sid=snap["snapshot_id"],
+            staged_sid=staged_header["snapshot_id"],
+            scratch=None,  # filled by stage_batch (it owns the dir)
+            dead_src=dead_src, adopt_name=adopt_name, n_dead=n_dead,
+            events_in=events_in, applied=applied, skipped=skipped,
+            bucket_stats=[
+                (int(r["_bucket"]), r["wm"], int(r["n"])) for r in bucket_stats
+            ],
+            t0=t0,
+        )
+
     def _with_survives(self, staged: DataFrame, wm_map: Mapping) -> DataFrame:
         """Flag replays: events at or below their bucket's committed
         watermark don't survive (idempotency / exactly-once resume).
@@ -360,7 +542,8 @@ class CDCEngine:
                       lineage_sink: list | None = None,
                       wm_map: Mapping | None = None,
                       stats_rows: list | None = None,
-                      audit_fn=None) -> dict:
+                      audit_fn=None,
+                      stage_only_wap: str | None = None) -> dict | StagedBatch:
         """Watermark-filter, merge and commit one staged (already
         validated + bucketed) batch. All plans here are small — a
         staged-parquet scan, a broadcast anti-join, one window — so the
@@ -398,6 +581,16 @@ class CDCEngine:
         applied_events = int(sum(r["n"] for r in bucket_stats))
 
         if not touched:
+            if stage_only_wap is not None:
+                # nothing to merge — the "stage" is just the retained
+                # scratch; publish adopts dead letters, abandon drops them
+                return StagedBatch(
+                    engine=self, wap_id=None,
+                    parent_sid=snap["snapshot_id"], staged_sid=None,
+                    scratch=None, dead_src=dead_src, adopt_name=adopt_name,
+                    n_dead=n_dead, events_in=events_in, applied=0,
+                    skipped=skipped, bucket_stats=[], t0=t0,
+                )
             self._adopt_dead_letters(dead_src, adopt_name, n_dead)
             return {
                 "events_in": events_in, "applied": 0, "dead_lettered": n_dead,
@@ -421,7 +614,10 @@ class CDCEngine:
         }
         # write-audit-publish: stage under a deterministic id (head+1 is
         # unique per parent; adopt_name disambiguates callers)
-        wap_id = None if audit_fn is None else f"audit-{snap['snapshot_id'] + 1}-{adopt_name}"
+        if stage_only_wap is not None:
+            wap_id = stage_only_wap
+        else:
+            wap_id = None if audit_fn is None else f"audit-{snap['snapshot_id'] + 1}-{adopt_name}"
         commit_kw = dict(
             stats=stats,
             schema_version=self.registry.latest,
@@ -448,7 +644,15 @@ class CDCEngine:
             if wap_id is None:
                 new_snap = self.table.commit_deltas(deduped, touched, new_wms, **commit_kw)
             else:
-                self.table.stage_deltas(deduped, touched, new_wms, wap_id, **commit_kw)
+                staged_header = self.table.stage_deltas(
+                    deduped, touched, new_wms, wap_id, **commit_kw
+                )
+                if stage_only_wap is not None:
+                    return self._staged_handle(
+                        wap_id, snap, staged_header, dead_src, adopt_name,
+                        n_dead, events_in, applied_events, skipped,
+                        bucket_stats, t0,
+                    )
                 new_snap = self._audit_publish(audit_fn, wap_id)
                 if new_snap is None:
                     return self._rejected_metrics(events_in, skipped, snap, t0)
@@ -485,7 +689,15 @@ class CDCEngine:
             if wap_id is None:
                 new_snap = self.table.commit_buckets(merged, touched, new_wms, **commit_kw)
             else:
-                self.table.stage_buckets(merged, touched, new_wms, wap_id, **commit_kw)
+                staged_header = self.table.stage_buckets(
+                    merged, touched, new_wms, wap_id, **commit_kw
+                )
+                if stage_only_wap is not None:
+                    return self._staged_handle(
+                        wap_id, snap, staged_header, dead_src, adopt_name,
+                        n_dead, events_in, applied_events, skipped,
+                        bucket_stats, t0,
+                    )
                 new_snap = self._audit_publish(audit_fn, wap_id)
                 if new_snap is None:
                     return self._rejected_metrics(events_in, skipped, snap, t0)
