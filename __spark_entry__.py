@@ -636,6 +636,103 @@ def q_cdc_fanout_consistent_cut(spark, sf):
     )
 
 
+@_q(
+    "cdc_txn_fanout_recovery",
+    f"""
+    WITH r AS (SELECT {", ".join(_DBZ_FAN_ROW_EXPRS)} FROM orders),
+    v AS (SELECT tbl, {_DBZ_FAN_VALUE_SQL} AS value FROM r),
+    p AS (
+      SELECT value,
+             json_extract_string(value, '$.source.table') AS route_table,
+             json_extract_string(value, '$.op') AS dop,
+             json_extract_string(value, '$.source.file') AS file,
+             CAST(json_extract_string(value, '$.source.pos') AS BIGINT) AS pos,
+             CAST(json_extract_string(value, '$.source.row') AS BIGINT) AS rw
+      FROM v WHERE tbl IN ('repos', 'users')
+    ),
+    ev AS (
+      SELECT route_table,
+        printf('%012x', CAST(regexp_extract(file, '(\\d+)$', 1) AS BIGINT)) AS "commit",
+        pos * 65536 + rw AS event_seq,
+        CASE dop WHEN 'u' THEN 'U' WHEN 'd' THEN 'D' ELSE 'I' END AS op,
+        CASE WHEN dop = 'd' THEN json_extract_string(value, '$.before.repo')
+             ELSE json_extract_string(value, '$.after.repo') END AS repo,
+        CASE WHEN dop = 'd' THEN json_extract_string(value, '$.before.path')
+             ELSE json_extract_string(value, '$.after.path') END AS path,
+        CASE WHEN dop = 'd' THEN json_extract_string(value, '$.before.lang')
+             ELSE json_extract_string(value, '$.after.lang') END AS lang,
+        CASE WHEN dop = 'd' THEN json_extract_string(value, '$.before.content')
+             ELSE json_extract_string(value, '$.after.content') END AS content
+      FROM p
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY route_table, repo, path
+        ORDER BY "commit" DESC, event_seq DESC
+      ) AS rn FROM ev
+    )
+    SELECT route_table, repo, path, "commit", event_seq, lang, content,
+           sha256(content) AS content_sha
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_txn_fanout_recovery(spark, sf):
+    """Atomic multi-table fan-out + crash recovery (engine/txn.py):
+    the mixed feed splits into two ascending commit ranges. Batch 1
+    commits atomically (stage both tables -> durable decision ->
+    publish both). Batch 2 CRASHES mid-publish — 'repos' published,
+    'users' still staged, decision record durable — and recover_fanout
+    rolls it forward. The returned frame is the union of both tables'
+    final states, so a green hash value-checks the whole two-phase
+    protocol (stage, decision log, roll-forward publish, dead-letter
+    and lineage side effects) against DuckDB's fold of the FULL feed:
+    recovery must land byte-identically where an uncrashed run would.
+    Oracle = same per-table LWW fold as cdc_fanout_routes."""
+    from filters_spark.engine import CDCEngine, TableRoute
+    from filters_spark.engine.evolution import SpecRegistry, VersionSpec
+    from filters_spark.engine.txn import (
+        SimulatedCrash, fan_out_atomic, pending_txns, recover_fanout,
+    )
+    from filters_spark.lake.table import LakeTable
+
+    rows = _t(spark, sf, "orders").selectExpr(*_DBZ_FAN_ROW_EXPRS)
+    env1 = rows.filter("fileno <= 2").selectExpr(f"{_DBZ_FAN_VALUE_SQL} AS value")
+    env2 = rows.filter("fileno >= 3").selectExpr(f"{_DBZ_FAN_VALUE_SQL} AS value")
+    root = _tmpdir("filters_spark_txnq_")
+
+    def mk(name):
+        reg = SpecRegistry(["repo", "path", "lang", "content"])
+        reg.register(VersionSpec(1, _EVO_SPECS_V1))
+        t = LakeTable.create(spark, os.path.join(root, name), ["repo", "path"], num_buckets=8)
+        return CDCEngine(spark, t, reg), t
+
+    eng_r, t_r = mk("repos")
+    eng_u, t_u = mk("users")
+    routes = [TableRoute("repos", eng_r), TableRoute("users", eng_u)]
+    txn_dir = os.path.join(root, "txn")
+
+    rep1 = fan_out_atomic(env1, routes, txn_dir, unrouted="ignore")
+    if rep1["txn"] != "committed":
+        raise AssertionError(f"batch 1 must commit: {rep1}")
+    sid_u = t_u.current_snapshot_id()
+    try:
+        fan_out_atomic(env2, routes, txn_dir, unrouted="ignore",
+                       _crash="published:0")
+        raise AssertionError("crash injection did not fire")
+    except SimulatedCrash:
+        pass
+    if t_u.current_snapshot_id() != sid_u:
+        raise AssertionError("users must still be missing batch 2 at the crash")
+    recover_fanout(routes, txn_dir, min_age_seconds=0)
+    if pending_txns(eng_r.io, txn_dir):
+        raise AssertionError("recovery left a pending decision record")
+    cols = ["repo", "path", "commit", "event_seq", "lang", "content", "content_sha"]
+    return (
+        t_r.read().select(F.lit("repos").alias("route_table"), *cols)
+        .unionByName(t_u.read().select(F.lit("users").alias("route_table"), *cols))
+    )
+
+
 # --- filter layer: reference operator semantics over testdata ----------------
 
 

@@ -377,6 +377,7 @@ def start_fanout_stream(
     unrouted: str = "count",
     commit_expr: Callable | None = None,
     seq_expr: Callable | None = None,
+    txn_dir: str | None = None,
 ):
     """Structured-Streaming front-end: tail a RAW envelope stream (e.g.
     ``spark.readStream.text(dir)`` of JSON-lines WAL segments, or a
@@ -388,16 +389,39 @@ def start_fanout_stream(
     and each table's watermarks drop the replayed prefix — per table,
     independently, so a crash BETWEEN two tables' commits inside one
     micro-batch re-applies only the table that hadn't committed
-    (pinned in tests/test_fanout.py)."""
+    (pinned in tests/test_fanout.py).
+
+    ``txn_dir`` switches each micro-batch to the ATOMIC fan-out
+    (engine/txn.py): readers never see a torn micro-batch, even
+    transiently. Every batch first runs crash recovery — a re-delivered
+    micro-batch whose transaction was already decided rolls forward
+    before the (then no-op, watermark-deduped) re-apply; an undecided
+    crash's stages are presumed aborted and swept. Micro-batches within
+    one query are serial, so the zero min-age sweep is safe; do NOT
+    point two streams at one ``txn_dir``."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        fan_out_debezium(
-            batch_df,
-            routes,
-            unrouted=unrouted,
-            commit_expr=commit_expr,
-            seq_expr=seq_expr,
-        )
+        if txn_dir is None:
+            fan_out_debezium(
+                batch_df,
+                routes,
+                unrouted=unrouted,
+                commit_expr=commit_expr,
+                seq_expr=seq_expr,
+            )
+        else:
+            from filters_spark.engine.txn import fan_out_atomic, recover_fanout
+
+            recover_fanout(routes, txn_dir, min_age_seconds=0)
+            fan_out_atomic(
+                batch_df,
+                routes,
+                txn_dir,
+                unrouted=unrouted,
+                commit_expr=commit_expr,
+                seq_expr=seq_expr,
+                txn_id=f"batch-{batch_id}",
+            )
 
     writer = raw.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir

@@ -261,6 +261,56 @@ def test_empty_batch_commits_trivially(spark, tmp_path):
     _clean([eng_a, eng_b], txn_dir)
 
 
+def test_streaming_atomic_fanout_recovers_then_applies(spark, tmp_path):
+    """start_fanout_stream(txn_dir=...): each micro-batch is an atomic
+    all-or-none publish. A decided-but-unpublished transaction left by
+    a crash rolls forward when the stream's first batch runs, BEFORE
+    the new batch applies — the stream is self-healing on restart."""
+    from filters_spark.engine.fanout import start_fanout_stream
+
+    ev_a, ev_b, mixed, eng_a, eng_b, routes, txn_dir = _topology(spark, tmp_path)
+    # a previous coordinator crashed after its decision for batch 1...
+    from tests.test_fanout import _commit_split
+
+    a1, a2 = _commit_split(ev_a)
+    b1, b2 = _commit_split(ev_b)
+    mixed1 = envelopes(a1, table="repos").unionAll(envelopes(b1, table="users"))
+    with pytest.raises(SimulatedCrash):
+        fan_out_atomic(mixed1, routes, txn_dir, seq_expr=SEQ, _crash="recorded")
+    assert final_state(eng_a) == {}
+
+    # ...and the stream restarts over the REST of the WAL
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal)
+    mixed2 = envelopes(a2, table="repos").unionAll(envelopes(b2, table="users"))
+    mixed2.coalesce(1).write.text(os.path.join(wal, "seg2"))
+    q = start_fanout_stream(
+        routes, spark.readStream.text(wal + "/*/"), str(tmp_path / "ckpt"),
+        trigger_once=True, seq_expr=SEQ, txn_dir=txn_dir,
+    )
+    q.awaitTermination(300)
+
+    assert final_state(eng_a) == _direct(spark, tmp_path, ev_a, "da")
+    assert final_state(eng_b) == _direct(spark, tmp_path, ev_b, "db")
+    # ledgers advanced monotonically through both the recovered and the
+    # streamed batch, ending at the same position on both tables
+    fa = [e["feed_to"] for e in feed_positions(eng_a.table)]
+    fb = [e["feed_to"] for e in feed_positions(eng_b.table)]
+    assert len(fa) == 2 and fa == sorted(fa) and fa == fb
+    _clean([eng_a, eng_b], txn_dir)
+
+    # restart over the same checkpoint: offsets committed, no-op
+    sids = (eng_a.table.current_snapshot_id(), eng_b.table.current_snapshot_id())
+    q2 = start_fanout_stream(
+        routes, spark.readStream.text(wal + "/*/"), str(tmp_path / "ckpt"),
+        trigger_once=True, seq_expr=SEQ, txn_dir=txn_dir,
+    )
+    q2.awaitTermination(300)
+    assert (eng_a.table.current_snapshot_id(),
+            eng_b.table.current_snapshot_id()) == sids
+    _clean([eng_a, eng_b], txn_dir)
+
+
 def test_recovery_refuses_partial_topology(spark, tmp_path):
     """A pending record touching a route the recovery call doesn't know
     about is unrecoverable with the given topology — raise, don't
