@@ -126,6 +126,14 @@ def fan_out_atomic(
 
     handles: list[tuple[TableRoute, StagedBatch]] = []
     rejected = None
+
+    def _abandon_all():
+        for _, h in handles:
+            try:
+                h.abandon()
+            except Exception:
+                pass
+
     try:
         for r, m in zip(routes, matches):
             handles.append(
@@ -152,11 +160,7 @@ def fan_out_atomic(
                         "single writer per table"
                     )
     except BaseException:
-        for _, h in handles:
-            try:
-                h.abandon()
-            except Exception:
-                pass
+        _abandon_all()
         raise
     if rejected is not None:
         for r, h in handles:
@@ -185,8 +189,29 @@ def fan_out_atomic(
         ],
     }
     path = _txn_path(txn_dir, txn_id)
-    io.makedirs(txn_dir)
-    io.write_text_atomic(path, json.dumps(record, indent=1), fail_if_exists=True)
+    try:
+        io.makedirs(txn_dir)
+        io.write_text_atomic(path, json.dumps(record, indent=1), fail_if_exists=True)
+    except FileExistsError:
+        # definitive loss: create-exclusive means OUR decision never
+        # landed (a caller reused a txn id whose record awaits
+        # recovery) — presumed abort applies to OUR stages, eagerly
+        _abandon_all()
+        raise
+    except BaseException:
+        # IN-DOUBT: an interrupt or IO error may have fired after the
+        # rename was applied but before it returned. If the record is
+        # durably there, it IS the commit decision — the stages must
+        # survive for recover_fanout to roll forward (abandoning them
+        # here would wedge recovery on a record whose data is gone).
+        # Only a confirmed-absent record is a confirmed abort.
+        try:
+            durable = io.exists(path)
+        except Exception:
+            durable = True  # can't tell — leave everything for recovery
+        if not durable:
+            _abandon_all()
+        raise
 
     if _crash == "recorded":
         raise SimulatedCrash("recorded")  # post-decision: roll forward

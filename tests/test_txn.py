@@ -261,6 +261,55 @@ def test_empty_batch_commits_trivially(spark, tmp_path):
     _clean([eng_a, eng_b], txn_dir)
 
 
+def test_txn_id_collision_aborts_the_new_transaction(spark, tmp_path):
+    """A create-exclusive loss on the decision write is a DEFINITIVE
+    abort for the new transaction: its stages are abandoned eagerly and
+    the tables stay untouched (the surviving record belongs to an older
+    transaction awaiting recovery, not to this batch)."""
+    _, _, mixed, eng_a, eng_b, routes, txn_dir = _topology(spark, tmp_path)
+    io = eng_a.io
+    io.makedirs(txn_dir)
+    io.write_text_atomic(os.path.join(txn_dir, "txn-dup.json"),
+                         '{"decision": "commit", "routes": []}')
+    with pytest.raises(FileExistsError):
+        fan_out_atomic(mixed, routes, txn_dir, seq_expr=SEQ, txn_id="dup")
+    assert final_state(eng_a) == {} and final_state(eng_b) == {}
+    for eng in (eng_a, eng_b):
+        assert eng.table.wap_ids() == []  # stages abandoned eagerly
+    io.remove(os.path.join(txn_dir, "txn-dup.json"))
+
+
+def test_indoubt_decision_write_preserves_stages_for_rollforward(spark, tmp_path):
+    """An exception AFTER the decision record durably landed (interrupt
+    or RPC error racing the rename) must NOT abandon the stages — the
+    decision is a commit, and recovery rolls it forward to exactly the
+    uncrashed outcome."""
+    ev_a, ev_b, mixed, eng_a, eng_b, routes, txn_dir = _topology(spark, tmp_path)
+    io = eng_a.io
+    real_write = io.write_text_atomic
+
+    def write_then_die(path, data, fail_if_exists=False):
+        real_write(path, data, fail_if_exists=fail_if_exists)
+        if os.path.dirname(path) == txn_dir:
+            raise KeyboardInterrupt("interrupt after the rename applied")
+
+    io.write_text_atomic = write_then_die
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            fan_out_atomic(mixed, routes, txn_dir, seq_expr=SEQ)
+    finally:
+        io.write_text_atomic = real_write
+
+    # the stages survived the in-doubt failure...
+    assert len(eng_a.table.wap_ids()) == 1
+    # ...and the durable decision rolls forward, not aborts
+    out = recover_fanout(routes, txn_dir, min_age_seconds=0)
+    assert len(out["rolled_forward"]) == 1
+    assert final_state(eng_a) == _direct(spark, tmp_path, ev_a, "da")
+    assert final_state(eng_b) == _direct(spark, tmp_path, ev_b, "db")
+    _clean([eng_a, eng_b], txn_dir)
+
+
 def test_streaming_atomic_fanout_recovers_then_applies(spark, tmp_path):
     """start_fanout_stream(txn_dir=...): each micro-batch is an atomic
     all-or-none publish. A decided-but-unpublished transaction left by
