@@ -360,6 +360,61 @@ def test_streaming_atomic_fanout_recovers_then_applies(spark, tmp_path):
     _clean([eng_a, eng_b], txn_dir)
 
 
+def test_crash_point_fuzz_converges_to_uncrashed_state(spark, tmp_path):
+    """Torture sweep: a 4-batch feed where every batch's FIRST delivery
+    crashes at a different protocol point (pre-decision, post-decision,
+    after route 0's publish, after route 1's publish), recovery runs,
+    and the batch re-delivers (at-least-once source semantics). The
+    topology must converge to the uncrashed run's byte state, with both
+    feed ledgers identical and strictly monotonic — regardless of
+    whether recovery aborted (re-delivery applies) or rolled forward
+    (re-delivery dedupes as replays)."""
+    import pyspark.sql.functions as F
+
+    crash_points = ["staged", "recorded", "published:0", "published:1"]
+    k = len(crash_points)
+    ev_a, ev_b, _ = _two_streams(spark)
+    eng_a = make_engine(spark, str(tmp_path / "a"))
+    eng_b = make_engine(spark, str(tmp_path / "b"))
+    routes = [TableRoute("repos", eng_a), TableRoute("users", eng_b)]
+    txn_dir = str(tmp_path / "txn")
+
+    def ranges(ev):
+        commits = sorted(r["commit"] for r in ev.select("commit").distinct().collect())
+        assert len(commits) >= k, "need one commit range per crash point"
+        bounds = [commits[(i + 1) * len(commits) // k - 1] for i in range(k)]
+        out, prev = [], None
+        for hi in bounds:
+            cond = F.col("commit") <= hi
+            if prev is not None:
+                cond = cond & (F.col("commit") > prev)
+            out.append(ev.filter(cond))
+            prev = hi
+        return out
+
+    # interleave strictly ascending commit ranges across both tables
+    batches_a, batches_b = ranges(ev_a), ranges(ev_b)
+    for i, crash in enumerate(crash_points):
+        mixed_i = envelopes(batches_a[i], table="repos").unionAll(
+            envelopes(batches_b[i], table="users")
+        )
+        with pytest.raises(SimulatedCrash):
+            fan_out_atomic(mixed_i, routes, txn_dir, seq_expr=SEQ, _crash=crash)
+        recover_fanout(routes, txn_dir, min_age_seconds=0)
+        rep = fan_out_atomic(mixed_i, routes, txn_dir, seq_expr=SEQ)  # redelivery
+        assert rep["txn"] == "committed"
+        if crash != "staged":  # recovery rolled forward -> pure replay
+            assert rep["tables"]["repos"]["applied"] == 0
+            assert rep["tables"]["users"]["applied"] == 0
+
+    assert final_state(eng_a) == _direct(spark, tmp_path, ev_a, "da")
+    assert final_state(eng_b) == _direct(spark, tmp_path, ev_b, "db")
+    fa = [e["feed_to"] for e in feed_positions(eng_a.table)]
+    fb = [e["feed_to"] for e in feed_positions(eng_b.table)]
+    assert fa == fb and fa == sorted(set(fa))  # identical, strictly monotonic
+    _clean([eng_a, eng_b], txn_dir)
+
+
 def test_recovery_refuses_partial_topology(spark, tmp_path):
     """A pending record touching a route the recovery call doesn't know
     about is unrecoverable with the given topology — raise, don't
