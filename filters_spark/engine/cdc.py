@@ -400,7 +400,13 @@ class CDCEngine:
                 else:
                     conf.set(k, v)
 
-    def _stage(self, events: DataFrame, snap: dict, batch_col: F.Column | None = None) -> str:
+    def _stage(
+        self,
+        events: DataFrame,
+        snap: dict,
+        batch_col: F.Column | None = None,
+        prefix: str = "batch",
+    ) -> str:
         """Validate + bucket the stream and stage it to scratch parquet,
         partitioned by (_batch?, _dead).
 
@@ -429,7 +435,9 @@ class CDCEngine:
         if batch_col is not None:
             staged = staged.withColumn("_batch", batch_col)
             parts = ["_batch", "_dead"]
-        scratch = os.path.join(self.table.root, "_staging", f"batch-{uuid.uuid4().hex}")
+        scratch = os.path.join(
+            self.table.root, "_staging", f"{prefix}-{uuid.uuid4().hex}"
+        )
         with self._scan_splits(events):
             staged.write.partitionBy(*parts).parquet(scratch)
         return scratch
@@ -481,10 +489,15 @@ class CDCEngine:
         This is the participant half of the multi-table atomic fan-out
         (engine/txn.py). Single-table callers wanting an audit gate
         should prefer ``apply_batch(audit_fn=...)``, which bounds the
-        stage's lifetime to the call."""
+        stage's lifetime to the call.
+
+        The scratch dir carries the ``txn-`` prefix (vs ``batch-`` for
+        the in-call applies) so recover_fanout's orphan sweep can
+        target fan-out stages without touching a concurrent plain
+        stager's in-flight scratch."""
         t0 = time.time()
         snap = self.table.current()
-        scratch = self._stage(events, snap)
+        scratch = self._stage(events, snap, prefix="txn")
         try:
             if not self.io.tree_has_suffix(scratch, ".parquet"):  # empty input
                 self.io.rmtree(scratch)

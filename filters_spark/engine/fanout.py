@@ -46,6 +46,7 @@ __all__ = [
     "TableRoute",
     "consistent_cut",
     "fan_out_debezium",
+    "feed_hole",
     "feed_positions",
     "route_key",
     "start_fanout_stream",
@@ -124,27 +125,88 @@ _FEED_STATE = "feed-state.json"
 _FEED_KEEP = 4096  # entries retained per table; one per batch
 
 
+def _read_feed_state(table) -> dict:
+    p = os.path.join(table.meta_dir, _FEED_STATE)
+    if not table.io.exists(p):
+        return {"entries": [], "hole": None}
+    st = json.loads(table.io.read_text(p))
+    if isinstance(st, list):  # pre-hole ledger format
+        return {"entries": st, "hole": None}
+    return st
+
+
+def _write_feed_state(table, st: dict) -> None:
+    st["entries"] = st["entries"][-_FEED_KEEP:]
+    table.io.write_text_atomic(
+        os.path.join(table.meta_dir, _FEED_STATE), json.dumps(st)
+    )
+
+
 def feed_positions(table) -> list[dict]:
     """The table's feed-position ledger, ascending:
     ``[{"feed_to": "<commit>:<seq>", "snapshot_id": int}, ...]``.
     Empty if the table was never fed through :func:`fan_out_debezium`."""
-    p = os.path.join(table.meta_dir, _FEED_STATE)
-    if not table.io.exists(p):
-        return []
-    return json.loads(table.io.read_text(p))
+    return _read_feed_state(table)["entries"]
 
 
-def _record_feed_position(table, feed_to: str) -> None:
-    entries = feed_positions(table)
-    if entries and entries[-1]["feed_to"] >= feed_to:
-        return  # replayed batch — position already recorded
-    entries.append(
-        {"feed_to": feed_to, "snapshot_id": table.current_snapshot_id()}
-    )
-    table.io.write_text_atomic(
-        os.path.join(table.meta_dir, _FEED_STATE),
-        json.dumps(entries[-_FEED_KEEP:]),
-    )
+def feed_hole(table) -> dict | None:
+    """The table's unhealed feed gap, or None. An audit-rejected batch
+    leaves the table missing that batch's events while the feed moves
+    on; stamping any LATER position would claim a log prefix the table
+    does not hold, so the ledger freezes at the pre-hole position
+    (``consistent_cut`` then under-reports — honest — instead of
+    returning a cut missing the rejected rows). The hole heals only
+    when a batch covering ``[from, to]`` applies cleanly FROM the
+    rejection-time snapshot (``at_sid``) — i.e. the rejected batch is
+    redelivered before anything else lands. Once a later batch applies
+    over the gap, no snapshot of this table holds any clean prefix
+    above the hole, so the freeze is permanent and correct; remediate
+    by re-feeding the gap into a fresh table (or accepting cuts below
+    the hole)."""
+    return _read_feed_state(table)["hole"]
+
+
+def _record_feed_hole(table, feed_from: str, feed_to: str) -> None:
+    st = _read_feed_state(table)
+    h = st["hole"]
+    st["hole"] = {
+        "from": min(feed_from, h["from"]) if h else feed_from,
+        "to": max(feed_to, h["to"]) if h else feed_to,
+        # rejection leaves the head untouched, so this is the snapshot
+        # the redelivered batch must apply FROM for the heal to yield
+        # a clean prefix (anything later holds rows above the gap)
+        "at_sid": h["at_sid"] if h else table.current_snapshot_id(),
+    }
+    _write_feed_state(table, st)
+
+
+def _record_feed_position(
+    table,
+    feed_to: str,
+    feed_from: str | None = None,
+    pre_sid: int | None = None,
+) -> None:
+    st = _read_feed_state(table)
+    changed = False
+    if st["hole"] is not None:
+        if (
+            feed_from is not None
+            and feed_from <= st["hole"]["from"]
+            and feed_to >= st["hole"]["to"]
+            and pre_sid == st["hole"]["at_sid"]
+        ):
+            st["hole"] = None  # the gap was re-fed before anything else
+            changed = True
+        else:
+            return  # frozen: a stamp above an unhealed gap would lie
+    entries = st["entries"]
+    if not entries or entries[-1]["feed_to"] < feed_to:
+        entries.append(
+            {"feed_to": feed_to, "snapshot_id": table.current_snapshot_id()}
+        )
+        changed = True
+    if changed:
+        _write_feed_state(table, st)
 
 
 def consistent_cut(tables: dict) -> dict:
@@ -233,14 +295,27 @@ def fan_out_debezium(
         raw, routes, value_col, commit_expr, seq_expr, unrouted, track_feed
     )
     for r, m in zip(routes, matches):
+        pre_sid = r.engine.table.current_snapshot_id()
         metrics = r.engine.apply_batch(
             _route_slice(parsed, r, m), audit_fn=r.audit_fn
         )
         report["tables"][route_key(r)] = metrics
-        # an audit-REJECTED batch was not applied — advancing the
-        # ledger would claim a log prefix the table doesn't hold
-        if report["feed_to"] is not None and metrics.get("audit") != "rejected":
-            _record_feed_position(r.engine.table, report["feed_to"])
+        if report["feed_to"] is not None:
+            if metrics.get("audit") == "rejected":
+                # the table is now missing this batch's events: record
+                # the gap so NO later position is stamped over it —
+                # advancing the ledger would claim a log prefix the
+                # table doesn't hold (see feed_hole)
+                _record_feed_hole(
+                    r.engine.table, report["feed_from"], report["feed_to"]
+                )
+            else:
+                _record_feed_position(
+                    r.engine.table,
+                    report["feed_to"],
+                    feed_from=report["feed_from"],
+                    pre_sid=pre_sid,
+                )
     return report
 
 
@@ -314,7 +389,7 @@ def _parse_and_gate(
     )
     matches = _route_matches(routes)
 
-    report: dict = {"tables": {}, "unrouted": {}, "feed_to": None}
+    report: dict = {"tables": {}, "unrouted": {}, "feed_to": None, "feed_from": None}
     if track_feed:
         from filters_spark.lake.table import watermark_str
 
@@ -322,6 +397,9 @@ def _parse_and_gate(
             F.max(
                 watermark_str(F.col("commit"), F.col("event_seq"))
             ).alias("wm"),
+            F.min(
+                watermark_str(F.col("commit"), F.col("event_seq"))
+            ).alias("wm_min"),
             F.count(F.lit(1)).alias("n"),
             F.sum(
                 (F.col("commit").isNull() | F.col("event_seq").isNull())
@@ -335,6 +413,7 @@ def _parse_and_gate(
                 "or supply commit_expr/seq_expr for its ordering scheme"
             )
         report["feed_to"] = row["wm"]  # None on an empty batch
+        report["feed_from"] = row["wm_min"]
     if unrouted != "ignore":
         any_route = None
         for m in matches:

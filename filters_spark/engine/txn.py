@@ -176,6 +176,7 @@ def fan_out_atomic(
         "txn_id": txn_id,
         "decision": "commit",
         "feed_to": report["feed_to"],
+        "feed_from": report.get("feed_from"),
         "ts_ms": int(time.time() * 1000),
         "routes": [
             {
@@ -193,11 +194,25 @@ def fan_out_atomic(
         io.makedirs(txn_dir)
         io.write_text_atomic(path, json.dumps(record, indent=1), fail_if_exists=True)
     except FileExistsError:
-        # definitive loss: create-exclusive means OUR decision never
-        # landed (a caller reused a txn id whose record awaits
-        # recovery) — presumed abort applies to OUR stages, eagerly
-        _abandon_all()
-        raise
+        # Either a caller reused a txn id whose record awaits recovery
+        # (definitive loss — abandon OUR stages), or a backend whose
+        # create-exclusive is check-then-rename reported a race that
+        # was OUR OWN first attempt landing (retried rename finding the
+        # source gone). Read the record back to tell them apart —
+        # abandoning stages a durable decision references would wedge
+        # recovery permanently.
+        try:
+            # compare JSON-normalized forms: the in-memory record holds
+            # tuples (bucket_stats) and int-keyed dicts that a JSON
+            # round-trip canonicalizes to lists / string keys
+            durable_is_ours = json.loads(io.read_text(path)) == json.loads(
+                json.dumps(record)
+            )
+        except Exception:
+            durable_is_ours = False
+        if not durable_is_ours:
+            _abandon_all()
+            raise
     except BaseException:
         # IN-DOUBT: an interrupt or IO error may have fired after the
         # rename was applied but before it returned. If the record is
@@ -251,6 +266,7 @@ def _publish_all(
     - anything else → a normal publish.
     """
     feed_to = record["feed_to"]
+    feed_from = record.get("feed_from")
     for i, entry in enumerate(record["routes"]):
         key = entry["key"]
         eng = engines[key]
@@ -276,7 +292,14 @@ def _publish_all(
             entry["snapshot_id"] = metrics["snapshot_id"]
             io.write_text_atomic(path, json.dumps(record, indent=1))
         if feed_to is not None:
-            _record_feed_position(eng.table, feed_to)
+            # pre_sid = the staged parent: a hole heals only when the
+            # covering batch applied FROM the rejection-time snapshot
+            _record_feed_position(
+                eng.table,
+                feed_to,
+                feed_from=feed_from,
+                pre_sid=entry["staged"]["parent_sid"],
+            )
         report["tables"][key] = metrics
         if _crash == f"published:{i}":
             raise SimulatedCrash(f"published:{i}")
@@ -317,9 +340,12 @@ def recover_fanout(
        decision; min-age-guarded so a concurrently staging transaction
        on another coordinator is not eaten — pass 0 only when no
        fan-out can be running);
-    3. orphan validate-scratch dirs under each table's ``_staging``
-       (dead letters of pre-decision crashes) are swept with the same
-       min-age guard.
+    3. orphan fan-out validate-scratch dirs (``txn-*``) under each
+       table's ``_staging`` (dead letters of pre-decision crashes) are
+       swept with the same min-age guard. Plain ``batch-*`` scratch is
+       NEVER touched — a concurrent non-fan-out stager on a routed
+       table (branch-audit ingest, dead-letter retry) must survive
+       even the streaming path's zero-min-age recovery.
 
     ``routes`` must cover every table the pending records touch — the
     same topology the crashed coordinator ran. Returns
@@ -360,7 +386,7 @@ def recover_fanout(
         staging = os.path.join(eng.table.root, "_staging")
         for name in eng.io.listdir(staging):
             d = os.path.join(staging, name)
-            if not eng.io.isdir(d):
+            if not name.startswith("txn-") or not eng.io.isdir(d):
                 continue
             if min_age_seconds and now - eng.io.mtime(d) < min_age_seconds:
                 continue

@@ -290,12 +290,12 @@ def _dml_cow(
             "content_sha", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)
         ).repartition("_bucket")
         write_b = sorted({int(b) for b in scan} | set(rewrite_delta_b))
-        # suffixed dir: a concurrent plain commit racing for the same
-        # snapshot id writes snap-<sid>/ — mode("error") must not
-        # collide on the DATA write (the header race is the decider)
-        out_dir = os.path.join(
-            t.data_dir, f"snap-{snap['snapshot_id'] + 1:08d}-dml"
-        )
+        # fresh suffixed dir: distinct from a concurrent plain commit's
+        # snap-<sid>/ (the header race is the decider, the DATA write
+        # must not collide) AND from this DML's own earlier crashed
+        # attempt at the same head — a fixed name would trip
+        # mode("error") on every retry until manually removed
+        out_dir = t._fresh_stage_dir(f"snap-{snap['snapshot_id'] + 1:08d}-dml")
         written = t._write_bucket_data(out, out_dir, write_b, snap.get("sort_cols"))
 
     new_files = {

@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -158,7 +159,13 @@ class AggView:
                 st["source_snapshot_id"] = cur
                 self.io.write_text_atomic(self._state_path(), json.dumps(st))
                 return {"source_snapshot_id": cur, "refreshed": True, "mode": "noop"}
-            keys = ch.select(*_KEY_COLS).distinct()
+            # materialized: keys feeds FOUR actions (two bucket-set
+            # collects + two broadcast semi-joins) — without a barrier
+            # each would re-run the changes() union scan and the
+            # distinct shuffle (same rationale as sync.py's barrier)
+            from filters_spark.operators.materialize import materialize
+
+            keys = materialize(ch.select(*_KEY_COLS).distinct())
 
             def _bkts(snap: dict) -> list[int]:
                 return sorted(
@@ -221,3 +228,28 @@ class AggView:
             ),
         )
         return {"source_snapshot_id": cur, "refreshed": True, "mode": mode}
+
+    def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
+        """Delete superseded view snapshots: every ``v-*`` dir except
+        the one ``state.json`` references. Each refresh writes a fresh
+        dir and flips the state pointer, so superseded dirs (and
+        orphans of crashed refreshes) otherwise accumulate one full
+        view copy per refresh. Min-age-guarded, same trade as
+        ``LakeTable.vacuum``: a reader holding a lazily-evaluated
+        ``current()`` frame reads its old dir until the action
+        finishes. Returns the deleted dir names."""
+        st = self._read_state()
+        live = st["view_dir"] if st else None
+        now = time.time()
+        dropped = []
+        for name in self.io.listdir(self.root):
+            if not name.startswith("v-") or name == live:
+                continue
+            d = os.path.join(self.root, name)
+            if not self.io.isdir(d):
+                continue
+            if min_age_seconds and now - self.io.mtime(d) < min_age_seconds:
+                continue
+            self.io.rmtree(d)
+            dropped.append(name)
+        return dropped

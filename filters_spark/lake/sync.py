@@ -126,6 +126,8 @@ def publish_changes(
     sink_dir: str,
     before_images: bool = False,
     connector: str = "filters-spark",
+    db: str | None = None,
+    table: str | None = None,
 ) -> dict | None:
     """Checkpointed Debezium EGRESS — the wire-format twin of
     :func:`sync_incremental`: publish the source's changefeed since the
@@ -150,7 +152,9 @@ def publish_changes(
     so u/d envelopes carry true ``before`` images and ops are
     re-classified against the pre-image (the full Debezium event
     shape); the default publishes the plain feed (cheaper: no seed
-    read or window).
+    read or window). ``db``/``table`` stamp ``source.db``/
+    ``source.table`` so table-keyed consumers (fan-out dispatchers)
+    can route the feed.
 
     Returns ``{"since", "to", "events", "path"}``; None when already
     up to date. An empty range (metadata-only commits) still advances
@@ -172,6 +176,7 @@ def publish_changes(
         if feed is not None:
             wire = to_debezium(
                 feed, fields, op_col="op_effective", connector=connector,
+                db=db, table=table,
                 before_cols={
                     "repo": "repo", "path": "path",
                     **{c: f"pre_{c}" for c in payload},
@@ -180,7 +185,7 @@ def publish_changes(
     else:
         feed = src.changes(last, cur)
         if feed is not None:
-            wire = to_debezium(feed, fields, connector=connector)
+            wire = to_debezium(feed, fields, connector=connector, db=db, table=table)
     # a crash after a batch write but before the state write, followed
     # by MORE commits, retries with a wider range: the stale (possibly
     # torn) batch-<last>-<oldcur> sibling would otherwise persist in

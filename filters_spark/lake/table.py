@@ -2443,10 +2443,26 @@ class LakeTable:
         intervening commit (Iceberg's non-fast-forward cherry-pick is
         deliberately NOT attempted: re-stage against the new head).
         The create-exclusive snapshot write also loses cleanly to a
-        racing concurrent commit of the same id."""
+        racing concurrent commit of the same id.
+
+        Resumable: publish is three IO steps (snapshot header, version
+        hint, staged-header delete) and a crash can land between any
+        two. Re-calling publish_wap detects that the staged CONTENT
+        (parent + content-addressed manifests) already sits in the
+        chain — or already occupies the target header — and finishes
+        the remaining steps instead of refusing, so a recovery process
+        (engine/txn.py) can always roll a decided commit forward. A
+        genuine head move by another writer never content-matches and
+        still raises."""
         raw = self._wap_raw(wap_id)
         cur = self.current_snapshot_id()
         if raw["parent_id"] != cur:
+            resumed = self._published_as(raw, cur)
+            if resumed is not None:
+                # our earlier publish wrote header + hint but crashed
+                # before removing the staged header — finish that
+                self.io.remove(self._wap_path(wap_id))
+                return self.snapshot(resumed)
             raise ValueError(
                 f"cannot publish {wap_id!r}: staged on parent "
                 f"{raw['parent_id']} but head is {cur} — re-stage"
@@ -2464,7 +2480,12 @@ class LakeTable:
                 )
                 break
             except FileExistsError:
-                if "ref" not in self._raw_snapshot(sid):
+                existing = self._raw_snapshot(sid)
+                if "ref" not in existing:
+                    if self._same_commit(existing, header):
+                        # our earlier publish wrote this header but
+                        # crashed before the hint — resume from here
+                        break
                     raise
                 header["snapshot_id"] = sid + 1
         self.io.write_text_atomic(
@@ -2472,6 +2493,34 @@ class LakeTable:
         )
         self.io.remove(self._wap_path(wap_id))
         return self.snapshot(sid)
+
+    @staticmethod
+    def _same_commit(a: dict, b: dict) -> bool:
+        """Two snapshot headers describe the same commit iff they share
+        the parent and the content-addressed manifest sets — the
+        identity a crashed publish needs to recognize its own earlier
+        write (snapshot ids may differ: the branch id-skip can bump
+        the target between attempts)."""
+        return (
+            a.get("parent_id") == b.get("parent_id")
+            and a.get("buckets") == b.get("buckets")
+            and a.get("deltas", {}) == b.get("deltas", {})
+        )
+
+    def _published_as(self, raw: dict, cur: int | None) -> int | None:
+        """If the staged header ``raw`` already landed in the main
+        chain (a crash hit publish_wap between the hint write and the
+        staged-header delete; later commits — e.g. post-publish MoR
+        compaction — may sit above it), return its snapshot id."""
+        sid = cur
+        while sid is not None and sid != raw["parent_id"]:
+            s = self._raw_snapshot_if_retained(sid)
+            if s is None:
+                return None
+            if s.get("parent_id") == raw["parent_id"]:
+                return sid if self._same_commit(s, raw) else None
+            sid = s.get("parent_id")
+        return None
 
     def abandon_wap(self, wap_id: str) -> None:
         """Drop a staged commit: delete its header and any manifests no

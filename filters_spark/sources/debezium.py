@@ -180,6 +180,8 @@ def to_debezium(
     commit_col: str = "commit",
     seq_col: str = "event_seq",
     connector: str = "filters-spark",
+    db: str | None = None,
+    table: str | None = None,
     before_cols: Mapping[str, str] | None = None,
 ) -> DataFrame:
     """The EGRESS twin of :func:`parse_debezium`: serialize an engine-
@@ -193,6 +195,12 @@ def to_debezium(
     the ``after`` image, d rows the ``before`` image (whatever payload
     cells the tombstone still carries; consumers key on the row's key
     fields).
+
+    ``db``/``table`` stamp ``source.db``/``source.table`` — set them
+    whenever the feed targets a table-keyed consumer (Debezium
+    dispatchers, this repo's :func:`~filters_spark.engine.fanout.
+    fan_out_debezium`): an envelope without a source table lands
+    unrouted. Omitted from the JSON when None.
 
     ``before_cols`` (envelope field → source column) turns on TRUE
     before-images — the full Debezium u-event shape where ``before``
@@ -237,8 +245,15 @@ def to_debezium(
     image = F.create_map(
         *[x for f in fields for x in (F.lit(f), F.col(f).cast("string"))]
     )
+    # db/table make the feed ROUTABLE: any table-keyed consumer —
+    # including this repo's own fan_out_debezium — dispatches on
+    # source.table, and an envelope without one lands unrouted. NULLs
+    # are omitted by to_json (Debezium's omit-absent spelling), so
+    # feeds that never fan out pay nothing.
     src = F.struct(
         F.lit(connector).alias("connector"),
+        F.lit(db).cast("string").alias("db"),
+        F.lit(table).cast("string").alias("table"),
         F.concat(
             F.lit(connector + "."), F.conv(F.col(commit_col), 16, 10)
         ).alias("file"),

@@ -423,3 +423,57 @@ def test_publish_changes_with_before_images(spark, tmp_path):
     assert all(e["before"]["content"] is not None for e in ups)
     news = [e for e in envs if e["op"] == "c"]
     assert all(e.get("before") is None for e in news)
+
+
+def test_egress_db_table_stamp_makes_feed_routable(spark, tmp_path):
+    """db/table stamp source.db/source.table on egress envelopes (and
+    are OMITTED when unset — Debezium's omit-absent spelling), so a
+    published feed drives table-keyed consumers: publish two tables'
+    changefeeds into one sink, fan the mixed wire back out into mirror
+    tables, and each mirror equals its source."""
+    from filters_spark.engine.cdc import CDCEngine
+    from filters_spark.engine.defaults import default_registry
+    from filters_spark.engine.fanout import TableRoute, fan_out_debezium
+    from filters_spark.lake.sync import publish_changes
+    from filters_spark.lake.table import LakeTable as LT
+    from filters_spark.sources.debezium import to_debezium
+
+    from tests.test_cdc_engine import events_df, final_state
+
+    def mor_engine(root):
+        t = LT.create(spark, os.path.join(root, "lake"),
+                      key_cols=["repo", "path"], num_buckets=8, path_salt=4)
+        return CDCEngine(spark, t, default_registry(), write_mode="mor")
+
+    # unit: the stamp appears when set, is absent when None
+    df = spark.createDataFrame(
+        [("r1", "p.py", "000000000001", 1, "py", "c", "I")],
+        "repo string, path string, `commit` string, event_seq long, "
+        "lang string, content string, op string",
+    )
+    fields = ["repo", "path", "lang", "content"]
+    env = json.loads(to_debezium(df, fields, db="prod", table="repos").collect()[0]["value"])
+    assert env["source"]["db"] == "prod" and env["source"]["table"] == "repos"
+    bare = json.loads(to_debezium(df, fields).collect()[0]["value"])
+    assert "db" not in bare["source"] and "table" not in bare["source"]
+
+    # end-to-end: two sources -> one stamped wire sink -> fan-out mirrors
+    ev_a = events_df(spark, n_events=400, seed=11, dirty_frac=0.0)
+    ev_b = events_df(spark, n_events=300, seed=23, dirty_frac=0.0)
+    src_a, src_b = mor_engine(str(tmp_path / "sa")), mor_engine(str(tmp_path / "sb"))
+    src_a.apply_batch(ev_a)
+    src_b.apply_batch(ev_b)
+    sink = str(tmp_path / "sink")
+    assert publish_changes(src_a.table, sink + "/a", db="prod", table="repos")
+    assert publish_changes(src_b.table, sink + "/b", db="prod", table="users")
+
+    wire = spark.read.text(os.path.join(sink, "*", "batch-*"))
+    mir_a, mir_b = mor_engine(str(tmp_path / "ma")), mor_engine(str(tmp_path / "mb"))
+    report = fan_out_debezium(
+        wire,
+        [TableRoute("repos", mir_a, db="prod"), TableRoute("users", mir_b, db="prod")],
+        seq_expr=lambda s: s["pos"].cast("long"),
+    )
+    assert report["unrouted"] == {}
+    assert final_state(mir_a) == final_state(src_a)
+    assert final_state(mir_b) == final_state(src_b)

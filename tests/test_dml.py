@@ -322,3 +322,21 @@ def test_explicit_full_table_delete(spark, tmp_path):
     rep = delete_where(t, predicate="true")
     assert t.read() is None
     assert rep["snapshot"]["operation"] == "delete"
+
+
+def test_cow_dml_retries_past_crashed_attempt_dir(spark, tmp_path):
+    """A crashed CoW DML leaves its data dir behind (awaiting vacuum);
+    the retry at the same head must pick a FRESH dir instead of
+    tripping Spark's path-exists error on the residue."""
+    import os
+
+    t = _mk_table(spark, str(tmp_path / "t"), BASE)
+    head = t.current_snapshot_id()
+    # residue of a previous attempt that died before its header commit
+    crashed = f"snap-{head + 1:08d}-dml"
+    t.io.makedirs(os.path.join(t.data_dir, crashed))
+    rep = delete_where(t, predicate="lang = 'py'")
+    assert rep["snapshot"] is not None and rep["files_scanned"] > 0
+    assert all(r[0] != "py" for r in t.read().select("lang").collect())
+    # the residue is untouched (vacuum's job), the retry went elsewhere
+    assert t.io.isdir(os.path.join(t.data_dir, crashed))

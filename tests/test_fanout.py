@@ -453,3 +453,109 @@ def test_consistent_cut_refuses_expired_snapshots(spark, tmp_path):
     assert eng_a.table.expire_snapshots(keep_last=1)
     with pytest.raises(ValueError, match="has been expired"):
         consistent_cut({"repos": eng_a.table, "users": eng_b.table})
+
+
+def test_feed_hole_freezes_ledger_after_unhealed_gap(spark, tmp_path):
+    """An audit rejection AFTER earlier batches leaves the table missing
+    a log range while the feed moves on. The ledger must freeze at the
+    pre-hole position — stamping any later batch would claim a prefix
+    the table does not hold, and consistent_cut would hand out torn
+    reads. Once a later batch applies over the gap, no clean prefix
+    above the hole exists in any snapshot, so the freeze is permanent
+    (even a covering redelivery can no longer heal it)."""
+    from filters_spark.engine.fanout import feed_hole
+
+    ev_a, ev_b, _ = _two_streams(spark)
+    a1, a23 = _commit_split(ev_a)
+    a2, a3 = _commit_split(a23)
+    b1, b23 = _commit_split(ev_b)
+    b2, b3 = _commit_split(b23)
+    eng_a = make_engine(spark, str(tmp_path / "a"))
+    eng_b = make_engine(spark, str(tmp_path / "b"))
+
+    def routes(audit_b=None):
+        return [TableRoute("repos", eng_a),
+                TableRoute("users", eng_b, audit_fn=audit_b)]
+
+    def mixed(a, b):
+        return envelopes(a, table="repos").unionAll(envelopes(b, table="users"))
+
+    rep1 = fan_out_debezium(mixed(a1, b1), routes(), seq_expr=SEQ)
+    # batch 2: B's audit rejects — B is now missing [from2, to2]
+    rep2 = fan_out_debezium(
+        mixed(a2, b2), routes(lambda t, w: False), seq_expr=SEQ
+    )
+    hole = feed_hole(eng_b.table)
+    assert hole is not None and hole["to"] == rep2["feed_to"]
+    assert [e["feed_to"] for e in feed_positions(eng_b.table)] == [rep1["feed_to"]]
+
+    # batch 3 applies cleanly to BOTH tables, but B's ledger must stay
+    # frozen below the gap while A's advances normally
+    rep3 = fan_out_debezium(mixed(a3, b3), routes(), seq_expr=SEQ)
+    assert rep3["tables"]["users"]["applied"] > 0
+    assert [e["feed_to"] for e in feed_positions(eng_b.table)] == [rep1["feed_to"]]
+    assert feed_hole(eng_b.table) == hole
+    assert [e["feed_to"] for e in feed_positions(eng_a.table)] == [
+        rep1["feed_to"], rep2["feed_to"], rep3["feed_to"]
+    ]
+    cut = consistent_cut({"repos": eng_a.table, "users": eng_b.table})
+    assert cut["feed_to"] == rep1["feed_to"]  # honest under-report
+
+    # LATE redelivery of the rejected batch: covering range, but the
+    # table already holds batch-3 rows above the gap — no heal, and the
+    # gap's events dedupe away below batch 3's watermarks
+    fan_out_debezium(mixed(a2, b2), routes(), seq_expr=SEQ)
+    assert feed_hole(eng_b.table) is not None
+    assert [e["feed_to"] for e in feed_positions(eng_b.table)] == [rep1["feed_to"]]
+    cut2 = consistent_cut({"repos": eng_a.table, "users": eng_b.table})
+    assert cut2["feed_to"] == rep1["feed_to"]
+
+
+def test_feed_hole_heals_on_prompt_redelivery_then_advances(spark, tmp_path):
+    """The recovery contract: redeliver the rejected batch BEFORE
+    anything else lands and the hole heals — later batches then stamp
+    normally and the cut catches up to the head."""
+    from filters_spark.engine.fanout import feed_hole
+
+    ev_a, ev_b, _ = _two_streams(spark)
+    a1, a2 = _commit_split(ev_a)
+    b1, b2 = _commit_split(ev_b)
+    eng_a = make_engine(spark, str(tmp_path / "a"))
+    eng_b = make_engine(spark, str(tmp_path / "b"))
+
+    def mixed(a, b):
+        return envelopes(a, table="repos").unionAll(envelopes(b, table="users"))
+
+    rep1 = fan_out_debezium(
+        mixed(a1, b1),
+        [TableRoute("repos", eng_a),
+         TableRoute("users", eng_b, audit_fn=lambda t, w: False)],
+        seq_expr=SEQ,
+    )
+    assert feed_hole(eng_b.table) is not None
+    assert feed_positions(eng_b.table) == []
+
+    ok = [TableRoute("repos", eng_a), TableRoute("users", eng_b)]
+    rep1b = fan_out_debezium(mixed(a1, b1), ok, seq_expr=SEQ)  # prompt redelivery
+    assert feed_hole(eng_b.table) is None
+    assert [e["feed_to"] for e in feed_positions(eng_b.table)] == [rep1b["feed_to"]]
+
+    rep2 = fan_out_debezium(mixed(a2, b2), ok, seq_expr=SEQ)
+    assert [e["feed_to"] for e in feed_positions(eng_b.table)] == [
+        rep1["feed_to"], rep2["feed_to"]
+    ]
+    cut = consistent_cut({"repos": eng_a.table, "users": eng_b.table})
+    assert cut["feed_to"] == rep2["feed_to"]
+    assert final_state(eng_b) == _direct(spark, tmp_path, ev_b, "db")
+
+
+def test_feed_state_reads_legacy_list_format(spark, tmp_path):
+    """Pre-hole ledgers were a bare JSON list; the reader must migrate
+    them transparently (entries preserved, no hole)."""
+    from filters_spark.engine.fanout import feed_hole
+
+    eng = make_engine(spark, str(tmp_path / "a"))
+    p = os.path.join(eng.table.meta_dir, "feed-state.json")
+    eng.io.write_text_atomic(p, '[{"feed_to": "0000x:1", "snapshot_id": 1}]')
+    assert feed_positions(eng.table) == [{"feed_to": "0000x:1", "snapshot_id": 1}]
+    assert feed_hole(eng.table) is None

@@ -180,3 +180,26 @@ def test_refresh_follows_rollback(spark, tmp_path, src):
     r = v.refresh()
     assert r["mode"] == "incremental"
     assert _view_rows(v) == _recompute(t)
+
+
+def test_vacuum_drops_superseded_view_dirs(spark, tmp_path, src):
+    """Each refresh writes a fresh v-* dir and flips the state pointer;
+    vacuum sweeps every non-live dir (min-age guarded) without
+    disturbing the live view."""
+    t, eng, ev1, ev2 = src
+    v = AggView(spark, t, str(tmp_path / "view"), GROUP, SUMS)
+    eng.replay(ev1, num_batches=1)
+    v.refresh()
+    eng.replay(ev2, num_batches=1)
+    v.refresh()
+    live = v._read_state()["view_dir"]
+    dirs = sorted(n for n in v.io.listdir(v.root) if n.startswith("v-"))
+    assert len(dirs) == 2 and live in dirs
+    assert v.vacuum() == []  # default min-age protects fresh dirs
+    dropped = v.vacuum(min_age_seconds=0)
+    assert dropped == [d for d in dirs if d != live]
+    assert sorted(
+        n for n in v.io.listdir(v.root) if n.startswith("v-")
+    ) == [live]
+    assert _view_rows(v) == _recompute(t)
+    assert v.vacuum(min_age_seconds=0) == []  # idempotent

@@ -428,3 +428,50 @@ def test_recovery_refuses_partial_topology(spark, tmp_path):
     out = recover_fanout(routes, txn_dir, min_age_seconds=0)
     assert len(out["rolled_forward"]) == 1
     _clean([eng_a, eng_b], txn_dir)
+
+
+def test_recovery_sweep_spares_plain_batch_scratch(spark, tmp_path):
+    """recover_fanout's orphan sweep targets fan-out (txn-*) scratch
+    only: a concurrent plain stager's batch-* scratch on a routed table
+    must survive even a zero-min-age sweep — the streaming recovery
+    path runs with min_age=0 on every restart."""
+    ev_a, ev_b, mixed, eng_a, eng_b, routes, txn_dir = _topology(spark, tmp_path)
+    with pytest.raises(SimulatedCrash):
+        fan_out_atomic(mixed, routes, txn_dir, seq_expr=SEQ, _crash="staged")
+    staging = os.path.join(eng_b.table.root, "_staging")
+    bystander = os.path.join(staging, "batch-bystander")
+    eng_b.io.makedirs(bystander)
+
+    out = recover_fanout(routes, txn_dir, min_age_seconds=0)
+    assert out["scratch_dirs_dropped"] == 2  # both routes' txn- scratch
+    assert eng_b.io.isdir(bystander)  # the plain stager's dir survived
+    eng_b.io.rmtree(bystander)
+    _clean([eng_a, eng_b], txn_dir)
+
+
+def test_create_exclusive_race_with_own_durable_decision_commits(spark, tmp_path):
+    """A backend whose create-exclusive is check-then-rename can report
+    FileExistsError for OUR OWN first attempt (a retried rename finding
+    the source gone). The coordinator reads the record back: identical
+    content means the decision IS durable — the transaction proceeds to
+    publish instead of abandoning stages the durable decision
+    references (which would wedge recovery permanently)."""
+    ev_a, ev_b, mixed, eng_a, eng_b, routes, txn_dir = _topology(spark, tmp_path)
+    io = eng_a.io
+    real = io.write_text_atomic
+
+    def landed_but_reported_race(path, data, fail_if_exists=False):
+        real(path, data, fail_if_exists=False)
+        if os.path.dirname(path) == txn_dir and fail_if_exists:
+            raise FileExistsError(path)
+
+    io.write_text_atomic = landed_but_reported_race
+    try:
+        report = fan_out_atomic(mixed, routes, txn_dir, seq_expr=SEQ)
+    finally:
+        io.write_text_atomic = real
+
+    assert report["txn"] == "committed"
+    assert final_state(eng_a) == _direct(spark, tmp_path, ev_a, "da")
+    assert final_state(eng_b) == _direct(spark, tmp_path, ev_b, "db")
+    _clean([eng_a, eng_b], txn_dir)

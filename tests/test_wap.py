@@ -188,3 +188,86 @@ def test_restage_same_id_after_abandon(spark, tmp_path):
     assert _state(t.read(wap_id="retry-me")) == _state(_df(spark, STAGED))
     t.publish_wap("retry-me")
     assert _state(t.read()) == _state(_df(spark, STAGED))
+
+
+class TestResumablePublish:
+    """publish_wap is three IO steps (snapshot header, version hint,
+    staged-header delete); a crash between any two must be finishable
+    by re-calling publish_wap — recovery (engine/txn.py) rolls decided
+    commits forward and can never accept a refusal for its own partial
+    work."""
+
+    def test_republish_after_crash_before_staged_header_delete(self, spark, tmp_path):
+        t = _mk(spark, tmp_path)
+        _stage_full(t, spark)
+        wap_file = t._wap_path("audit-1")
+        staged_header = t.io.read_text(wap_file)
+        snap = t.publish_wap("audit-1")
+        # crash window: header + hint landed, staged header survived
+        t.io.write_text_atomic(wap_file, staged_header)
+        again = t.publish_wap("audit-1")
+        assert again["snapshot_id"] == snap["snapshot_id"]
+        assert t.wap_ids() == []
+        assert t.current_snapshot_id() == snap["snapshot_id"]
+        assert _state(t.read()) == _state(_df(spark, STAGED))
+
+    def test_republish_resumes_below_later_commits(self, spark, tmp_path):
+        """Later commits above the published-but-unfinished snapshot
+        (post-publish compaction, the next batch) must not turn the
+        resume into a refusal — the chain walk finds our header."""
+        t = _mk(spark, tmp_path)
+        _stage_full(t, spark)
+        wap_file = t._wap_path("audit-1")
+        staged_header = t.io.read_text(wap_file)
+        snap = t.publish_wap("audit-1")
+        extra = _df(spark, [("r9", "z.py", "c03", 9, "py", "z")])
+        touched = sorted(r[0] for r in extra.select("_bucket").distinct().collect())
+        t.commit_buckets(extra, touched, {b: "c03:0000000001" for b in touched})
+        head = t.current_snapshot_id()
+        t.io.write_text_atomic(wap_file, staged_header)
+        again = t.publish_wap("audit-1")
+        assert again["snapshot_id"] == snap["snapshot_id"]
+        assert t.current_snapshot_id() == head  # resume never moves the head
+        assert t.wap_ids() == []
+
+    def test_crash_between_header_and_hint_resumes(self, spark, tmp_path):
+        """The earliest window: the snapshot header landed but the hint
+        never moved. The retry's create-exclusive loss content-matches
+        its own earlier write and finishes; a reader between the two
+        calls still sees the pre-publish state (hint is the decider)."""
+        t = _mk(spark, tmp_path)
+        _stage_full(t, spark)
+        head = t.current_snapshot_id()
+        real = t.io.write_text_atomic
+
+        def die_on_hint(path, data, fail_if_exists=False):
+            if path.endswith("version-hint.text"):
+                raise RuntimeError("crash before the hint")
+            real(path, data, fail_if_exists=fail_if_exists)
+
+        t.io.write_text_atomic = die_on_hint
+        try:
+            with pytest.raises(RuntimeError, match="crash before the hint"):
+                t.publish_wap("audit-1")
+        finally:
+            t.io.write_text_atomic = real
+        assert t.current_snapshot_id() == head  # hint never moved
+        assert _state(t.read()) == _state(_df(spark, BASE))
+        snap = t.publish_wap("audit-1")
+        assert snap["snapshot_id"] == head + 1
+        assert t.current_snapshot_id() == head + 1
+        assert _state(t.read()) == _state(_df(spark, STAGED))
+        assert t.wap_ids() == []
+
+    def test_genuine_head_move_never_content_matches(self, spark, tmp_path):
+        """A DIFFERENT commit occupying the staged parent's child slot
+        (a real concurrent writer, not our crash residue) must still
+        refuse — resuming over it would silently drop that commit."""
+        t = _mk(spark, tmp_path)
+        _stage_full(t, spark)
+        extra = _df(spark, [("r9", "z.py", "c03", 9, "py", "z")])
+        touched = sorted(r[0] for r in extra.select("_bucket").distinct().collect())
+        t.commit_buckets(extra, touched, {b: "c03:0000000001" for b in touched})
+        with pytest.raises(ValueError, match="re-stage"):
+            t.publish_wap("audit-1")
+        assert t.wap_ids() == ["audit-1"]  # stage survives for re-audit
