@@ -3672,6 +3672,41 @@ def q_lake_mview(spark, sf):
 
 
 @_q(
+    "lake_clone_fork",
+    f"""
+    WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE},
+    {_LAKE_LWW_CTES}
+    SELECT 'fork' AS src, repo, path, "commit", event_seq, lang, content,
+           sha256(content) AS content_sha
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    UNION ALL
+    SELECT 'source' AS src, repo, path, "commit", event_seq, lang, content,
+           sha256(content) AS content_sha
+    FROM base
+    """,
+)
+def q_lake_clone_fork(spark, sf):
+    """Zero-copy table fork (lake/clone.py): shallow-clone the base
+    table (metadata-only — the clone's manifests reference the source's
+    data files), then commit the delta slice ONTO THE CLONE. The fork
+    must fold its own merge-on-read deltas over the SHARED base files
+    to the full LWW state while the source stays at the untouched base
+    state — certifying in one hash-checked result that a clone reads
+    shared data, accepts independent writes, and never leaks them back."""
+    from filters_spark.lake.clone import clone_table
+
+    t = _lake_build(spark, sf, deltas=False)
+    fork = clone_table(t, os.path.join(os.path.dirname(t.root), "fork"))
+    _lake_commit_delta_slice(fork, spark, sf)
+    cols = ["repo", "path", "commit", "event_seq", "lang", "content",
+            "content_sha"]
+    return (
+        fork.read().select(F.lit("fork").alias("src"), *cols)
+        .unionByName(t.read().select(F.lit("source").alias("src"), *cols))
+    )
+
+
+@_q(
     "join_local_supplier_volume",
     """
     SELECT n.n_name AS nation,

@@ -89,6 +89,13 @@ class FileIO:
         containing any young file may be an in-flight write."""
         raise NotImplementedError
 
+    def copy(self, src: str, dst: str) -> None:
+        """Byte-exact copy of a single file; parent of ``dst`` is
+        created. Metadata-scale use only (deep-clone file copies run
+        through here one at a time on the driver; a 100-TB deep clone
+        belongs to a distributed copy job, not this interface)."""
+        raise NotImplementedError
+
 
 class LocalFileIO(FileIO):
     def exists(self, path: str) -> bool:
@@ -169,6 +176,10 @@ class LocalFileIO(FileIO):
                 if newest is None or m > newest:
                     newest = m
         return newest
+
+    def copy(self, src: str, dst: str) -> None:
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(src, dst)
 
 
 class HadoopFileIO(FileIO):
@@ -291,6 +302,17 @@ class HadoopFileIO(FileIO):
             if newest is None or m > newest:
                 newest = m
         return newest
+
+    def copy(self, src: str, dst: str) -> None:
+        dstp = self._path(dst)
+        parent = dstp.getParent()
+        if parent is not None:
+            self._fs.mkdirs(parent)
+        util = self._jvm.org.apache.hadoop.fs.FileUtil
+        if not util.copy(
+            self._fs, self._path(src), self._fs, dstp, False, True, self._conf
+        ):
+            raise OSError(f"copy {src} -> {dst} failed")
 
 
 def _scheme(path: str) -> str | None:

@@ -475,3 +475,40 @@ def test_create_exclusive_race_with_own_durable_decision_commits(spark, tmp_path
     assert final_state(eng_a) == _direct(spark, tmp_path, ev_a, "da")
     assert final_state(eng_b) == _direct(spark, tmp_path, ev_b, "db")
     _clean([eng_a, eng_b], txn_dir)
+
+
+def test_crash_inside_publish_wap_recovery_resumes(spark, tmp_path):
+    """The narrowest publish window of all: the crash lands INSIDE
+    route 0's publish_wap — snapshot header written, version hint not.
+    The decision is durable, the wap header still exists, and the head
+    never moved; recovery must roll forward by RESUMING the
+    half-finished publish (content-matched create-exclusive loss), then
+    publish route 1 normally — converging to the uncrashed outcome."""
+    ev_a, ev_b, mixed, eng_a, eng_b, routes, txn_dir = _topology(spark, tmp_path)
+    io_a = eng_a.table.io
+    real = io_a.write_text_atomic
+
+    def die_on_hint(path, data, fail_if_exists=False):
+        if path.endswith("version-hint.text"):
+            raise RuntimeError("crash inside publish_wap")
+        real(path, data, fail_if_exists=fail_if_exists)
+
+    io_a.write_text_atomic = die_on_hint
+    try:
+        with pytest.raises(RuntimeError, match="crash inside publish_wap"):
+            fan_out_atomic(mixed, routes, txn_dir, seq_expr=SEQ)
+    finally:
+        io_a.write_text_atomic = real
+
+    # hint never moved: readers saw nothing; the stage survived
+    assert final_state(eng_a) == {} and final_state(eng_b) == {}
+    assert len(eng_a.table.wap_ids()) == 1
+    assert len(pending_txns(eng_a.io, txn_dir)) == 1
+
+    out = recover_fanout(routes, txn_dir, min_age_seconds=0)
+    assert len(out["rolled_forward"]) == 1
+    assert final_state(eng_a) == _direct(spark, tmp_path, ev_a, "da")
+    assert final_state(eng_b) == _direct(spark, tmp_path, ev_b, "db")
+    assert (feed_positions(eng_a.table)[-1]["feed_to"]
+            == feed_positions(eng_b.table)[-1]["feed_to"])
+    _clean([eng_a, eng_b], txn_dir)
