@@ -368,6 +368,85 @@ def q_cdc_schema_evolution(spark, sf):
     )
 
 
+@_q(
+    "cdc_bootstrap_switchover",
+    """
+    WITH ev AS (
+      SELECT printf('%012x', o_orderkey) AS "commit",
+             o_orderkey AS event_seq,
+             CASE WHEN o_orderkey % 9 = 4 THEN 'D' ELSE 'U' END AS op,
+             'r' || CAST(o_custkey % 20 AS VARCHAR) AS repo,
+             'p' || CAST(o_orderkey % 1500 AS VARCHAR) AS path,
+             lower(o_orderstatus) AS lang,
+             'c' || CAST(o_orderkey AS VARCHAR) || ':' || o_orderpriority AS content
+      FROM orders
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY repo, path ORDER BY "commit" DESC, event_seq DESC
+      ) AS rn FROM ev
+    )
+    SELECT repo, path, "commit", event_seq, lang, content,
+           sha256(content) AS content_sha
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_bootstrap_switchover(spark, sf):
+    """Snapshot-bootstrap + binlog switchover through the FULL engine
+    (engine/cdc.py CDCEngine.bootstrap + replay): a fuzzy source
+    snapshot taken at position S=40000 seeds an empty table; the tail
+    then replays from the LOW watermark L=30000 — so the overlap window
+    (30000, 40000] is delivered BOTH ways (already in the snapshot AND
+    re-sent by the tail) and must reconcile via per-row LWW, not the
+    watermark gate (bootstrap resets every bucket's watermark to L).
+    The oracle is deliberately blind to the handoff: a plain LWW over
+    the WHOLE stream — a green hash proves bootstrap + switchover is
+    observationally equivalent to a from-zero replay, the exactly-once
+    contract a production initial-load must meet (Debezium
+    "snapshot then stream"; DBLog's chunk-watermark interleave)."""
+    from filters_spark.engine.cdc import CDCEngine
+    from filters_spark.engine.evolution import SpecRegistry, VersionSpec
+    from filters_spark.lake.table import LakeTable, watermark_str
+
+    o = _t(spark, sf, "orders")
+    reg = SpecRegistry(["repo", "path", "lang", "content"])
+    reg.register(VersionSpec(1, _EVO_SPECS_V1))
+    root = _tmpdir("filters_spark_bootq_")
+    t = LakeTable.create(spark, os.path.join(root, "lake"), ["repo", "path"], num_buckets=8)
+    eng = CDCEngine(spark, t, reg)
+
+    ev = o.select(
+        F.format_string("%012x", F.col("o_orderkey")).alias("commit"),
+        F.col("o_orderkey").alias("event_seq"),
+        F.when(F.col("o_orderkey") % 9 == 4, "D").otherwise("U").alias("op"),
+        F.concat(F.lit("r"), (F.col("o_custkey") % 20).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), (F.col("o_orderkey") % 1500).cast("string")).alias("path"),
+        F.col("o_orderstatus").alias("lang"),  # raw UPPER; chain lowers
+        F.concat(  # raw padded; chain strips
+            F.lit("  c"), F.col("o_orderkey").cast("string"), F.lit(":"),
+            F.col("o_orderpriority"), F.lit(" "),
+        ).alias("content"),
+        F.lit(1).alias("schema_version"),
+    )
+    # the source's state at S: per key the last change at/below S, raw
+    # payload, row carrying its last-writer (commit, event_seq)
+    w = Window.partitionBy("repo", "path").orderBy(F.col("_swm").desc())
+    snap_rows = (
+        ev.filter(F.col("event_seq") <= 40000)
+        .withColumn("_swm", watermark_str(F.col("commit"), F.col("event_seq")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("op") != "D"))
+        .drop("_rn", "_swm", "op")
+    )
+    m = eng.bootstrap(snap_rows, replay_from=(f"{30000:012x}", 30000))
+    if m["dead_lettered"]:
+        raise AssertionError("bootstrap snapshot must validate clean")
+    eng.replay(ev.filter(F.col("event_seq") > 30000), num_batches=2)
+    return t.read().select(
+        "repo", "path", "commit", "event_seq", "lang", "content", "content_sha"
+    )
+
+
 # Shared Spark-SQL == DuckDB-SQL fragments that synthesize a
 # deterministic Debezium JSON feed from the orders table (both engines
 # build byte-identical envelopes; each then parses with its OWN json

@@ -477,6 +477,97 @@ class CDCEngine:
         finally:
             self.io.rmtree(scratch)
 
+    def bootstrap(
+        self,
+        snapshot_rows: DataFrame,
+        replay_from: "tuple[str, int] | str",
+        schema_version: int | None = None,
+    ) -> dict:
+        """Seed an EMPTY table from an initial source snapshot, then
+        hand off to the binlog tail at ``replay_from`` — the classic
+        CDC bootstrap (Debezium "initial snapshot then stream"; DBLog's
+        watermark interleave solves the same race chunk-wise).
+
+        The snapshot is FUZZY: it need not be a transactionally
+        consistent cut. The contract is only that ``replay_from`` is a
+        LOW watermark — a stream position such that every change at or
+        below it is already reflected in the snapshot — and that each
+        snapshot row carries the (commit, event_seq) of the change that
+        last wrote it (source rows in a CDC deployment do: it is the
+        row's last-modified position). Changes AFTER ``replay_from``
+        may or may not be in the snapshot; the tail re-delivers them
+        and the per-row LWW merge reconciles the overlap window:
+
+        - tail event older than the snapshot row for its key → loses
+          the ``_wm`` comparison in :func:`lww_merge`, no-op;
+        - tail event newer → wins, upsert/delete applies;
+        - same position (the event that produced the snapshot row) →
+          identical content either way.
+
+        Mechanically: the snapshot rows run the NORMAL staged apply —
+        same validation chains, dead-letter routing, bucket shuffle and
+        merge as any event batch (rows missing ``op``/``event_seq``
+        default to ``'I'``/``0``; ``schema_version`` may be supplied as
+        a literal) — then one metadata-only commit replaces every
+        bucket's watermark with ``replay_from`` (LakeTable.
+        set_watermarks). The seeding commit's own per-bucket maxima
+        would be WRONG watermarks: a bucket's max snapshot position
+        gates out overlap events targeting its OTHER rows. After
+        bootstrap, ``replay()`` the tail from ``replay_from`` exactly
+        as usual; re-replays of the tail start dedupe via the normal
+        watermark gate, so the handoff is idempotent end-to-end
+        (pinned in tests/test_bootstrap.py against a from-zero full
+        replay: byte-identical final state).
+
+        ``replay_from``: ``(commit_hex, event_seq)`` or a pre-formatted
+        ``"commit:seq"`` watermark string. The commit must be the same
+        fixed width as the stream's commit strings (watermark order is
+        lexicographic) and ``event_seq`` must be ≥ 0.
+
+        Returns apply_batch's metrics plus ``replay_from`` (the
+        formatted low watermark) and ``bootstrap=True``.
+        """
+        snap = self.table.current()
+        if snap["buckets"] or snap.get("deltas") or snap.get("watermarks"):
+            raise ValueError(
+                "bootstrap requires an empty table (no data files, no "
+                f"watermarks); head snapshot {snap['snapshot_id']} has "
+                f"{len(snap['buckets'])} base bucket(s), "
+                f"{len(snap.get('deltas') or {})} delta bucket(s), "
+                f"{len(snap.get('watermarks') or {})} watermark(s)"
+            )
+        if isinstance(replay_from, str):
+            low = replay_from
+            commit_part, _, seq_part = low.partition(":")
+            if not commit_part or not seq_part:
+                raise ValueError(f"malformed watermark string {low!r}")
+        else:
+            commit_part, seq = replay_from
+            if seq < 0:
+                raise ValueError("replay_from event_seq must be >= 0")
+            low = f"{commit_part}:{seq:020d}"
+
+        rows = snapshot_rows
+        if "op" not in rows.columns:
+            rows = rows.withColumn("op", F.lit("I"))
+        if "event_seq" not in rows.columns:
+            rows = rows.withColumn("event_seq", F.lit(0).cast("long"))
+        if "schema_version" not in rows.columns:
+            if schema_version is None:
+                raise ValueError(
+                    "snapshot_rows has no schema_version column and no "
+                    "schema_version literal was supplied"
+                )
+            rows = rows.withColumn("schema_version", F.lit(schema_version))
+
+        metrics = self.apply_batch(rows)
+        self.table.set_watermarks(
+            {str(b): low for b in range(snap["num_buckets"])},
+            operation="bootstrap",
+        )
+        metrics["snapshot_id"] = self.table.current_snapshot_id()
+        return {**metrics, "replay_from": low, "bootstrap": True}
+
     def stage_batch(self, events: DataFrame, wap_id: str) -> StagedBatch:
         """:meth:`apply_batch` halted at the commit point: validate,
         watermark-filter and merge the batch, write the merged data

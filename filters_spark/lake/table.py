@@ -871,6 +871,41 @@ class LakeTable:
         self._write_snapshot(snapshot)
         return snapshot
 
+    def set_watermarks(self, watermarks: dict, operation: str = "set-watermarks") -> dict:
+        """Metadata-only commit that REPLACES the per-bucket watermark
+        map (data files untouched). Unlike every ingest commit — which
+        advances watermarks monotonically via max() — this can move a
+        bucket's watermark DOWN, re-admitting event positions the
+        exactly-once filter would otherwise drop as replays.
+
+        That is deliberate and dangerous in equal measure: the one
+        legitimate caller is :meth:`CDCEngine.bootstrap
+        <filters_spark.engine.cdc.CDCEngine.bootstrap>`, which seeds an
+        empty table from a fuzzy source snapshot and must hand the
+        binlog tail a LOW watermark (the position at/below which every
+        change is already reflected in the snapshot) rather than the
+        per-bucket max the seeding commit recorded — the overlap window
+        between the two is reconciled row-by-row by the LWW merge, not
+        by the watermark gate. Run on quiesced ingest; lowering a
+        watermark under concurrent appliers re-admits their in-flight
+        replays.
+
+        ``watermarks``: full replacement map ``{bucket_id(str|int):
+        "commit:seq"}`` — buckets absent from the map end up with no
+        watermark (WATERMARK_ZERO semantics)."""
+        prev = self.current()
+        snapshot = {
+            **prev,
+            "snapshot_id": prev["snapshot_id"] + 1,
+            "parent_id": prev["snapshot_id"],
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": operation,
+            "added_files": [],
+            "watermarks": {str(b): w for b, w in watermarks.items()},
+        }
+        self._write_snapshot(snapshot)
+        return snapshot
+
     def read_repo(
         self,
         repo: str,
