@@ -406,6 +406,7 @@ class CDCEngine:
         snap: dict,
         batch_col: F.Column | None = None,
         prefix: str = "batch",
+        scratch_dir: str | None = None,
     ) -> str:
         """Validate + bucket the stream and stage it to scratch parquet,
         partitioned by (_batch?, _dead).
@@ -435,7 +436,7 @@ class CDCEngine:
         if batch_col is not None:
             staged = staged.withColumn("_batch", batch_col)
             parts = ["_batch", "_dead"]
-        scratch = os.path.join(
+        scratch = scratch_dir or os.path.join(
             self.table.root, "_staging", f"{prefix}-{uuid.uuid4().hex}"
         )
         with self._scan_splits(events):
@@ -482,6 +483,7 @@ class CDCEngine:
         snapshot_rows: DataFrame,
         replay_from: "tuple[str, int] | str",
         schema_version: int | None = None,
+        num_chunks: int = 1,
     ) -> dict:
         """Seed an EMPTY table from an initial source snapshot, then
         hand off to the binlog tail at ``replay_from`` — the classic
@@ -524,18 +526,25 @@ class CDCEngine:
         fixed width as the stream's commit strings (watermark order is
         lexicographic) and ``event_seq`` must be ≥ 0.
 
-        Returns apply_batch's metrics plus ``replay_from`` (the
+        ``num_chunks``: with 1 (default) the snapshot seeds in ONE
+        staged apply — fine up to mid-size tables, but a 10^10-row
+        initial load should neither be one commit nor restart from zero
+        on a crash. With G>1 the snapshot is staged ONCE (same
+        single-pass validate as replay) partitioned into G whole-bucket
+        chunks (chunk = bucket mod G — a bucket never spans chunks, so
+        a committed chunk's watermarks can't gate a later chunk), each
+        chunk commits independently, and a ``bootstrap-state.json``
+        checkpoint under the table root records completed chunks: a
+        crashed bootstrap RESUMES by calling bootstrap again with the
+        same arguments — completed chunks are skipped, a
+        committed-but-unrecorded chunk re-applies as all-replays
+        (idempotent, the normal watermark gate), and only then does the
+        final watermark handoff + cleanup run. DBLog loads initial
+        snapshots in exactly this chunked, stream-interleaved way.
+
+        Returns the summed apply metrics plus ``replay_from`` (the
         formatted low watermark) and ``bootstrap=True``.
         """
-        snap = self.table.current()
-        if snap["buckets"] or snap.get("deltas") or snap.get("watermarks"):
-            raise ValueError(
-                "bootstrap requires an empty table (no data files, no "
-                f"watermarks); head snapshot {snap['snapshot_id']} has "
-                f"{len(snap['buckets'])} base bucket(s), "
-                f"{len(snap.get('deltas') or {})} delta bucket(s), "
-                f"{len(snap.get('watermarks') or {})} watermark(s)"
-            )
         if isinstance(replay_from, str):
             low = replay_from
             commit_part, _, seq_part = low.partition(":")
@@ -546,6 +555,9 @@ class CDCEngine:
             if seq < 0:
                 raise ValueError("replay_from event_seq must be >= 0")
             low = f"{commit_part}:{seq:020d}"
+
+        if num_chunks < 1:
+            raise ValueError("num_chunks must be >= 1")
 
         rows = snapshot_rows
         if "op" not in rows.columns:
@@ -560,13 +572,111 @@ class CDCEngine:
                 )
             rows = rows.withColumn("schema_version", F.lit(schema_version))
 
-        metrics = self.apply_batch(rows)
+        snap = self.table.current()
+        state_path = os.path.join(self.table.root, "bootstrap-state.json")
+        resuming = num_chunks > 1 and self.io.exists(state_path)
+        if not resuming and (
+            snap["buckets"] or snap.get("deltas") or snap.get("watermarks")
+        ):
+            raise ValueError(
+                "bootstrap requires an empty table (no data files, no "
+                f"watermarks); head snapshot {snap['snapshot_id']} has "
+                f"{len(snap['buckets'])} base bucket(s), "
+                f"{len(snap.get('deltas') or {})} delta bucket(s), "
+                f"{len(snap.get('watermarks') or {})} watermark(s)"
+            )
+
+        if num_chunks == 1:
+            metrics = self.apply_batch(rows)
+            self.table.set_watermarks(
+                {str(b): low for b in range(snap["num_buckets"])},
+                operation="bootstrap",
+            )
+            metrics["snapshot_id"] = self.table.current_snapshot_id()
+            return {**metrics, "replay_from": low, "bootstrap": True}
+        return self._bootstrap_chunked(rows, low, num_chunks, snap, state_path)
+
+    def _bootstrap_chunked(
+        self, rows: DataFrame, low: str, num_chunks: int, snap: dict, state_path: str
+    ) -> dict:
+        """Chunked, crash-resumable seeding (see :meth:`bootstrap`).
+
+        Crash-window sketch (all re-entrant via calling bootstrap again
+        with the same args): during staging → no state file, restaged
+        from scratch; after a chunk's commit but before its checkpoint
+        record → re-applies as all-replays; after the final
+        set_watermarks but before cleanup → set_watermarks re-runs
+        (idempotent replacement) and cleanup completes."""
+        scratch = os.path.join(self.table.root, "_staging", "bootstrap")
+        t0 = time.time()
+        if self.io.exists(state_path):
+            state = json.loads(self.io.read_text(state_path))
+            if state["replay_from"] != low or state["num_chunks"] != num_chunks:
+                raise ValueError(
+                    f"bootstrap-state.json records replay_from="
+                    f"{state['replay_from']!r} num_chunks={state['num_chunks']} "
+                    f"but this call passed {low!r}/{num_chunks}; resume with "
+                    "the original arguments or remove the state file and "
+                    "start over on an empty table"
+                )
+            # restage only when chunks remain AND the scratch was lost;
+            # a crash in the final cleanup window (all chunks done,
+            # scratch already removed) must NOT re-stage the snapshot
+            if len(set(state["chunks_done"])) < num_chunks and not self.io.isdir(scratch):
+                self._stage_bootstrap(rows, num_chunks, snap, scratch)
+        else:
+            if self.io.isdir(scratch):  # stale partial stage, no state
+                self.io.rmtree(scratch)
+            self._stage_bootstrap(rows, num_chunks, snap, scratch)
+            state = {"replay_from": low, "num_chunks": num_chunks, "chunks_done": []}
+            self.io.write_text_atomic(state_path, json.dumps(state))
+
+        totals = {"events_in": 0, "applied": 0, "dead_lettered": 0,
+                  "skipped_replays": 0}
+        done = set(state["chunks_done"])
+        if self.io.tree_has_suffix(scratch, ".parquet"):
+            staged_all = (
+                self.spark.read.option("basePath", scratch).parquet(scratch)
+                .withColumn("_dead", F.col("_dead").cast("boolean"))
+            )
+            for i in range(num_chunks):
+                if i in done:
+                    continue
+                m = self._apply_staged(
+                    staged_all.filter(F.col("_batch") == i).drop("_batch"),
+                    os.path.join(scratch, f"_batch={i}", "_dead=true"),
+                    f"bootstrap-c{i}",
+                    time.time(),
+                )
+                for k in totals:
+                    totals[k] += m[k]
+                state["chunks_done"] = sorted(done | {i})
+                done.add(i)
+                self.io.write_text_atomic(state_path, json.dumps(state))
+
         self.table.set_watermarks(
             {str(b): low for b in range(snap["num_buckets"])},
             operation="bootstrap",
         )
-        metrics["snapshot_id"] = self.table.current_snapshot_id()
-        return {**metrics, "replay_from": low, "bootstrap": True}
+        self.io.rmtree(scratch)
+        self.io.remove(state_path)
+        return {
+            **totals,
+            "snapshot_id": self.table.current_snapshot_id(),
+            "seconds": time.time() - t0,
+            "chunks": num_chunks,
+            "replay_from": low,
+            "bootstrap": True,
+        }
+
+    def _stage_bootstrap(
+        self, rows: DataFrame, num_chunks: int, snap: dict, scratch: str
+    ) -> None:
+        chunk = F.pmod(
+            bucket_expr(F.col("repo"), F.col("path"), snap["num_buckets"], snap["path_salt"]),
+            F.lit(num_chunks),
+        ).cast("int")
+        self._stage(rows, snap, batch_col=chunk, scratch_dir=scratch)
 
     def stage_batch(self, events: DataFrame, wap_id: str) -> StagedBatch:
         """:meth:`apply_batch` halted at the commit point: validate,

@@ -149,6 +149,86 @@ def test_bootstrap_dead_letters_dirty_snapshot(spark, tmp_path, stream):
     ).count() == n_bad
 
 
+def test_bootstrap_chunked_matches_single_shot(spark, tmp_path, stream):
+    low = _wm_end_of_commit(24)
+    snap = _source_state(stream, _wm_end_of_commit(28))
+    commit_long = F.conv(F.col("commit"), 16, 10).cast("long")
+    tail = stream.filter(commit_long > 24)
+
+    t_one, e_one = _mk(spark, tmp_path, "one")
+    e_one.bootstrap(snap, replay_from=low)
+    e_one.replay(tail)
+
+    t_chk, e_chk = _mk(spark, tmp_path, "chk")
+    m = e_chk.bootstrap(snap, replay_from=low, num_chunks=4)
+    assert m["chunks"] == 4 and m["bootstrap"]
+    assert not os.path.exists(os.path.join(t_chk.root, "bootstrap-state.json"))
+    assert not os.path.isdir(os.path.join(t_chk.root, "_staging", "bootstrap"))
+    e_chk.replay(tail)
+    assert _state_rows(t_chk) == _state_rows(t_one)
+
+
+def test_bootstrap_chunked_crash_resume(spark, tmp_path, stream, monkeypatch):
+    """Crash after chunk 1 of 4 has COMMITTED but before its checkpoint
+    record (the worst window): resume must re-apply it as all-replays,
+    apply the remaining chunks, and land byte-identical to an
+    uncrashed run."""
+    low = _wm_end_of_commit(24)
+    snap = _source_state(stream, _wm_end_of_commit(28))
+
+    t_ok, e_ok = _mk(spark, tmp_path, "ok")
+    e_ok.bootstrap(snap, replay_from=low, num_chunks=4)
+
+    t_cr, e_cr = _mk(spark, tmp_path, "cr")
+    real_apply = CDCEngine._apply_staged
+    calls = {"n": 0}
+
+    def crashing(self, *a, **kw):
+        out = real_apply(self, *a, **kw)
+        calls["n"] += 1
+        if calls["n"] == 2:  # chunk COMMITTED, record not yet written
+            raise RuntimeError("simulated crash after chunk commit")
+        return out
+
+    monkeypatch.setattr(CDCEngine, "_apply_staged", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        e_cr.bootstrap(snap, replay_from=low, num_chunks=4)
+    monkeypatch.setattr(CDCEngine, "_apply_staged", real_apply)
+
+    # state file survived the crash and records exactly one done chunk
+    import json
+    state_path = os.path.join(t_cr.root, "bootstrap-state.json")
+    assert json.loads(open(state_path).read())["chunks_done"] == [0]
+
+    m = e_cr.bootstrap(snap, replay_from=low, num_chunks=4)
+    # the committed-but-unrecorded chunk re-applied as pure replays
+    assert m["skipped_replays"] > 0
+    assert not os.path.exists(state_path)
+    assert _state_rows(t_cr) == _state_rows(t_ok)
+    # watermarks identical: every bucket at the low handoff position
+    assert t_cr.current()["watermarks"] == t_ok.current()["watermarks"]
+
+
+def test_bootstrap_resume_arg_mismatch_raises(spark, tmp_path, stream, monkeypatch):
+    low = _wm_end_of_commit(24)
+    snap = _source_state(stream, _wm_end_of_commit(28))
+    t, e = _mk(spark, tmp_path, "mismatch")
+    real_apply = CDCEngine._apply_staged
+
+    def crashing(self, *a, **kw):
+        real_apply(self, *a, **kw)
+        raise RuntimeError("boom")
+
+    monkeypatch.setattr(CDCEngine, "_apply_staged", crashing)
+    with pytest.raises(RuntimeError):
+        e.bootstrap(snap, replay_from=low, num_chunks=4)
+    monkeypatch.setattr(CDCEngine, "_apply_staged", real_apply)
+    with pytest.raises(ValueError, match="bootstrap-state.json records"):
+        e.bootstrap(snap, replay_from=low, num_chunks=8)
+    with pytest.raises(ValueError, match="bootstrap-state.json records"):
+        e.bootstrap(snap, replay_from=_wm_end_of_commit(20), num_chunks=4)
+
+
 def test_bootstrap_mor_mode_matches_full_replay(spark, tmp_path, stream):
     commit_long = F.conv(F.col("commit"), 16, 10).cast("long")
     t_full, e_full = _mk(spark, tmp_path, "full_mor", write_mode="mor")
