@@ -542,9 +542,18 @@ class CDCEngine:
         final watermark handoff + cleanup run. DBLog loads initial
         snapshots in exactly this chunked, stream-interleaved way.
 
-        Returns the summed apply metrics plus ``replay_from`` (the
-        formatted low watermark) and ``bootstrap=True``.
+        Every num_chunks (1 included) runs through the same
+        checkpointed path, so any crash window is resumable.
+
+        Returns the apply metrics summed across ALL invocations of a
+        (possibly resumed) bootstrap — the state file carries running
+        totals — plus ``replay_from`` (the formatted low watermark) and
+        ``bootstrap=True``. A chunk that committed in the crash window
+        before its checkpoint record counts its events once, under
+        ``skipped_replays`` (the re-apply) rather than ``applied``.
         """
+        import re as _re
+
         if isinstance(replay_from, str):
             low = replay_from
             commit_part, _, seq_part = low.partition(":")
@@ -555,6 +564,18 @@ class CDCEngine:
             if seq < 0:
                 raise ValueError("replay_from event_seq must be >= 0")
             low = f"{commit_part}:{seq:020d}"
+        # watermark order is LEXICOGRAPHIC: a commit of the wrong width
+        # mis-sorts against every real position — e.g. an unpadded
+        # '7530' exceeds all '0'-led 12-hex commits, silently dropping
+        # the ENTIRE tail as replays. 12-hex zero-padded is the
+        # engine-wide convention (WATERMARK_ZERO, datagen, the Debezium
+        # ordering derivation all use %012x).
+        if not _re.fullmatch(r"[0-9a-f]{12}", commit_part):
+            raise ValueError(
+                f"replay_from commit {commit_part!r} must be 12-char "
+                "zero-padded lowercase hex (the stream's fixed commit "
+                "width; lexicographic watermark order breaks otherwise)"
+            )
 
         if num_chunks < 1:
             raise ValueError("num_chunks must be >= 1")
@@ -574,7 +595,7 @@ class CDCEngine:
 
         snap = self.table.current()
         state_path = os.path.join(self.table.root, "bootstrap-state.json")
-        resuming = num_chunks > 1 and self.io.exists(state_path)
+        resuming = self.io.exists(state_path)
         if not resuming and (
             snap["buckets"] or snap.get("deltas") or snap.get("watermarks")
         ):
@@ -585,15 +606,11 @@ class CDCEngine:
                 f"{len(snap.get('deltas') or {})} delta bucket(s), "
                 f"{len(snap.get('watermarks') or {})} watermark(s)"
             )
-
-        if num_chunks == 1:
-            metrics = self.apply_batch(rows)
-            self.table.set_watermarks(
-                {str(b): low for b in range(snap["num_buckets"])},
-                operation="bootstrap",
-            )
-            metrics["snapshot_id"] = self.table.current_snapshot_id()
-            return {**metrics, "replay_from": low, "bootstrap": True}
+        # num_chunks == 1 runs the SAME checkpointed path: a crash
+        # between the seeding commit and the watermark handoff is
+        # resumable instead of stranding high watermarks on a
+        # non-empty table (which would silently gate out the overlap
+        # window if the operator proceeded to replay anyway)
         return self._bootstrap_chunked(rows, low, num_chunks, snap, state_path)
 
     def _bootstrap_chunked(
@@ -608,7 +625,9 @@ class CDCEngine:
         set_watermarks but before cleanup → set_watermarks re-runs
         (idempotent replacement) and cleanup completes."""
         scratch = os.path.join(self.table.root, "_staging", "bootstrap")
+        success_marker = os.path.join(scratch, "_SUCCESS")
         t0 = time.time()
+        counter_keys = ("events_in", "applied", "dead_lettered", "skipped_replays")
         if self.io.exists(state_path):
             state = json.loads(self.io.read_text(state_path))
             if state["replay_from"] != low or state["num_chunks"] != num_chunks:
@@ -619,22 +638,54 @@ class CDCEngine:
                     "the original arguments or remove the state file and "
                     "start over on an empty table"
                 )
-            # restage only when chunks remain AND the scratch was lost;
-            # a crash in the final cleanup window (all chunks done,
-            # scratch already removed) must NOT re-stage the snapshot
-            if len(set(state["chunks_done"])) < num_chunks and not self.io.isdir(scratch):
+            # foreign-commit guard: resume is only sound when every
+            # commit since the checkpoint came from THIS bootstrap —
+            # the recorded head, or head+1 for a chunk that committed
+            # in the crash window before its checkpoint record. A head
+            # further along means someone ingested into the table
+            # (e.g. an abandoned bootstrap followed by real replay);
+            # re-seeding and REGRESSING watermarks under live ingest
+            # would re-admit the whole tail range.
+            head_now = self.table.current_snapshot_id()
+            if head_now not in (state["head"], state["head"] + 1):
+                raise ValueError(
+                    f"cannot resume bootstrap: table head {head_now} moved "
+                    f"past the checkpointed head {state['head']} by more "
+                    "than the one-commit crash window — foreign commits "
+                    "landed since; remove bootstrap-state.json and start "
+                    "over on a fresh table"
+                )
+            # restage only when chunks remain AND the staged snapshot is
+            # not COMPLETE — isdir alone is not completion (Spark
+            # creates the dir at write-job start; a crashed restage
+            # leaves a partial tree), the job-commit _SUCCESS marker is.
+            # A crash in the final cleanup window (all chunks done,
+            # scratch already removed) must NOT re-stage.
+            if len(set(state["chunks_done"])) < num_chunks and not self.io.exists(
+                success_marker
+            ):
+                if self.io.isdir(scratch):
+                    self.io.rmtree(scratch)
                 self._stage_bootstrap(rows, num_chunks, snap, scratch)
         else:
             if self.io.isdir(scratch):  # stale partial stage, no state
                 self.io.rmtree(scratch)
             self._stage_bootstrap(rows, num_chunks, snap, scratch)
-            state = {"replay_from": low, "num_chunks": num_chunks, "chunks_done": []}
+            state = {
+                "replay_from": low, "num_chunks": num_chunks, "chunks_done": [],
+                "head": self.table.current_snapshot_id(),
+                "totals": {k: 0 for k in counter_keys},
+            }
             self.io.write_text_atomic(state_path, json.dumps(state))
 
-        totals = {"events_in": 0, "applied": 0, "dead_lettered": 0,
-                  "skipped_replays": 0}
+        # totals persist in the state file so a RESUMED bootstrap
+        # returns the sum across invocations, not just its own chunks.
+        # A chunk that committed in the crash window before its record
+        # re-applies as all-replays: its events count once, under
+        # skipped_replays rather than applied.
+        totals = dict(state["totals"])
         done = set(state["chunks_done"])
-        if self.io.tree_has_suffix(scratch, ".parquet"):
+        if done != set(range(num_chunks)) and self.io.tree_has_suffix(scratch, ".parquet"):
             staged_all = (
                 self.spark.read.option("basePath", scratch).parquet(scratch)
                 .withColumn("_dead", F.col("_dead").cast("boolean"))
@@ -648,10 +699,13 @@ class CDCEngine:
                     f"bootstrap-c{i}",
                     time.time(),
                 )
-                for k in totals:
+                for k in counter_keys:
                     totals[k] += m[k]
-                state["chunks_done"] = sorted(done | {i})
                 done.add(i)
+                state.update(
+                    chunks_done=sorted(done), totals=totals,
+                    head=self.table.current_snapshot_id(),
+                )
                 self.io.write_text_atomic(state_path, json.dumps(state))
 
         self.table.set_watermarks(

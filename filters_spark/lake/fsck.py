@@ -138,6 +138,13 @@ def verify_table(
 
     # -- watermark monotonicity along the main chain --------------------------
     for child, parent in zip(chain, chain[1:]):
+        if headers[child].get("operation") in ("bootstrap", "set-watermarks"):
+            # the ONE sanctioned downward watermark move: the bootstrap
+            # handoff replaces the seeding commit's per-bucket maxima
+            # with the low replay-from position (LakeTable.
+            # set_watermarks) — the overlap window reconciles via LWW,
+            # not the watermark gate, so this regression is by design
+            continue
         cw = headers[child].get("watermarks", {})
         pw = headers[parent].get("watermarks", {})
         for b, wm in pw.items():

@@ -1650,11 +1650,14 @@ class LakeTable:
             # operation and added_files are plain raw-header fields —
             # no manifest resolution on the incremental hot path
             op = raw.get("operation", "overwrite")
-            if op in ("create", "compact", "rescale", "rewrite", "fast-forward"):
-                # physical reorganizations / pointer adoptions: no
-                # logical change of their own (a fast-forward's changes
-                # live in the branch headers it adopted, which this
-                # ancestry walk traverses)
+            if op in ("create", "compact", "rescale", "rewrite", "fast-forward",
+                      "bootstrap", "set-watermarks"):
+                # physical reorganizations / pointer adoptions / pure
+                # watermark-map commits: no logical change of their own
+                # (a fast-forward's changes live in the branch headers
+                # it adopted, which this ancestry walk traverses; the
+                # bootstrap handoff moves only the watermark map — the
+                # seeded rows' changes live in the chunk commits)
                 continue
             if op == "rollback":
                 # a rollback IS a logical change (rows revert); its

@@ -195,14 +195,21 @@ def test_bootstrap_chunked_crash_resume(spark, tmp_path, stream, monkeypatch):
         e_cr.bootstrap(snap, replay_from=low, num_chunks=4)
     monkeypatch.setattr(CDCEngine, "_apply_staged", real_apply)
 
-    # state file survived the crash and records exactly one done chunk
+    # state file survived the crash and records exactly one done chunk;
+    # the staged snapshot carries Spark's job-commit marker (what the
+    # resume path keys completeness on)
     import json
     state_path = os.path.join(t_cr.root, "bootstrap-state.json")
     assert json.loads(open(state_path).read())["chunks_done"] == [0]
+    assert os.path.exists(os.path.join(t_cr.root, "_staging", "bootstrap", "_SUCCESS"))
 
     m = e_cr.bootstrap(snap, replay_from=low, num_chunks=4)
-    # the committed-but-unrecorded chunk re-applied as pure replays
+    # the committed-but-unrecorded chunk re-applied as pure replays,
+    # and the returned totals span BOTH invocations: every snapshot row
+    # counted exactly once, split between applied and skipped_replays
     assert m["skipped_replays"] > 0
+    assert m["events_in"] == snap.count()
+    assert m["applied"] + m["skipped_replays"] == m["events_in"]
     assert not os.path.exists(state_path)
     assert _state_rows(t_cr) == _state_rows(t_ok)
     # watermarks identical: every bucket at the low handoff position
@@ -227,6 +234,91 @@ def test_bootstrap_resume_arg_mismatch_raises(spark, tmp_path, stream, monkeypat
         e.bootstrap(snap, replay_from=low, num_chunks=8)
     with pytest.raises(ValueError, match="bootstrap-state.json records"):
         e.bootstrap(snap, replay_from=_wm_end_of_commit(20), num_chunks=4)
+
+
+def test_bootstrap_single_shot_crash_resumes(spark, tmp_path, stream, monkeypatch):
+    """num_chunks=1 runs the same checkpointed path: a crash between
+    the seeding commit and the watermark handoff resumes instead of
+    stranding seeding-max watermarks on a non-empty table."""
+    low = _wm_end_of_commit(24)
+    snap = _source_state(stream, _wm_end_of_commit(28))
+    t, e = _mk(spark, tmp_path, "oneshot_crash")
+    real_apply = CDCEngine._apply_staged
+
+    def crashing(self, *a, **kw):
+        real_apply(self, *a, **kw)
+        raise RuntimeError("crash before handoff")
+
+    monkeypatch.setattr(CDCEngine, "_apply_staged", crashing)
+    with pytest.raises(RuntimeError):
+        e.bootstrap(snap, replay_from=low)
+    monkeypatch.setattr(CDCEngine, "_apply_staged", real_apply)
+
+    m = e.bootstrap(snap, replay_from=low)  # resume, same args
+    assert m["events_in"] == snap.count()
+    wms = t.current()["watermarks"]
+    assert set(wms.values()) == {low}
+
+
+def test_bootstrap_resume_foreign_commit_raises(spark, tmp_path, stream, monkeypatch):
+    """Resume refuses when commits beyond the one-commit crash window
+    landed since the checkpoint — re-seeding + regressing watermarks
+    under live ingest would re-admit the whole tail range."""
+    low = _wm_end_of_commit(24)
+    snap = _source_state(stream, _wm_end_of_commit(28))
+    t, e = _mk(spark, tmp_path, "foreign")
+    real_apply = CDCEngine._apply_staged
+    calls = {"n": 0}
+
+    def crashing(self, *a, **kw):
+        out = real_apply(self, *a, **kw)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("boom")
+        return out
+
+    monkeypatch.setattr(CDCEngine, "_apply_staged", crashing)
+    with pytest.raises(RuntimeError):
+        e.bootstrap(snap, replay_from=low, num_chunks=4)
+    monkeypatch.setattr(CDCEngine, "_apply_staged", real_apply)
+
+    # foreign ingest moves the head past the crash window
+    commit_long = F.conv(F.col("commit"), 16, 10).cast("long")
+    e.replay(stream.filter(commit_long > 38))
+    e.replay(stream.filter(commit_long > 36))
+    with pytest.raises(ValueError, match="foreign commits"):
+        e.bootstrap(snap, replay_from=low, num_chunks=4)
+
+
+def test_bootstrap_commit_width_validation(spark, tmp_path, stream):
+    t, e = _mk(spark, tmp_path, "width")
+    snap = _source_state(stream, _wm_end_of_commit(10))
+    with pytest.raises(ValueError, match="12-char"):
+        e.bootstrap(snap, replay_from=("7530", 30000))  # unpadded hex
+    with pytest.raises(ValueError, match="12-char"):
+        e.bootstrap(snap, replay_from=("X" * 12, 0))  # not hex
+
+
+def test_bootstrap_fsck_and_changes_accept_handoff(spark, tmp_path, stream):
+    """The sanctioned downward watermark move must not read as
+    corruption (fsck) nor wedge the changefeed (changes()) on a MoR
+    table bootstrapped then tailed."""
+    from filters_spark.lake.fsck import verify_table
+
+    low = _wm_end_of_commit(24)
+    commit_long = F.conv(F.col("commit"), 16, 10).cast("long")
+    t, e = _mk(spark, tmp_path, "fsck_mor", write_mode="mor")
+    e.bootstrap(_source_state(stream, _wm_end_of_commit(28)), replay_from=low,
+                num_chunks=2)
+    e.replay(stream.filter(commit_long > 24))
+
+    rep = verify_table(t)
+    assert rep["ok"], rep["errors"]
+
+    # a changefeed range crossing the handoff commit stays readable and
+    # carries both the seeded rows and the tail's changes
+    feed = t.changes(0, t.current_snapshot_id())
+    assert feed is not None and feed.count() > 0
 
 
 def test_bootstrap_mor_mode_matches_full_replay(spark, tmp_path, stream):
