@@ -59,7 +59,12 @@ def clone_table(
     table at ``dst_root``. Returns the clone's LakeTable handle; its
     head snapshot keeps the SOURCE's snapshot id (so "clone of snapshot
     41" reads as snapshot 41) with ``operation="clone"`` and a
-    ``clone_source`` provenance block. Raises if ``dst_root`` already
+    ``clone_source`` provenance block. ``clone_source`` is TABLE-level
+    provenance, not snapshot-level: commit paths build children as
+    ``{**prev, ...}``, so the block deliberately rides every descendant
+    header — it answers "which table/snapshot was this table forked
+    from", never "what does this snapshot's content derive from" (that
+    is ``parent_id``/``operation``). Raises if ``dst_root`` already
     holds a table, or (deep mode) if a destination file already exists
     — a clone never overwrites."""
     if mode not in ("shallow", "deep"):

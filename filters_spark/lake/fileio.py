@@ -308,10 +308,14 @@ class HadoopFileIO(FileIO):
         parent = dstp.getParent()
         if parent is not None:
             self._fs.mkdirs(parent)
+        # the source may live on a DIFFERENT filesystem than this IO's
+        # root (deep clone promoting hdfs:// state to s3a://, say):
+        # resolve the source FS from the source path, or Hadoop raises
+        # "Wrong FS" on any cross-filesystem copy
+        srcp = self._path(src)
+        srcfs = srcp.getFileSystem(self._conf)
         util = self._jvm.org.apache.hadoop.fs.FileUtil
-        if not util.copy(
-            self._fs, self._path(src), self._fs, dstp, False, True, self._conf
-        ):
+        if not util.copy(srcfs, srcp, self._fs, dstp, False, True, self._conf):
             raise OSError(f"copy {src} -> {dst} failed")
 
 

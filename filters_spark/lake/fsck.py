@@ -51,7 +51,13 @@ def verify_table(
     t: LakeTable,
     check_data_files: bool = True,
     raise_on_error: bool = False,
+    orphan_min_age_seconds: float = 3600.0,
 ) -> dict:
+    """``orphan_min_age_seconds``: age floor for the informational
+    orphan count, defaulting to vacuum's own guard — a zero floor on a
+    LIVE table counts a concurrent writer's not-yet-committed data
+    files as phantom orphans (files land before their header), which a
+    real vacuum would never sweep."""
     errors: list[str] = []
     warnings: list[str] = []
     counts: dict[str, int] = {}
@@ -86,7 +92,7 @@ def verify_table(
     counts["chain_length"] = len(chain)
 
     # -- refs -----------------------------------------------------------------
-    refs = {**t.tags(), **{k: v for k, v in t.branches().items()}}
+    refs = {**t.tags(), **t.branches()}
     for name, rsid in sorted(refs.items()):
         if rsid not in headers:
             errors.append(f"ref {name!r} points at missing snapshot {rsid}")
@@ -111,7 +117,12 @@ def verify_table(
             ):
                 live_files.update(fl)
             continue
-        for name in list(raw["buckets"].values()) + list(
+        # defensive .get: a truncated/hand-edited header that parses as
+        # JSON but lacks the key must surface as a report, not crash
+        # the checker itself
+        if "buckets" not in raw:
+            errors.append(f"{label}: format-2 header lacks the 'buckets' map")
+        for name in list(raw.get("buckets", {}).values()) + list(
             raw.get("deltas", {}).values()
         ):
             if name in seen_manifests:
@@ -159,7 +170,7 @@ def verify_table(
     # -- orphans (informational) ----------------------------------------------
     try:
         counts["orphans_pending_vacuum"] = len(
-            t.vacuum(dry_run=True, min_age_seconds=0)
+            t.vacuum(dry_run=True, min_age_seconds=orphan_min_age_seconds)
         )
     except Exception as exc:  # never fail verification on the extra scan
         warnings.append(f"orphan scan failed: {exc}")

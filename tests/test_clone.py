@@ -92,10 +92,11 @@ def test_clone_write_independence_and_watermark_resume(spark, tmp_path):
     assert final_state(eng) == src_state  # source never moved
     assert final_state(ceng) != src_state
 
+    clone_before = final_state(ceng)
     back = events_df(spark, n_events=100, seed=55, dirty_frac=0.0,
                      start_commit=9000)
     eng.apply_batch(back)
-    assert final_state(ceng) == final_state(ceng)  # clone unaffected
+    assert final_state(ceng) == clone_before  # source write never leaks in
     assert _table_state(c) != _table_state(eng.table)
 
 

@@ -54,6 +54,19 @@ class TestFileIOContract:
         assert not io.exists(dst)
         assert not io.tree_has_suffix(os.path.join(root, "missing"), ".parquet")
 
+    def test_copy_byte_exact_into_fresh_parent(self, io_impl):
+        # the deep-clone primitive: byte-exact, creates the destination
+        # parent, refuses nothing (clone layers its own no-overwrite
+        # guard); exercised over the Hadoop FS API via file:// too
+        io, root = io_impl
+        src = os.path.join(root, "src", "data.bin")
+        io.makedirs(os.path.join(root, "src"))
+        io.write_text_atomic(src, "payload-bytes é中")
+        dst = os.path.join(root, "fresh", "nested", "copy.bin")
+        io.copy(src, dst)
+        assert io.read_text(dst) == "payload-bytes é中"
+        assert io.exists(src)  # copy, not move
+
 
 def test_fileio_for_scheme_routing(spark):
     assert isinstance(fileio_for(spark, "/tmp/x"), LocalFileIO)
