@@ -3332,6 +3332,65 @@ def q_lake_skipping_read(spark, sf):
 
 
 @_q(
+    "lake_bloom_skipping_read",
+    f"""
+    WITH {_LAKE_BASE_CTE}
+    SELECT repo, path, "commit", event_seq, lang, content,
+           sha256(content) AS content_sha
+    FROM base WHERE lang = 'P'
+    """,
+)
+def q_lake_bloom_skipping_read(spark, sf):
+    """Equality-predicate file skipping through per-file BLOOM filters
+    (lake/table.py _collect_file_blooms / read(where_eq) — the Delta
+    bloom-index / Iceberg puffin analog): base files are laid out
+    homogeneous in lang (one per (bucket, lang) via directory
+    partitioning), the filters are harvested by one column-pruned
+    Spark job at commit, and the equality read probes them DRIVER-SIDE
+    through the pure-Python xxhash64 twin (lake/xxh.py) — min/max
+    ranges cannot prune an unclustered categorical column, so every
+    file skipped here is the bloom's doing. The query raises unless
+    the prune actually dropped files, so a green hash certifies the
+    index ENGAGED and stayed exact (false positives cost scan, never
+    correctness; definitive absence is sound by construction)."""
+    from filters_spark.lake.table import LakeTable, bucket_expr
+
+    root = os.path.join(_tmpdir("filters_spark_lakeq_"), "lake")
+    t = LakeTable.create(
+        spark, root, ["repo", "path"], num_buckets=8, bloom_cols=["lang"],
+    )
+    bkt = bucket_expr(F.col("repo"), F.col("path"), 8, 16).cast("int").alias("_bucket")
+    base = _lake_base_df(spark, sf).select("*", bkt)
+    # ONE write, homogeneity by directory semantics: lang is duplicated
+    # into a partition column, so each (bucket, lang) dir's files hold
+    # only that lang while the data keeps the real column
+    seed = os.path.join(root, "data", "seed")
+    (
+        base.withColumn("_lang_part", F.coalesce(F.col("lang"), F.lit("-")))
+        .write.partitionBy("_bucket", "_lang_part").parquet(seed)
+    )
+    new_files = {}
+    for bd in sorted(os.listdir(seed)):
+        if not bd.startswith("_bucket="):
+            continue
+        b = bd.split("=", 1)[1]
+        new_files[b] = sorted(
+            os.path.join(seed, bd, ld, f)
+            for ld in os.listdir(os.path.join(seed, bd))
+            if ld.startswith("_lang_part=")
+            for f in os.listdir(os.path.join(seed, bd, ld))
+            if f.endswith(".parquet")
+        )
+    t.commit_bucket_files(
+        new_files, {int(b): "000000000001:0000000000" for b in new_files},
+    )
+    rep = t.prune_report(where_eq=("lang", "P"))
+    if rep["files_skipped"] <= 0:
+        raise AssertionError(f"bloom skipping did not engage: {rep}")
+    return t.read(where_eq=("lang", "P")).select(*_LAKE_STATE_COLS)
+
+
+@_q(
     "lake_rollback_read",
     f"""
     WITH {_LAKE_BASE_CTE}

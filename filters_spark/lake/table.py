@@ -251,6 +251,9 @@ class LakeTable:
         columns: list[str] | None = None,
         stats_cols: list[str] | None = None,
         sort_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_m_bits: int = 1 << 16,
+        bloom_k: int = 5,
     ) -> "LakeTable":
         """``stats_cols``: columns whose per-file min/max are recorded
         in manifests at commit time (parquet footer stats, driver-side,
@@ -258,7 +261,19 @@ class LakeTable:
         ``sort_cols``: commit-time ``sortWithinPartitions`` clustering
         inside each bucket — tight per-file ranges are what make the
         min/max skipping selective (unsorted files all span the whole
-        domain and nothing prunes)."""
+        domain and nothing prunes).
+        ``bloom_cols``: columns that get a per-file BLOOM FILTER
+        harvested at commit time (Delta bloom-index / Iceberg puffin
+        analog) and probed by :meth:`read`'s ``where_eq`` equality
+        pruning — the point-lookup complement of min/max skipping,
+        selective even on columns no sort order can cluster (min/max
+        needs contiguous ranges; a bloom prunes on set membership).
+        ``bloom_m_bits``/``bloom_k``: filter geometry (bits must be a
+        multiple of 64; ~1e4 distinct values per file at the 64 KiB
+        default stay under 5% false positives — oversize files degrade
+        to less pruning, never to wrong results)."""
+        if bloom_cols and (bloom_m_bits < 64 or bloom_m_bits % 64 or bloom_k < 1):
+            raise ValueError("bloom_m_bits must be a positive multiple of 64, bloom_k >= 1")
         t = cls(spark, root)
         if t.io.exists(os.path.join(t.meta_dir, "version-hint.text")):
             raise FileExistsError(f"lake table already exists at {root}")
@@ -275,6 +290,10 @@ class LakeTable:
             "columns": columns,
             "stats_cols": stats_cols,
             "sort_cols": sort_cols,
+            "bloom": (
+                {"cols": bloom_cols, "m": bloom_m_bits, "k": bloom_k}
+                if bloom_cols else None
+            ),
             "operation": "create",
             "buckets": {},      # bucket_id(str) -> [base file paths]
             "deltas": {},       # bucket_id(str) -> [delta file paths] (merge-on-read)
@@ -456,6 +475,89 @@ class LakeTable:
             if fstats:
                 self._file_stats_cache[p] = fstats
 
+    def _collect_file_blooms(self, paths: list[str], bloom: dict) -> None:
+        """Per-file Bloom bitmaps for ``bloom["cols"]`` over NEW base
+        files (Delta bloom-index / Iceberg puffin analog): ONE
+        column-pruned Spark job per column over only this commit's
+        files — an O(new data in that column) map-side scan plus a
+        groupBy bounded by files x m/64 words, never the table — then
+        the nonzero words land in the same per-file stats dicts the
+        min/max harvest fills, so they persist through the
+        content-addressed manifests (and ride clone/rollback/WAP)
+        with zero extra metadata machinery.
+
+        Probe side is DRIVER-ONLY: :meth:`read`'s ``where_eq`` walks
+        the candidate files' word lists through the pure-Python
+        xxhash64 twin (lake/xxh.py, bit-equality with Spark pinned in
+        tests/test_xxh_twin.py) — a point lookup never launches a job
+        to decide which files to scan.
+
+        A file whose column is entirely NULL records an EMPTY filter —
+        equality never matches NULL, so the file is definitively
+        prunable (the [min,max] analog can't say that). Files the
+        reader can't reach degrade to "no filter = never pruned", the
+        same contract as :meth:`_collect_file_stats`. Hash scheme is
+        operators/sketches.bloom_build's (xxhash64 -> mixp31 -> mod m):
+        the per-file filters here stay word-compatible with the
+        operator-tier filters, and the prime-modulus mixer is what
+        keeps the k probes independent under the power-of-two m."""
+        from filters_spark.operators.hashing import mixp31
+        from filters_spark.operators.sketches import _bit_mask
+
+        m, k = bloom["m"], bloom["k"]
+        todo = [
+            p for p in paths
+            if any(
+                f"__bloom:{c}" not in self._file_stats_cache.get(p, {})
+                for c in bloom["cols"]
+            )
+        ]
+        if not todo:
+            return
+        # identity = path suffix after /data/ (one writer task reuses
+        # its part-file NAME across every _bucket=K dir, so basenames
+        # collide by construction; _rel_to_data is the same identity
+        # clone/vacuum use, and it strips input_file_name's scheme
+        # prefix for free)
+        by_rel = {_rel_to_data(p): p for p in todo}
+        for c in bloom["cols"]:
+            try:
+                rows = (
+                    self.spark.read.schema(f"`{c}` string").parquet(*todo)
+                    # NULL cells are NOT members (xxhash64(NULL) is the
+                    # seed, not NULL — hashing them would both set k
+                    # phantom bits and admit NULL as a match)
+                    .filter(F.col(c).isNotNull())
+                    .select(
+                        F.input_file_name().alias("_f"),
+                        F.xxhash64(F.col(c).cast("string")).alias("_h"),
+                    )
+                    .select(
+                        "_f",
+                        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_k"),
+                        "_h",
+                    )
+                    .withColumn("_bit", F.pmod(mixp31(F.col("_h"), F.col("_k")), F.lit(m)))
+                    .select(
+                        "_f",
+                        F.shiftright(F.col("_bit"), 6).alias("w"),
+                        _bit_mask(F.col("_bit")).alias("_m"),
+                    )
+                    .groupBy("_f", "w")
+                    .agg(F.bit_or("_m").alias("bits"))
+                    .collect()
+                )
+            except Exception:
+                continue  # unreadable files: no filter, never pruned
+            words: dict[str, list] = {p: [] for p in todo}
+            for r in rows:
+                p = by_rel.get(_rel_to_data(r["_f"]))
+                if p is not None:
+                    words[p].append([int(r["w"]), int(r["bits"])])
+            for p, wl in words.items():
+                fstats = self._file_stats_cache.setdefault(p, {})
+                fstats[f"__bloom:{c}"] = sorted(wl)
+
     def _write_snapshot_header(self, snapshot: dict) -> None:
         """Persist a snapshot header (manifests + create-exclusive
         snap-N.json) WITHOUT advancing the hint — shared by main
@@ -543,11 +645,66 @@ class LakeTable:
             return False
         return True
 
+    @staticmethod
+    def _bloom_word_masks(value, m: int, k: int) -> list[tuple[int, int]]:
+        """The k (word_idx, bit_mask) probes for ``value`` — the pure-
+        Python twin of _collect_file_blooms' Spark-side bit math
+        (xxh64 twin == Spark xxhash64 pinned in tests/test_xxh_twin.py;
+        Python's ``%`` on the SIGNED twin value == Spark's pmod)."""
+        from filters_spark.lake.xxh import xxh64
+        from filters_spark.operators.hashing import _MIX_MULT, _P31
+
+        hp = xxh64(str(value).encode("utf-8")) % _P31
+        out = []
+        for kk in range(k):
+            bit = ((hp + 1) * (2 * kk + _MIX_MULT)) % _P31 % m
+            out.append((bit >> 6, 1 << (bit & 63)))
+        return out
+
+    @classmethod
+    def _file_bloom_may_contain(
+        cls, stats: dict | None, bloom: dict | None, where_eq: tuple
+    ) -> bool:
+        """Definitive-absence test against a file's recorded bloom
+        words. A missing filter (column not in bloom_cols, file
+        unreadable at harvest, table predates the config) can never
+        skip; an EMPTY filter (all-NULL column in that file) always
+        does. Stored words are signed 64-bit (Spark longs) — masked to
+        unsigned before the bit test."""
+        col, value = where_eq
+        key = f"__bloom:{col}"
+        if not bloom or col not in bloom["cols"] or not stats or key not in stats:
+            return True
+        words = {w: b & 0xFFFFFFFFFFFFFFFF for w, b in stats[key]}
+        return all(
+            words.get(w, 0) & mask
+            for w, mask in cls._bloom_word_masks(value, bloom["m"], bloom["k"])
+        )
+
+    def _file_passes(
+        self, f: str, snap: dict, where: tuple | None, where_eq: tuple | None
+    ) -> bool:
+        """Combined file-skipping test for a delta-free bucket's base
+        file: range stats against ``where``, range stats at
+        [value, value] AND bloom definitive-absence against
+        ``where_eq``. Missing stats/filters always keep the file."""
+        stats = self._file_stats_cache.get(f)
+        if where is not None and not self._file_may_match(stats, where):
+            return False
+        if where_eq is not None:
+            col, value = where_eq
+            if not self._file_may_match(stats, (col, value, value)):
+                return False
+            if not self._file_bloom_may_contain(stats, snap.get("bloom"), where_eq):
+                return False
+        return True
+
     def read(
         self,
         snapshot_id: int | None = None,
         buckets: Iterable[int] | None = None,
         where: tuple | None = None,
+        where_eq: tuple | None = None,
         wap_id: str | None = None,
         _snap: dict | None = None,
     ) -> DataFrame | None:
@@ -565,6 +722,14 @@ class LakeTable:
         unsound — dropping the file holding a key's winning version
         (e.g. an out-of-range update or a delete tombstone) would
         expose a stale in-range row as the winner.
+
+        ``where_eq=(col, value)`` is the EQUALITY twin: rows filtered
+        to ``col = value``, files pruned (same delta-free soundness
+        rule) through BOTH the min/max range test at [value, value]
+        and, when the table records ``bloom_cols``, the per-file Bloom
+        filter — definitive absence drops the file even where min/max
+        can't (unclustered columns, all-NULL files). Composes with
+        ``where``.
 
         Merge-on-read: buckets that carry delta files (commit_deltas)
         are merged lazily — base ∪ deltas, one last-writer-wins window
@@ -584,14 +749,18 @@ class LakeTable:
             snap = _snap
         else:
             snap = self.snapshot(snapshot_id)
+        if where_eq is not None and where_eq[1] is None:
+            raise ValueError("where_eq value may not be None (use an IS NULL "
+                             "filter on the returned frame; NULL never equals)")
         wanted = None if buckets is None else {str(b) for b in buckets}
         base_files: list[str] = []
         for b, fl in snap["buckets"].items():
             if wanted is None or b in wanted:
-                if where is not None and not snap.get("deltas", {}).get(b):
+                if (where is not None or where_eq is not None) \
+                        and not snap.get("deltas", {}).get(b):
                     fl = [
                         f for f in fl
-                        if self._file_may_match(self._file_stats_cache.get(f), where)
+                        if self._file_passes(f, snap, where, where_eq)
                     ]
                 base_files.extend(fl)
         delta_files: list[str] = []
@@ -626,7 +795,7 @@ class LakeTable:
                 "content_sha", bkt,
             )
         if not delta_files:
-            return self._apply_where(base, where)
+            return self._apply_where(base, where, where_eq)
         deltas = self.spark.read.schema(self._delta_ddl(payload)).parquet(*delta_files).select(
             "repo", "path", "commit", "event_seq", *payload, "op", bkt,
             watermark_str(F.col("commit"), F.col("event_seq")).alias("_wm"),
@@ -640,30 +809,41 @@ class LakeTable:
             merged_src = base_ops.unionByName(deltas)
         else:
             merged_src = deltas
-        return self._apply_where(lww_merge(merged_src, payload), where)
+        return self._apply_where(lww_merge(merged_src, payload), where, where_eq)
 
     @staticmethod
-    def _apply_where(df: DataFrame | None, where: tuple | None) -> DataFrame | None:
-        if df is None or where is None:
+    def _apply_where(
+        df: DataFrame | None,
+        where: tuple | None,
+        where_eq: tuple | None = None,
+    ) -> DataFrame | None:
+        if df is None:
             return df
-        col, lo, hi = where
-        c = F.col(col)
-        if lo is not None:
-            df = df.filter(c >= lo)
-        if hi is not None:
-            df = df.filter(c <= hi)
+        if where is not None:
+            col, lo, hi = where
+            c = F.col(col)
+            if lo is not None:
+                df = df.filter(c >= lo)
+            if hi is not None:
+                df = df.filter(c <= hi)
+        if where_eq is not None:
+            df = df.filter(F.col(where_eq[0]) == F.lit(where_eq[1]))
         return df
 
     def prune_report(
         self,
-        where: tuple,
+        where: tuple | None = None,
         snapshot_id: int | None = None,
         buckets: Iterable[int] | None = None,
+        where_eq: tuple | None = None,
     ) -> dict:
         """Observability twin of :meth:`read`'s data skipping: how many
-        base files the ``where`` range would actually scan. Drives the
-        data-skipping tests and capacity planning ("is the clustering
-        selective enough?") without running a query."""
+        base files the ``where`` range / ``where_eq`` equality (min/max
+        + bloom) would actually scan. Drives the data-skipping tests
+        and capacity planning ("is the clustering selective enough?")
+        without running a query."""
+        if where is None and where_eq is None:
+            raise ValueError("pass where and/or where_eq")
         snap = self.snapshot(snapshot_id)
         wanted = None if buckets is None else {str(b) for b in buckets}
         total = kept = 0
@@ -677,8 +857,7 @@ class LakeTable:
                 unprunable.append(int(b))
                 continue
             kept += sum(
-                1 for f in fl
-                if self._file_may_match(self._file_stats_cache.get(f), where)
+                1 for f in fl if self._file_passes(f, snap, where, where_eq)
             )
         return {
             "files_total": total,
@@ -867,6 +1046,7 @@ class LakeTable:
             "path_salt": target["path_salt"],
             "stats_cols": target.get("stats_cols"),
             "sort_cols": target.get("sort_cols"),
+            "bloom": target.get("bloom"),
         }
         self._write_snapshot(snapshot)
         return snapshot
@@ -1189,6 +1369,13 @@ class LakeTable:
         if prev.get("stats_cols"):
             self._collect_file_stats(
                 [f for fl in new_files.values() for f in fl], prev["stats_cols"]
+            )
+        if prev.get("bloom"):
+            # base files only: delta-carrying buckets are exempt from
+            # value pruning anyway (read() soundness rule), so delta
+            # commits never pay the bloom scan
+            self._collect_file_blooms(
+                [f for fl in new_files.values() for f in fl], prev["bloom"]
             )
         buckets = dict(prev["buckets"])
         deltas = dict(prev.get("deltas", {}))
