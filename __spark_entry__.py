@@ -1800,6 +1800,42 @@ def q_events_transitions(spark, sf):
 
 
 @_q(
+    "events_interval_join",
+    """
+    SELECT l.user_id,
+           l.ts AS l_ts, l.event_id AS l_event_id,
+           r.ts AS r_ts, r.event_id AS r_event_id, r.value AS r_value
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    WHERE l.event_type = 'signup' AND r.event_type = 'purchase'
+    """,
+)
+def q_events_interval_join(spark, sf):
+    """Event-time interval join (streaming/joins.py interval_join):
+    purchases within [0, 30 min] AFTER a signup by the same user — the
+    attribution-window shape. ONE operator for batch and streaming: in
+    batch it plans as a single key-equality shuffle per side with the
+    range as a join residual; over two streams the same plan becomes
+    Spark's watermarked stream-stream inner join, where the interval
+    bound is what lets the engine evict buffered rows (state is
+    watermark + 30 min per key, independent of stream length —
+    restart/late-drop pinned in tests/test_streaming.py). The
+    watermark argument is passed here too and ignored by the batch
+    planner: mode-agnosticism is the contract under test."""
+    from filters_spark.streaming.joins import interval_join
+
+    ev = _t(spark, sf, "events")
+    return interval_join(
+        ev.filter(F.col("event_type") == "signup")
+          .select("ts", "user_id", "event_id"),
+        ev.filter(F.col("event_type") == "purchase")
+          .select("ts", "user_id", "event_id", "value"),
+        ("user_id",), lower_s=0.0, upper_s=1800.0, watermark="10 minutes",
+    )
+
+
+@_q(
     "ann_cosine_topk",
     """
     WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)

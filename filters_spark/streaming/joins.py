@@ -1,0 +1,89 @@
+"""Stream-stream interval join — event-time correlation with bounded
+state.
+
+One operator, two execution modes (the same design point as
+streaming/windows.py): ``interval_join`` declares a key-equality join
+plus an event-time RANGE condition (``right.ts`` within
+``[left.ts + lower, left.ts + upper]``). Run over static frames it is
+an ordinary equi-join with a range filter — ONE shuffle per side on
+the key, Catalyst's planning. Run over two streams it is Spark's
+watermarked stream-stream inner join: the range condition is what lets
+the engine derive, from each side's watermark, when a buffered row can
+never match a future row from the other side and EVICT it — without
+the interval bound, stream-stream join state grows forever. That state
+bound is the whole 100-TB/day story: both sides buffer only
+``watermark + interval`` worth of rows per key, independent of stream
+length.
+
+Reference parity tier: the reference library is a scalar validation
+pipeline with no join surface (SURVEY.md §2.6); this is engine-layer
+north-rule surface (correlating a change stream against a second
+event stream — audit events to commits, clicks to purchases).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id",),
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_s: float = 0.0,
+    upper_s: float = 1800.0,
+    watermark: str | None = None,
+    prefixes: tuple[str, str] = ("l_", "r_"),
+) -> DataFrame:
+    """Inner-join ``left`` and ``right`` on ``key_cols`` equality AND
+    ``right_ts`` in ``[left_ts + lower_s, left_ts + upper_s]`` seconds
+    (bounds inclusive; ``lower_s`` may be negative for
+    right-before-left windows).
+
+    Output columns: ``key_cols`` once, then every other column of each
+    side under its prefix (both ``ts`` columns survive, prefixed —
+    downstream dedupe/windowing usually needs them).
+
+    ``watermark`` (e.g. ``"10 minutes"``) is applied to BOTH sides'
+    event-time columns; required for streaming (Spark refuses an
+    unbounded stream-stream inner join), ignored by the batch planner —
+    pass it unconditionally and the operator is mode-agnostic. In
+    streaming, rows later than the watermark are dropped by contract
+    and matches are emitted in append mode as soon as both rows have
+    arrived (inner join never needs to wait for finalization).
+    """
+    lp, rp = prefixes
+    if lp == rp:
+        raise ValueError("prefixes must differ")
+    if upper_s < lower_s:
+        raise ValueError("upper_s must be >= lower_s")
+    if watermark is not None:
+        left = left.withWatermark(left_ts, watermark)
+        right = right.withWatermark(right_ts, watermark)
+    for c in left.columns:
+        if c not in key_cols:
+            left = left.withColumnRenamed(c, lp + c)
+    for c in right.columns:
+        # right keys keep a prefixed name too: the join condition needs
+        # both sides addressable, and the select below drops them
+        right = right.withColumnRenamed(c, rp + c)
+    lts, rts = lp + left_ts, rp + right_ts
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & (F.col(k) == F.col(rp + k))
+    cond = (
+        cond
+        & (F.col(rts) >= F.col(lts) + F.expr(f"make_dt_interval(0, 0, 0, {lower_s})"))
+        & (F.col(rts) <= F.col(lts) + F.expr(f"make_dt_interval(0, 0, 0, {upper_s})"))
+    )
+    joined = left.join(right, cond, "inner")
+    keep = list(key_cols)
+    keep += [c for c in joined.columns if c.startswith(lp)]
+    keep += [
+        c for c in joined.columns
+        if c.startswith(rp) and c[len(rp):] not in key_cols
+    ]
+    return joined.select(*keep)

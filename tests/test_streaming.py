@@ -374,3 +374,95 @@ def test_stream_dedupe_key_spanning_multiple_arrow_chunks(spark, tmp_path):
     finally:
         spark.conf.set(conf, prev)
     assert sorted(seen) == sorted("%012x" % c for c in range(1, 41))
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (streaming/joins.py): the SAME
+    operator over two file-source streams (watermarked inner join,
+    append mode) and over the static frames must produce the same
+    match set; a row arriving later than the watermark allows is
+    dropped from the join state (pinned via numRowsDroppedByWatermark),
+    so its would-be match never materializes."""
+    from filters_spark.streaming.joins import interval_join
+
+    ddl = "ts timestamp, user_id long, event_id long"
+
+    def frame(rows):
+        raw = spark.createDataFrame(rows, "ts string, user_id long, event_id long")
+        return raw.select(F.to_timestamp("ts").alias("ts"), "user_id", "event_id")
+
+    ld, rd = str(tmp_path / "lsrc"), str(tmp_path / "rsrc")
+    os.makedirs(ld)
+    os.makedirs(rd)
+    out = str(tmp_path / "ijout")
+
+    # left: signups; right: purchases. Match = same user, purchase
+    # within [0, 30 min] after signup.
+    lefts = [
+        ("2026-01-01 10:00:00", 1, 100),
+        ("2026-01-01 10:05:00", 2, 101),
+        ("2026-01-01 11:00:00", 1, 102),
+    ]
+    rights = [
+        ("2026-01-01 10:10:00", 1, 900),   # matches 100 (10 min after)
+        ("2026-01-01 10:29:00", 2, 901),   # matches 101 (24 min after)
+        ("2026-01-01 10:45:00", 1, 902),   # matches nothing (45 > 30 after 100)
+        ("2026-01-01 11:20:00", 1, 903),   # matches 102
+        ("2026-01-01 09:59:00", 2, 904),   # before any signup: no match
+    ]
+
+    def run():
+        ls = spark.readStream.schema(ddl).parquet(ld + "/*/")
+        rs = spark.readStream.schema(ddl).parquet(rd + "/*/")
+        j = interval_join(
+            ls, rs, ("user_id",), lower_s=0.0, upper_s=1800.0,
+            watermark="10 minutes",
+        )
+        q = (
+            j.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ijckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return q
+
+    frame(lefts).coalesce(1).write.parquet(os.path.join(ld, "f1"))
+    frame(rights).coalesce(1).write.parquet(os.path.join(rd, "f1"))
+    run()
+
+    # restart: watermark is far past 10:00 now (max event 11:20 - 10min);
+    # a LATE left row at 09:00 must be dropped by the restored watermark
+    # even though an on-time right row at 09:20 would have matched it
+    frame([("2026-01-01 09:00:00", 3, 103)]).coalesce(1).write.parquet(
+        os.path.join(ld, "f2")
+    )
+    frame([("2026-01-01 11:30:00", 9, 905)]).coalesce(1).write.parquet(
+        os.path.join(rd, "f2")
+    )
+    q2 = run()
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q2.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped >= 1
+
+    got = sorted(
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(1, 100, 900), (1, 102, 903), (2, 101, 901)]
+
+    # batch mode of the same operator over the on-time files agrees
+    batch = interval_join(
+        spark.read.schema(ddl).parquet(os.path.join(ld, "f1")),
+        spark.read.schema(ddl).parquet(os.path.join(rd, "f1")),
+        ("user_id",), lower_s=0.0, upper_s=1800.0, watermark="10 minutes",
+    )
+    bgot = sorted(
+        (r.user_id, r.l_event_id, r.r_event_id) for r in batch.collect()
+    )
+    assert bgot == got
