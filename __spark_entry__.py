@@ -254,6 +254,73 @@ _EVO_SPECS_V1 = {
 
 
 @_q(
+    "cdc_ref_check_gate",
+    """
+    WITH allowed AS (
+      SELECT 'r' || CAST(n_nationkey AS VARCHAR) AS repo_id
+      FROM nation WHERE n_nationkey < 15
+    )
+    SELECT printf('%012x', o_orderkey) AS "commit",
+           o_orderkey AS event_seq,
+           'r' || CAST(o_custkey % 25 AS VARCHAR) AS repo,
+           'p' || CAST(o_orderkey AS VARCHAR) AS path,
+           lower(o_orderstatus) AS lang,
+           o_orderpriority AS content
+    FROM orders
+    WHERE o_orderkey % 17 <> 0
+      AND 'r' || CAST(o_custkey % 25 AS VARCHAR) IN (SELECT repo_id FROM allowed)
+    """,
+)
+def q_cdc_ref_check_gate(spark, sf):
+    """Referential-integrity gate through the FULL engine (engine/
+    cdc.py RefCheck): change events validate per-field as usual AND
+    against a broadcast dimension — repos must exist in a registry
+    built from the nation table (n_nationkey < 15 of the 25 synth
+    repos). Violating non-delete events dead-letter under
+    ref_violation:repos; DELETE tombstones are exempt (they remove, a
+    carried payload never lands). The oracle respells the gate
+    declaratively (WAL filtered to the allowed semi-join); the
+    dead-letter side is pinned by explicit raises, so a green hash
+    certifies both the applied and the rejected partitions."""
+    from filters_spark.engine.cdc import CDCEngine, RefCheck
+    from filters_spark.engine.evolution import SpecRegistry, VersionSpec
+    from filters_spark.lake.table import LakeTable
+
+    o = _t(spark, sf, "orders")
+    n = _t(spark, sf, "nation")
+    reg = SpecRegistry(["repo", "path", "lang", "content"])
+    reg.register(VersionSpec(1, _EVO_SPECS_V1))
+    root = _tmpdir("filters_spark_refq_")
+    t = LakeTable.create(spark, os.path.join(root, "lake"), ["repo", "path"], num_buckets=8)
+    dim = n.filter(F.col("n_nationkey") < 15).select(
+        F.concat(F.lit("r"), F.col("n_nationkey").cast("string")).alias("repo_id")
+    )
+    eng = CDCEngine(
+        spark, t, reg, ref_checks=[RefCheck("repo", dim, "repo_id", name="repos")],
+    )
+    ev = o.select(
+        F.format_string("%012x", F.col("o_orderkey")).alias("commit"),
+        F.col("o_orderkey").alias("event_seq"),
+        F.when(F.col("o_orderkey") % 17 == 0, "D").otherwise("U").alias("op"),
+        F.concat(F.lit("r"), (F.col("o_custkey") % 25).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("o_orderkey").cast("string")).alias("path"),
+        F.col("o_orderstatus").alias("lang"),
+        F.col("o_orderpriority").alias("content"),
+        F.lit(1).alias("schema_version"),
+    )
+    m = eng.apply_batch(ev)
+    want_dead = ev.filter(
+        (F.col("op") != "D") & (F.col("repo").substr(2, 10).cast("int") >= 15)
+    ).count()
+    if m["dead_lettered"] != want_dead or want_dead == 0:
+        raise AssertionError(f"gate miscounted: {m['dead_lettered']} != {want_dead}")
+    codes = {r.first_code for r in eng.dead_letters().select("first_code").distinct().collect()}
+    if codes != {"ref_violation:repos"}:
+        raise AssertionError(f"unexpected dead-letter codes: {codes}")
+    return t.read().select("commit", "event_seq", "repo", "path", "lang", "content")
+
+
+@_q(
     "cdc_schema_evolution",
     """
     WITH ev AS (

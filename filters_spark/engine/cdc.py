@@ -52,6 +52,34 @@ from filters_spark.lake.table import LakeTable, WATERMARK_ZERO, bucket_expr, lww
 PASSTHROUGH = ["commit", "event_seq", "op", "schema_version"]
 
 
+@dataclass(frozen=True)
+class RefCheck:
+    """Referential-integrity gate for one canonical payload column —
+    the cross-TABLE complement of the per-field filter chains: a
+    change event whose ``field`` value is not in the reference set is
+    dead-lettered (code ``ref_violation:<name>``) instead of applied,
+    exactly like a per-field FilterError. SQL-FK semantics by default:
+    NULL passes (``allow_null=False`` rejects it), and DELETE events
+    are exempt — a tombstone removes the row, its carried payload
+    never lands.
+
+    ``ref``: a one-column-usable DataFrame (the dimension) or a
+    callable ``(spark) -> DataFrame`` resolved at staging time (live
+    dimensions re-read per replay). The gate is ONE broadcast hash
+    join per check over the distinct reference values — dimension
+    class, never fact class: the distinct set must broadcast."""
+
+    field: str
+    ref: object          # DataFrame | (spark) -> DataFrame
+    ref_col: str
+    name: str = "fk"
+    allow_null: bool = True
+
+    def resolve(self, spark: SparkSession) -> DataFrame:
+        df = self.ref(spark) if callable(self.ref) else self.ref
+        return df.select(F.col(self.ref_col).cast("string").alias("__ref")).distinct()
+
+
 @dataclass
 class StagedBatch:
     """A batch applied up to — but not including — the publish: the
@@ -189,6 +217,7 @@ class CDCEngine:
         write_mode: str = "cow",
         compact_after: int = 8,
         group_applies: bool = True,
+        ref_checks: list[RefCheck] | None = None,
     ):
         """``write_mode``:
 
@@ -216,6 +245,12 @@ class CDCEngine:
         # forces the sequential per-batch path (same results, pinned
         # by tests)
         self.group_applies = group_applies
+        for chk in ref_checks or []:
+            if chk.field not in registry.canonical_columns:
+                raise ValueError(
+                    f"ref_check field {chk.field!r} is not a canonical column"
+                )
+        self.ref_checks = list(ref_checks or [])
         root = table.root
         self.dead_letter_dir = dead_letter_dir or os.path.join(root, "dead_letter")
         self.lineage_dir = lineage_dir or os.path.join(root, "lineage")
@@ -341,6 +376,38 @@ class CDCEngine:
             ]
         )
 
+    def _ref_checked(self, df: DataFrame) -> DataFrame:
+        """Apply the engine's :class:`RefCheck` gates to a validated
+        frame: one BROADCAST hash join per check against the distinct
+        reference values (map-only — the event stream never shuffles
+        for the gate), appending a ``ref_violation:<name>`` error
+        struct where the lookup misses. Runs BEFORE the ``_dead``
+        split, so violations ride the normal dead-letter machinery
+        (adoption, retry_dead_letters after fixing the dimension,
+        metrics) with zero new code paths."""
+        from filters_spark.operators.validate import ERRORS_COL
+
+        for chk in self.ref_checks:
+            ref = F.broadcast(chk.resolve(self.spark).withColumn("__hit", F.lit(True)))
+            df = df.join(ref, df[chk.field] == ref["__ref"], "left").drop("__ref")
+            bad = F.col("__hit").isNull() & (F.col("op") != F.lit("D"))
+            if chk.allow_null:
+                bad = bad & F.col(chk.field).isNotNull()
+            err = F.struct(
+                F.lit(chk.field).alias("key"),
+                F.lit(f"ref_violation:{chk.name}").alias("code"),
+                F.concat(
+                    F.lit(f"value not in reference set {chk.name!r}: "),
+                    F.coalesce(F.col(chk.field), F.lit("null")),
+                ).alias("message"),
+            )
+            df = df.withColumn(
+                ERRORS_COL,
+                F.when(bad, F.concat(F.col(ERRORS_COL), F.array(err)))
+                .otherwise(F.col(ERRORS_COL)),
+            ).drop("__hit")
+        return df
+
     # ------------------------------------------------------------------
 
     @contextmanager
@@ -427,6 +494,8 @@ class CDCEngine:
         is the job's DFS staging location — bounded by the staged input
         size, cleaned after the last commit."""
         validated = self._validated(events)
+        if self.ref_checks:
+            validated = self._ref_checked(validated)
         validated = validated.withColumn(
             "_bucket",
             bucket_expr(F.col("repo"), F.col("path"), snap["num_buckets"], snap["path_salt"]),
