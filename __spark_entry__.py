@@ -3435,6 +3435,36 @@ def q_lake_skipping_read(spark, sf):
 
 
 @_q(
+    "cdc_snapshot_export",
+    f"""
+    WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE},
+    {_LAKE_LWW_CTES}
+    SELECT "commit", event_seq, 'I' AS op, repo, path, lang, content
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_snapshot_export(spark, sf):
+    """Snapshot export over the Debezium wire (sources/debezium.py
+    snapshot_export — the egress twin of CDCEngine.bootstrap's ingest
+    side, Debezium's initial-snapshot phase as a PRODUCER): the table's
+    merged current state serializes as 'r' envelopes, each row carrying
+    its last-writer (commit, event_seq) through source.file/pos, and
+    parse_debezium recovers the exact engine frame ('r' → upsert) —
+    so the oracle is simply the LWW state with op='I'. A green hash
+    certifies the wire round trip AND the per-row provenance the
+    export→bootstrap replication chain hinges on (chain pinned
+    byte-identical in tests/test_debezium.py)."""
+    from filters_spark.sources.debezium import parse_debezium, snapshot_export
+
+    t = _lake_build(spark, sf, deltas=True)
+    wire = snapshot_export(t, db="prod", table_name="repos")
+    return parse_debezium(
+        wire, ["repo", "path", "lang", "content"],
+        seq_expr=lambda s: s["pos"].cast("long"),
+    ).select("commit", "event_seq", "op", "repo", "path", "lang", "content")
+
+
+@_q(
     "lake_bloom_skipping_read",
     f"""
     WITH {_LAKE_BASE_CTE}

@@ -233,10 +233,14 @@ def to_debezium(
         F.when(F.col(op_col) == "I", F.lit("c"))
         .when(F.col(op_col) == "U", F.lit("u"))
         .when(F.col(op_col) == "D", F.lit("d"))
+        # "R": snapshot-read rows (snapshot_export) -> Debezium's r,
+        # which parse_debezium ingests as an upsert — the round trip
+        # that makes export->bootstrap replication chains closed
+        .when(F.col(op_col) == "R", F.lit("r"))
         .otherwise(
             F.raise_error(
                 F.concat(
-                    F.lit("to_debezium: op outside {I,U,D}: "),
+                    F.lit("to_debezium: op outside {I,U,D,R}: "),
                     F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
                 )
             )
@@ -295,4 +299,44 @@ def to_debezium(
                 dbz_op.alias("op"),
             )
         ).alias("value")
+    )
+
+
+def snapshot_export(
+    table,
+    snapshot_id: int | None = None,
+    connector: str = "filters-spark",
+    db: str | None = None,
+    table_name: str | None = None,
+) -> DataFrame | None:
+    """Serialize a table's FULL state at a snapshot into Debezium
+    ``r`` (snapshot read) envelopes — the egress twin of
+    ``CDCEngine.bootstrap``'s ingest side, and what a Debezium
+    connector emits during its initial-snapshot phase.
+
+    Each exported row carries its LAST-WRITER position ``(commit,
+    event_seq)`` through ``source.file``/``source.pos`` — exactly the
+    per-row provenance :meth:`~filters_spark.engine.cdc.CDCEngine.
+    bootstrap` requires of snapshot rows (the LWW reconciliation of
+    the overlap window hinges on it). So the full replication chain is
+    closed over the standard wire format with no side channel:
+
+        snapshot_export(A) → parse_debezium → B.bootstrap(rows,
+        replay_from=max(A.watermarks)) → tail A's changes()
+        via to_debezium → parse → B.apply_batch  ⇒  B ≡ A
+
+    (pinned byte-identical in tests/test_debezium.py). Map-only over
+    one table read — no shuffle beyond the read's own MoR fold, no
+    Python. Returns None for an empty table."""
+    state = table.read(snapshot_id)
+    if state is None:
+        return None
+    snap = table.snapshot(snapshot_id)
+    fields = ["repo", "path", *table.payload_cols(snap)]
+    return to_debezium(
+        state.withColumn("op", F.lit("R")),
+        fields=fields,
+        connector=connector,
+        db=db,
+        table=table_name,
     )

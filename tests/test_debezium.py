@@ -477,3 +477,68 @@ def test_egress_db_table_stamp_makes_feed_routable(spark, tmp_path):
     assert report["unrouted"] == {}
     assert final_state(mir_a) == final_state(src_a)
     assert final_state(mir_b) == final_state(src_b)
+
+
+def test_snapshot_export_bootstrap_replication_chain(spark, tmp_path):
+    """snapshot_export closes the export→bootstrap replication chain
+    over the standard wire format: export A's state as Debezium 'r'
+    envelopes, parse → B.bootstrap(replay_from = A's max applied
+    position), then tail A's subsequent changes over the wire into B —
+    B must mirror A byte-identically, and a full WAL re-delivery to B
+    (the overlap window) must change nothing (the bootstrap watermark
+    handoff + LWW reconcile it)."""
+    from filters_spark.engine.cdc import CDCEngine
+    from filters_spark.engine.defaults import default_registry
+    from filters_spark.lake.table import LakeTable as LT
+    from filters_spark.sources.debezium import snapshot_export, to_debezium
+
+    from tests.test_cdc_engine import events_df, final_state
+
+    def engine(root, mode="mor"):
+        t = LT.create(spark, os.path.join(root, "lake"),
+                      key_cols=["repo", "path"], num_buckets=8, path_salt=4)
+        return CDCEngine(spark, t, default_registry(), write_mode=mode)
+
+    ev = events_df(spark, n_events=800, dirty_frac=0.05, seed=41)
+    cut = ev.selectExpr("percentile_approx(conv(commit, 16, 10), 0.5)").first()[0]
+    b1 = ev.filter(F.conv("commit", 16, 10).cast("long") <= cut)
+    b2 = ev.filter(F.conv("commit", 16, 10).cast("long") > cut)
+    assert b1.count() > 0 and b2.count() > 0
+
+    a = engine(str(tmp_path / "a"))
+    a.apply_batch(b1)
+
+    # export A's snapshot over the wire; each row carries its last-writer
+    # position through source.file/pos
+    wire = snapshot_export(a.table, db="prod", table_name="repos")
+    rows = parse_debezium(
+        wire, ["repo", "path", "lang", "content"],
+        seq_expr=lambda s: s["pos"].cast("long"),
+    )
+    assert rows.filter(F.col("op") != "I").count() == 0  # r -> upsert
+
+    # B: bootstrap from the export, then tail A's post-snapshot changes
+    b = engine(str(tmp_path / "b"))
+    replay_from = max(a.table.current()["watermarks"].values())
+    b.bootstrap(rows, replay_from=replay_from)
+
+    a.apply_batch(b2)
+    tail_wire = to_debezium(
+        a.table.changes(1), ["repo", "path", "lang", "content"]
+    )
+    tail = parse_debezium(
+        tail_wire, ["repo", "path", "lang", "content"],
+        seq_expr=lambda s: s["pos"].cast("long"),
+    )
+    b.apply_batch(tail)
+    assert final_state(b) == final_state(a)
+
+    # overlap/full re-delivery: the whole original WAL lands on B too —
+    # watermark gate + LWW must leave the mirror untouched
+    m = b.apply_batch(ev)
+    assert m["applied"] == 0
+    assert final_state(b) == final_state(a)
+
+    # export is map-only, no Python
+    plan = wire._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
