@@ -994,6 +994,45 @@ class LakeTable:
                     )
         return out
 
+    def partitions(self, snapshot_id: int | None = None) -> list[dict]:
+        """The Iceberg ``partitions`` metadata table: one row per live
+        bucket of a snapshot — file/row/byte totals (manifest-recorded;
+        rows None when any file predates stats harvesting), pending
+        delta backlog and the bucket's watermark. Driver-side metadata
+        only, the per-PARTITION rollup of :meth:`files`: compaction
+        scheduling ("which buckets carry ripe delta backlogs"), skew
+        monitoring ("is one bucket 100x the others") and watermark
+        audits read THIS, never a scan. Note: delta rows over-count
+        live rows until compaction folds them (read-time LWW drops
+        superseded versions and tombstones) — same caveat as
+        :meth:`metadata_row_count`, which declines instead."""
+        snap = self.snapshot(snapshot_id)
+        out = []
+        all_b = sorted(
+            set(snap["buckets"]) | set(snap.get("deltas", {})), key=int
+        )
+        for b in all_b:
+            row = {
+                "bucket": int(b), "files": 0, "rows": 0, "bytes": 0,
+                "delta_files": 0, "delta_rows": 0, "delta_bytes": 0,
+                "watermark": snap["watermarks"].get(b, WATERMARK_ZERO),
+            }
+            for kind, fk, rk, bk in (
+                ("buckets", "files", "rows", "bytes"),
+                ("deltas", "delta_files", "delta_rows", "delta_bytes"),
+            ):
+                for f in snap.get(kind, {}).get(b, []):
+                    st = self._file_stats_cache.get(f) or {}
+                    row[fk] += 1
+                    if row[rk] is not None:
+                        r = st.get("__rows")
+                        row[rk] = None if r is None else row[rk] + r
+                    if row[bk] is not None:
+                        sz = st.get("__bytes")
+                        row[bk] = None if sz is None else row[bk] + sz
+            out.append(row)
+        return out
+
     def rollback(self, snapshot_id: int) -> dict:
         """Restore the table to a prior snapshot's state as a NEW
         commit (Iceberg rollback semantics): metadata-only — the new

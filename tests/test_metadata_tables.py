@@ -120,3 +120,48 @@ def test_files_metadata_table(spark, tmp_path):
     assert all("event_seq" in (r["stats"] or {}) for r in base)
     # time travel: the files table of snapshot 1 has no deltas
     assert {r["kind"] for r in t.files(1)} == {"base"}
+
+
+def test_partitions_metadata_table(spark, tmp_path):
+    """partitions() — the per-bucket rollup of files(): manifest-only
+    totals, delta backlog, watermarks; rows/bytes None without
+    harvested stats, exact with them."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "l"), ["repo", "path"], num_buckets=2,
+        stats_cols=["event_seq"],
+    )
+    _commit(t, spark, [
+        ("r", "a", "000000000001", 1, "py", "v1"),
+        ("r", "b", "000000000001", 2, "py", "v2"),
+        ("q", "c", "000000000001", 3, "rs", "v3"),
+    ])
+    parts = {p["bucket"]: p for p in t.partitions()}
+    assert sum(p["files"] for p in parts.values()) >= 1
+    assert sum(p["rows"] for p in parts.values()) == 3
+    assert all(p["bytes"] > 0 for p in parts.values())
+    assert all(p["delta_files"] == 0 for p in parts.values())
+    assert all(p["watermark"] == "000000000001:0000000000" for p in parts.values())
+
+    # MoR backlog shows up under delta_*
+    ddf = spark.createDataFrame(
+        [("r", "a", "000000000002", 9, "py", "v9", "U")],
+        DDL + ", op string",
+    ).select(
+        "*",
+        bucket_expr(F.col("repo"), F.col("path"), 2, 16).cast("int").alias("_bucket"),
+    )
+    b = ddf.select("_bucket").first()[0]
+    t.commit_deltas(ddf, [b], {b: "000000000002:0000000009"})
+    parts2 = {p["bucket"]: p for p in t.partitions()}
+    assert parts2[b]["delta_files"] == 1
+    assert parts2[b]["delta_rows"] == 1
+    assert parts2[b]["watermark"] == "000000000002:0000000009"
+    # history is queryable: the pre-delta snapshot still shows no backlog
+    pre = {p["bucket"]: p for p in t.partitions(snapshot_id=1)}
+    assert pre[b]["delta_files"] == 0
+
+    # without stats harvesting, totals degrade to None, never to wrong
+    t2 = LakeTable.create(spark, str(tmp_path / "l2"), ["repo", "path"], num_buckets=2)
+    _commit(t2, spark, [("r", "a", "000000000001", 1, "py", "v1")])
+    p2 = [p for p in t2.partitions() if p["files"]]
+    assert p2 and all(p["rows"] is None and p["bytes"] is None for p in p2)
