@@ -321,6 +321,64 @@ def q_cdc_ref_check_gate(spark, sf):
 
 
 @_q(
+    "cdc_check_constraint_gate",
+    """
+    SELECT printf('%012x', o_orderkey) AS "commit",
+           o_orderkey AS event_seq,
+           'r' || CAST(o_custkey % 25 AS VARCHAR) AS repo,
+           'p' || CAST(o_orderkey AS VARCHAR) AS path,
+           lower(o_orderstatus) AS lang,
+           o_orderpriority AS content
+    FROM orders
+    WHERE length(o_orderpriority) <= 8 AND o_orderkey % 10 <> 7
+    """,
+)
+def q_cdc_check_constraint_gate(spark, sf):
+    """Table-level CHECK constraints through the FULL engine (engine/
+    cdc.py CheckConstraint — Delta ADD CONSTRAINT / DLT expectations):
+    SQL predicates over the VALIDATED canonical row plus the engine
+    passthrough columns, map-side only, dead-lettering definitively-
+    FALSE events under check_violation:<name>. Two constraints compose
+    here — a payload length cap and a CROSS-FIELD predicate on the
+    event identity, the invariant class single-field chains cannot
+    express. The oracle is the WAL filtered by the same predicates;
+    the dead-letter count is pinned by an explicit raise."""
+    from filters_spark.engine.cdc import CDCEngine, CheckConstraint
+    from filters_spark.engine.evolution import SpecRegistry, VersionSpec
+    from filters_spark.lake.table import LakeTable
+
+    o = _t(spark, sf, "orders")
+    reg = SpecRegistry(["repo", "path", "lang", "content"])
+    reg.register(VersionSpec(1, _EVO_SPECS_V1))
+    root = _tmpdir("filters_spark_ccq_")
+    t = LakeTable.create(spark, os.path.join(root, "lake"), ["repo", "path"], num_buckets=8)
+    eng = CDCEngine(
+        spark, t, reg,
+        check_constraints=[
+            CheckConstraint("content_cap", "length(content) <= 8"),
+            CheckConstraint("seq_shape", "event_seq % 10 <> 7"),
+        ],
+    )
+    ev = o.select(
+        F.format_string("%012x", F.col("o_orderkey")).alias("commit"),
+        F.col("o_orderkey").alias("event_seq"),
+        F.lit("U").alias("op"),
+        F.concat(F.lit("r"), (F.col("o_custkey") % 25).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("o_orderkey").cast("string")).alias("path"),
+        F.col("o_orderstatus").alias("lang"),
+        F.col("o_orderpriority").alias("content"),
+        F.lit(1).alias("schema_version"),
+    )
+    m = eng.apply_batch(ev)
+    want_dead = ev.filter(
+        (F.length("content") > 8) | (F.col("event_seq") % 10 == 7)
+    ).count()
+    if m["dead_lettered"] != want_dead or want_dead == 0:
+        raise AssertionError(f"gate miscounted: {m['dead_lettered']} != {want_dead}")
+    return t.read().select("commit", "event_seq", "repo", "path", "lang", "content")
+
+
+@_q(
     "cdc_schema_evolution",
     """
     WITH ev AS (

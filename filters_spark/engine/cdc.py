@@ -80,6 +80,26 @@ class RefCheck:
         return df.select(F.col(self.ref_col).cast("string").alias("__ref")).distinct()
 
 
+@dataclass(frozen=True)
+class CheckConstraint:
+    """Table-level CHECK constraint (Delta ``ADD CONSTRAINT`` / DLT
+    expectation) over the VALIDATED canonical row: a SQL boolean
+    expression evaluated per change event after the field chains run;
+    events where it is FALSE dead-letter under
+    ``check_violation:<name>``. SQL CHECK semantics: NULL (unknown)
+    PASSES — spell ``x IS NOT NULL AND ...`` to reject missing values.
+    DELETE tombstones are exempt (nothing lands). Pure map-side column
+    algebra — no join, no shuffle, no Python; cross-FIELD invariants
+    (``commit`` width vs ``event_seq`` range, lang/content coherence)
+    that single-field chains cannot express."""
+
+    name: str
+    predicate: str
+
+    def expr(self) -> F.Column:
+        return F.expr(self.predicate)
+
+
 @dataclass
 class StagedBatch:
     """A batch applied up to — but not including — the publish: the
@@ -218,6 +238,7 @@ class CDCEngine:
         compact_after: int = 8,
         group_applies: bool = True,
         ref_checks: list[RefCheck] | None = None,
+        check_constraints: list[CheckConstraint] | None = None,
     ):
         """``write_mode``:
 
@@ -251,6 +272,7 @@ class CDCEngine:
                     f"ref_check field {chk.field!r} is not a canonical column"
                 )
         self.ref_checks = list(ref_checks or [])
+        self.check_constraints = list(check_constraints or [])
         root = table.root
         self.dead_letter_dir = dead_letter_dir or os.path.join(root, "dead_letter")
         self.lineage_dir = lineage_dir or os.path.join(root, "lineage")
@@ -363,11 +385,19 @@ class CDCEngine:
             projection.append(field_values[field].alias(field))
             projection.append(field_raws[field].alias(f"_raw_{field}"))
         projection.append(all_errs.alias(ERRORS_COL))
-        out = events.select(*projection)
+        return events.select(*projection)
 
-        # keep_raw="on_error": second projection so the error expression
-        # is evaluated once (CollapseProject leaves multiply-referenced
-        # non-cheap expressions alone)
+    @staticmethod
+    def _null_clean_raws(out: DataFrame) -> DataFrame:
+        """keep_raw="on_error": NULL the ``_raw_*`` columns of rows with
+        an empty error channel, as a separate projection so the error
+        expression is evaluated once (CollapseProject leaves
+        multiply-referenced non-cheap expressions alone). Runs AFTER
+        the ref/check gates — a row dead-lettered only by a gate must
+        keep its raws, or dead_letters()/retry_dead_letters would see a
+        payload-less event."""
+        from filters_spark.operators.validate import ERRORS_COL
+
         has_errors = F.size(F.col(ERRORS_COL)) > 0
         return out.select(
             *[
@@ -377,13 +407,15 @@ class CDCEngine:
         )
 
     def _ref_checked(self, df: DataFrame) -> DataFrame:
-        """Apply the engine's :class:`RefCheck` gates to a validated
-        frame: one BROADCAST hash join per check against the distinct
-        reference values (map-only — the event stream never shuffles
-        for the gate), appending a ``ref_violation:<name>`` error
-        struct where the lookup misses. Runs BEFORE the ``_dead``
-        split, so violations ride the normal dead-letter machinery
-        (adoption, retry_dead_letters after fixing the dimension,
+        """Apply the engine's :class:`RefCheck` and
+        :class:`CheckConstraint` gates to a validated frame: one
+        BROADCAST hash join per ref check against the distinct
+        reference values, one map-side boolean expression per
+        constraint (the event stream never shuffles for either),
+        appending ``ref_violation:<name>`` / ``check_violation:<name>``
+        error structs. Runs BEFORE the ``_dead`` split, so violations
+        ride the normal dead-letter machinery (adoption,
+        retry_dead_letters after fixing the dimension/producer,
         metrics) with zero new code paths."""
         from filters_spark.operators.validate import ERRORS_COL
 
@@ -406,6 +438,20 @@ class CDCEngine:
                 F.when(bad, F.concat(F.col(ERRORS_COL), F.array(err)))
                 .otherwise(F.col(ERRORS_COL)),
             ).drop("__hit")
+        for chk in self.check_constraints:
+            # SQL CHECK semantics: only a definitively-FALSE predicate
+            # violates (NULL = unknown passes); deletes are exempt
+            bad = (chk.expr() == F.lit(False)) & (F.col("op") != F.lit("D"))
+            err = F.struct(
+                F.lit(chk.name).alias("key"),
+                F.lit(f"check_violation:{chk.name}").alias("code"),
+                F.lit(f"CHECK ({chk.predicate}) failed").alias("message"),
+            )
+            df = df.withColumn(
+                ERRORS_COL,
+                F.when(bad, F.concat(F.col(ERRORS_COL), F.array(err)))
+                .otherwise(F.col(ERRORS_COL)),
+            )
         return df
 
     # ------------------------------------------------------------------
@@ -494,8 +540,9 @@ class CDCEngine:
         is the job's DFS staging location — bounded by the staged input
         size, cleaned after the last commit."""
         validated = self._validated(events)
-        if self.ref_checks:
+        if self.ref_checks or self.check_constraints:
             validated = self._ref_checked(validated)
+        validated = self._null_clean_raws(validated)
         validated = validated.withColumn(
             "_bucket",
             bucket_expr(F.col("repo"), F.col("path"), snap["num_buckets"], snap["path_salt"]),

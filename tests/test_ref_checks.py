@@ -144,3 +144,69 @@ def test_callable_ref_and_field_validation(spark, tmp_path):
             spark, str(tmp_path / "bad"),
             [RefCheck("nope", live_dim, "l")],
         )
+
+
+def test_check_constraints_gate_rows(spark, tmp_path):
+    """CheckConstraint (Delta CHECK / DLT expectation): a SQL predicate
+    over the validated row dead-letters definitively-FALSE events; NULL
+    (unknown) passes per SQL semantics; deletes are exempt; constraints
+    compose with each other and with ref checks."""
+    from filters_spark.engine.cdc import CheckConstraint
+
+    eng = _checked_engine(
+        spark, str(tmp_path / "chk"), None,
+        check_constraints=[
+            CheckConstraint("content_cap", "length(content) <= 10"),
+            CheckConstraint("seq_positive", "event_seq >= 0"),
+        ],
+    )
+    ev = spark.createDataFrame(
+        [
+            ("c1", 1, "U", 1, "r0", "a.py", "py", "short"),        # passes
+            ("c1", 2, "U", 1, "r0", "b.py", "py", "x" * 50),       # content_cap
+            ("c1", -3, "U", 1, "r0", "c.py", "py", "ok"),          # seq_positive
+            ("c1", -4, "U", 1, "r0", "d.py", "py", "y" * 50),      # BOTH
+            ("c1", 5, "D", 1, "r0", "e.py", None, "z" * 50),       # delete: exempt
+            ("c1", 6, "U", 0, "r0", "f.py", None, "ok2"),          # NULL lang: fine
+        ],
+        "commit string, event_seq long, op string, schema_version int, "
+        "repo string, path string, lang string, content string",
+    )
+    m = eng.apply_batch(ev)
+    assert m["dead_lettered"] == 3
+    dead = eng.dead_letters()
+    codes = sorted(r.first_code for r in dead.collect())
+    assert codes == [
+        "check_violation:content_cap",
+        "check_violation:content_cap",
+        "check_violation:seq_positive",
+    ]
+    # the both-violations row carries BOTH error structs
+    both = dead.filter(F.col("path") == "d.py").select("errors_json").first()[0]
+    assert "content_cap" in both and "seq_positive" in both
+    state_paths = {r.path for r in eng.table.read().select("path").collect()}
+    assert state_paths == {"a.py", "f.py"}
+
+
+def test_check_constraint_null_predicate_passes(spark, tmp_path):
+    """A predicate that evaluates to NULL (unknown) must PASS — the SQL
+    CHECK contract; rejecting NULLs is spelled explicitly."""
+    from filters_spark.engine.cdc import CheckConstraint
+
+    ev = spark.createDataFrame(
+        [("c1", 1, "U", 1, "r0", "a.py", None, "ok")],
+        "commit string, event_seq long, op string, schema_version int, "
+        "repo string, path string, lang string, content string",
+    )
+    lax = _checked_engine(
+        spark, str(tmp_path / "lax"), None,
+        check_constraints=[CheckConstraint("lang_py", "lang = 'py'")],
+    )
+    assert lax.apply_batch(ev)["dead_lettered"] == 0  # NULL = 'py' -> NULL -> pass
+    strict = _checked_engine(
+        spark, str(tmp_path / "strict"), None,
+        check_constraints=[
+            CheckConstraint("lang_py", "lang IS NOT NULL AND lang = 'py'")
+        ],
+    )
+    assert strict.apply_batch(ev)["dead_lettered"] == 1
