@@ -37,6 +37,7 @@ def interval_join(
     upper_s: float = 1800.0,
     watermark: str | None = None,
     prefixes: tuple[str, str] = ("l_", "r_"),
+    how: str = "inner",
 ) -> DataFrame:
     """Inner-join ``left`` and ``right`` on ``key_cols`` equality AND
     ``right_ts`` in ``[left_ts + lower_s, left_ts + upper_s]`` seconds
@@ -54,12 +55,29 @@ def interval_join(
     streaming, rows later than the watermark are dropped by contract
     and matches are emitted in append mode as soon as both rows have
     arrived (inner join never needs to wait for finalization).
+
+    ``how``: ``inner`` (default), ``left_outer``, ``right_outer`` or
+    ``full_outer``. Outer matches stream differently from inner ones:
+    an unmatched row emits (other side NULL) only once the WATERMARK
+    closes its join window — the engine must prove no future partner
+    can arrive before it declares "no match" (so outer results trail
+    the watermark by ``interval + lateness``; batch mode emits them
+    immediately, same result set).
+
+    NOTE on keys under outer modes: the un-prefixed key columns are
+    taken from the LEFT side, so under ``right_outer``/``full_outer``
+    an unmatched RIGHT row has NULL keys in those columns — read its
+    key from the prefixed right columns, which are preserved for
+    exactly this case (for ``inner``/``left_outer`` they are dropped
+    as redundant).
     """
     lp, rp = prefixes
     if lp == rp:
         raise ValueError("prefixes must differ")
     if upper_s < lower_s:
         raise ValueError("upper_s must be >= lower_s")
+    if how not in ("inner", "left_outer", "right_outer", "full_outer"):
+        raise ValueError(f"unsupported how: {how!r}")
     if watermark is not None:
         left = left.withWatermark(left_ts, watermark)
         right = right.withWatermark(right_ts, watermark)
@@ -74,16 +92,24 @@ def interval_join(
     cond = F.lit(True)
     for k in key_cols:
         cond = cond & (F.col(k) == F.col(rp + k))
+    # INTERVAL literal spelling (not make_dt_interval + cast): Spark's
+    # stream-stream state-eviction analyzer must derive watermark
+    # bounds from this condition, and outer joins REQUIRE it to — the
+    # cast the interval-constructor form introduces defeats the
+    # pattern match and fails the query at analysis
+    lo = f"INTERVAL '{float(lower_s)}' SECOND"
+    hi = f"INTERVAL '{float(upper_s)}' SECOND"
     cond = (
         cond
-        & (F.col(rts) >= F.col(lts) + F.expr(f"make_dt_interval(0, 0, 0, {lower_s})"))
-        & (F.col(rts) <= F.col(lts) + F.expr(f"make_dt_interval(0, 0, 0, {upper_s})"))
+        & F.expr(f"`{rts}` >= `{lts}` + {lo}")
+        & F.expr(f"`{rts}` <= `{lts}` + {hi}")
     )
-    joined = left.join(right, cond, "inner")
+    joined = left.join(right, cond, how)
     keep = list(key_cols)
     keep += [c for c in joined.columns if c.startswith(lp)]
     keep += [
         c for c in joined.columns
-        if c.startswith(rp) and c[len(rp):] not in key_cols
+        if c.startswith(rp)
+        and (c[len(rp):] not in key_cols or how in ("right_outer", "full_outer"))
     ]
     return joined.select(*keep)

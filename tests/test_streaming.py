@@ -466,3 +466,78 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
         (r.user_id, r.l_event_id, r.r_event_id) for r in batch.collect()
     )
     assert bgot == got
+
+
+def test_interval_join_left_outer_stream_emits_unmatched_after_watermark(spark, tmp_path):
+    """Outer interval join over streams: an unmatched left row emits
+    (right side NULL) only once the watermark proves no partner can
+    still arrive — and the streamed result equals the batch run of the
+    SAME operator."""
+    from filters_spark.streaming.joins import interval_join
+
+    ddl = "ts timestamp, user_id long, event_id long"
+
+    def frame(rows):
+        raw = spark.createDataFrame(rows, "ts string, user_id long, event_id long")
+        return raw.select(F.to_timestamp("ts").alias("ts"), "user_id", "event_id")
+
+    ld, rd = str(tmp_path / "lsrc"), str(tmp_path / "rsrc")
+    os.makedirs(ld)
+    os.makedirs(rd)
+    out = str(tmp_path / "loout")
+
+    def run():
+        ls = spark.readStream.schema(ddl).parquet(ld + "/*/")
+        rs = spark.readStream.schema(ddl).parquet(rd + "/*/")
+        j = interval_join(
+            ls, rs, ("user_id",), lower_s=0.0, upper_s=600.0,
+            watermark="5 minutes", how="left_outer",
+        )
+        q = (
+            j.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "lockpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    frame([
+        ("2026-01-01 10:00:00", 1, 100),   # will match
+        ("2026-01-01 10:00:00", 2, 101),   # will NOT match
+    ]).coalesce(1).write.parquet(os.path.join(ld, "f1"))
+    frame([
+        ("2026-01-01 10:05:00", 1, 900),
+    ]).coalesce(1).write.parquet(os.path.join(rd, "f1"))
+    run()
+    # advance the watermark far past 10:10 so user 2's window closes
+    frame([("2026-01-01 12:00:00", 8, 102)]).coalesce(1).write.parquet(
+        os.path.join(ld, "f2")
+    )
+    frame([("2026-01-01 12:00:00", 9, 901)]).coalesce(1).write.parquet(
+        os.path.join(rd, "f2")
+    )
+    run()
+    got = sorted(
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert (2, 101, None) in got          # unmatched left emitted with NULLs
+    assert (1, 100, 900) in got           # the inner match
+
+    batch = interval_join(
+        spark.read.schema(ddl).parquet(ld + "/*/"),
+        spark.read.schema(ddl).parquet(rd + "/*/"),
+        ("user_id",), lower_s=0.0, upper_s=600.0,
+        watermark="5 minutes", how="left_outer",
+    )
+    bgot = sorted(
+        (r.user_id, r.l_event_id, r.r_event_id) for r in batch.collect()
+    )
+    # batch emits ALL outer rows immediately; streaming trails the
+    # watermark, so the 12:00 frontier row's no-match verdict is still
+    # pending when the stream drains — the streamed set is exactly the
+    # batch set minus the open frontier
+    assert set(got) <= set(bgot)
+    assert set(bgot) - set(got) == {(8, 102, None)}
