@@ -226,3 +226,34 @@ class TestBloomIndex:
         t.rollback(1)
         assert t.current()["bloom"] == {"cols": ["lang"], "m": 1 << 16, "k": 5}
         assert t.prune_report(where_eq=("lang", "zz"))["files_read"] == 0
+
+
+def test_rewrite_reharvests_blooms(spark, tmp_path):
+    """Physical reorg (rewrite_data_files binpack) flows through the
+    same commit path as ingest, so the rewritten files get FRESH bloom
+    filters: equality reads stay exact and absent-value pruning stays
+    total after the rewrite."""
+    from filters_spark.lake.table import LakeTable
+
+    root = str(tmp_path / "lake")
+    t = LakeTable.create(
+        spark, root, ["repo", "path"], num_buckets=2, bloom_cols=["lang"],
+    )
+    _seed_slices(spark, t, root, _base_rows()[:400], 2, "000000000001:0000000000")
+    before = {p["bucket"]: p["files"] for p in t.partitions()}
+    snap = t.rewrite_data_files(target_file_bytes=1 << 30)
+    assert snap is not None, "seeded slices must be binpack candidates"
+
+    for fl in snap["buckets"].values():
+        for f in fl:
+            st = t._file_stats_cache.get(f) or {}
+            assert "__bloom:lang" in st, f"rewritten file missing bloom: {f}"
+
+    full = t.read()
+    for lang in LANGS:
+        got = _rows(t.read(where_eq=("lang", lang)))
+        want = _rows(full.filter(F.col("lang") == lang))
+        assert got == want
+    assert t.prune_report(where_eq=("lang", "zz"))["files_read"] == 0
+    after = {p["bucket"]: p["files"] for p in t.partitions()}
+    assert sum(after.values()) < sum(before.values())
