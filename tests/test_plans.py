@@ -254,3 +254,22 @@ def test_changes_with_images_exchange_budget(spark, tmp_path):
     # one scan for the feed, one (bucket-pruned) for the seed, one for
     # the key side — never one relation per snapshot
     assert plan.count("Scan parquet") <= 3
+
+
+def test_interval_join_batch_plan_budget(spark):
+    """Batch-mode interval join: one key-equality shuffle per side
+    (the range rides as a join residual, never a cartesian), zero
+    Python, filters on the sides pushed to the scans."""
+    from filters_spark.streaming.joins import interval_join
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    j = interval_join(
+        ev.filter(F.col("event_type") == "signup").select("ts", "user_id", "event_id"),
+        ev.filter(F.col("event_type") == "purchase").select("ts", "user_id", "event_id"),
+        ("user_id",), lower_s=0.0, upper_s=1800.0, watermark="10 minutes",
+    )
+    plan = formatted_plan(j)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert not has_python_eval(j)
+    assert exchange_count(j) <= 2, plan
+    assert any("signup" in p or "purchase" in p for p in pushed_filters(j))
