@@ -1961,6 +1961,48 @@ def q_events_interval_join(spark, sf):
 
 
 @_q(
+    "events_scd2_asof",
+    """
+    WITH dim AS (
+      SELECT user_id, ts, event_id, event_type AS status,
+             lead(ts) OVER w AS vt_ts, lead(event_id) OVER w AS vt_eid
+      FROM events WHERE event_type IN ('signup', 'error')
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT f.user_id, f.ts, f.event_id, f.value, d.status AS dim_status
+    FROM events f LEFT JOIN dim d
+      ON f.user_id = d.user_id
+     AND (d.ts, d.event_id) <= (f.ts, f.event_id)
+     AND (d.vt_ts IS NULL OR (f.ts, f.event_id) < (d.vt_ts, d.vt_eid))
+    WHERE f.event_type = 'purchase'
+    """,
+)
+def q_events_scd2_asof(spark, sf):
+    """Temporal (point-in-time) join against SCD2 history (operators/
+    events.py scd2_asof_join — FOR SYSTEM_TIME AS OF as a join): each
+    purchase picks up the user's status dimension (signup/error
+    events as versions) AS IT WAS at the purchase's (ts, event_id)
+    position — lexicographic struct containment, identical to the
+    oracle's row-value comparison. Left semantics keep purchases
+    before any version (NULL status). ONE key shuffle per side, range
+    as a join residual."""
+    from filters_spark.operators.events import scd2_asof_join, scd2_history
+
+    ev = _t(spark, sf, "events")
+    dim_ev = ev.filter(F.col("event_type").isin("signup", "error")).select(
+        "user_id", "ts", "event_id", F.lit("U").alias("op"),
+        F.col("event_type").alias("status"),
+    )
+    hist = scd2_history(dim_ev, ["user_id"], ["status"], ["ts", "event_id"])
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return scd2_asof_join(facts, hist, ["user_id"], ["ts", "event_id"]).select(
+        "user_id", "ts", "event_id", "value", "dim_status"
+    )
+
+
+@_q(
     "ann_cosine_topk",
     """
     WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)

@@ -419,3 +419,59 @@ def scd2_history(
         F.col(f"valid_to_{first}").isNull().alias("is_current"),
         *payload_cols,
     )
+
+
+def scd2_asof_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    how: str = "left",
+    prefix: str = "dim_",
+) -> DataFrame:
+    """Temporal (point-in-time) join of a fact stream against a
+    :func:`scd2_history` dimension: each fact row picks up the
+    dimension VERSION valid at the fact's own order position — the
+    warehouse "join to the dimension as it was then", FOR SYSTEM_TIME
+    AS OF as a join.
+
+    ``facts`` must carry the ``order_cols`` themselves (e.g. a change
+    event's ``(commit, event_seq)``, or ``(ts, event_id)``); the
+    containment test is LEXICOGRAPHIC over the full tuple via struct
+    comparison — ``valid_from <= fact_pos < valid_to`` (open versions
+    have NULL ``valid_to`` and match everything after their open) —
+    identical to DuckDB's row-value comparison, so the operator is
+    oracle-mirrorable.
+
+    ``how="left"`` (default) keeps unmatched facts with NULL dimension
+    columns — facts before the key's first version or inside a
+    delete→reinsert gap; ``"inner"`` drops them.
+
+    Plan: ONE equi-shuffle per side on the key; the validity range is
+    a join residual evaluated inside the sort-merge/hash join, never a
+    cartesian. Per-key cost is versions x facts of that key — the
+    temporal join's inherent lower bound. Dimension attribute columns
+    come back under ``prefix`` (validity/is_current columns are
+    dropped; re-derive from the history when needed)."""
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    vf = [f"valid_from_{c}" for c in order_cols]
+    vt = [f"valid_to_{c}" for c in order_cols]
+    dim_cols = [
+        c for c in history.columns
+        if c not in key_cols and c not in vf and c not in vt and c != "is_current"
+    ]
+    h = history.select(
+        *[F.col(k).alias(f"__k_{k}") for k in key_cols],
+        F.struct(*[F.col(c) for c in vf]).alias("__from"),
+        F.struct(*[F.col(c) for c in vt]).alias("__to"),
+        F.col(vt[0]).isNull().alias("__open"),
+        *[F.col(c).alias(prefix + c) for c in dim_cols],
+    )
+    pos = F.struct(*[F.col(c) for c in order_cols])
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & (F.col(k) == F.col(f"__k_{k}"))
+    cond = cond & (F.col("__from") <= pos) & (F.col("__open") | (pos < F.col("__to")))
+    out = facts.join(h, cond, how)
+    return out.drop(*[f"__k_{k}" for k in key_cols], "__from", "__to", "__open")

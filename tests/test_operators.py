@@ -1336,3 +1336,50 @@ def test_scd2_history_intervals_and_gaps(spark):
     # one key-partitioned window = one shuffle
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_scd2_asof_join_point_in_time(spark):
+    """Temporal join against SCD2 history (operators/events.py
+    scd2_asof_join): facts pick up the version valid at their own
+    (c, q) position; boundary inclusive on valid_from, exclusive on
+    valid_to; delete gaps and before-first-version facts get NULL
+    (left) or drop (inner)."""
+    from filters_spark.operators.events import scd2_asof_join, scd2_history
+
+    ev = spark.createDataFrame(
+        [
+            ("u1", 1, 1, "I", "a"),
+            ("u1", 3, 1, "U", "b"),
+            ("u1", 5, 1, "D", None),
+            ("u1", 7, 1, "I", "c"),
+            ("u2", 2, 1, "I", "z"),
+        ],
+        "k string, c long, q long, op string, attr string",
+    )
+    hist = scd2_history(ev, ["k"], ["attr"], ["c", "q"])
+    facts = spark.createDataFrame(
+        [
+            ("u1", 0, 5, 100), ("u1", 2, 0, 101), ("u1", 3, 1, 102),
+            ("u1", 4, 9, 103), ("u1", 6, 0, 104), ("u1", 8, 0, 105),
+            ("u2", 2, 1, 106), ("u3", 9, 9, 107),
+        ],
+        "k string, c long, q long, fact_id long",
+    )
+    left = {
+        r.fact_id: r.dim_attr
+        for r in scd2_asof_join(facts, hist, ["k"], ["c", "q"]).collect()
+    }
+    assert left == {
+        100: None, 101: "a", 102: "b", 103: "b",
+        104: None, 105: "c", 106: "z", 107: None,
+    }
+    inner = sorted(
+        r.fact_id
+        for r in scd2_asof_join(facts, hist, ["k"], ["c", "q"], how="inner").collect()
+    )
+    assert inner == [101, 102, 103, 105, 106]
+    # the op column of the version rides along (dimension payload incl.
+    # non-selected history cols is prefixed)
+    row = [r for r in scd2_asof_join(facts, hist, ["k"], ["c", "q"]).collect()
+           if r.fact_id == 101][0]
+    assert row.dim_attr == "a"
