@@ -3909,6 +3909,44 @@ def q_lake_merge_into(spark, sf):
 
 
 @_q(
+    "lake_merge_by_source",
+    f"""
+    WITH {_LAKE_BASE_CTE}
+    SELECT repo, path,
+           CASE WHEN event_seq % 2 = 0 THEN 'S:' || content ELSE content END
+             AS content,
+           CASE WHEN event_seq % 2 = 0 THEN 'synced' ELSE 'stale' END AS sync
+    FROM base WHERE NOT (event_seq % 2 <> 0 AND lang = 'F')
+    """,
+)
+def q_lake_merge_by_source(spark, sf):
+    """WHEN NOT MATCHED BY SOURCE (lake/merge.py — Delta's extension,
+    the snapshot-sync shape): the source is the even-event_seq half of
+    the state with refreshed content; unmatched target rows DELETE
+    when lang='F' and otherwise get a by-source UPDATE marking them
+    stale (expressions over t only — s is the NULL struct there). The
+    oracle respells all three outcomes; a green hash certifies clause
+    precedence including the full-table by-source scope."""
+    from filters_spark.lake.merge import merge_into
+
+    t = _lake_build(spark, sf, deltas=False)
+    src = _lake_base_df(spark, sf).filter(F.col("event_seq") % 2 == 0).select(
+        "repo", "path", "commit", "event_seq", "lang",
+        F.concat(F.lit("S:"), F.col("content")).alias("content"),
+    )
+    merge_into(
+        t, src,
+        update={"content": "s.content", "lang": "'synced'"},
+        insert=None,
+        delete_by_source_when="t.lang = 'F'",
+        update_by_source={"lang": "'stale'"},
+    )
+    return t.read().select(
+        "repo", "path", "content", F.col("lang").alias("sync")
+    )
+
+
+@_q(
     "lake_wap_publish",
     _LAKE_LWW_STATE_ORACLE,
 )

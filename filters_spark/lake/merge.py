@@ -10,10 +10,18 @@ Clause model (ANSI evaluation order, fixed):
 2. ``WHEN MATCHED AND <update_when> THEN UPDATE SET <update>``
 3. matched rows hitting neither clause keep the target row unchanged
 4. ``WHEN NOT MATCHED AND <insert_when> THEN INSERT <insert>``
-5. target rows with no source match are untouched (no ``BY SOURCE``
-   clauses: a lake-scale "delete everything the feed didn't mention"
-   is a full-table rewrite and deserves an explicit scan, not a merge
-   default)
+5. ``WHEN NOT MATCHED BY SOURCE AND <delete_by_source_when> THEN
+   DELETE`` / ``... THEN UPDATE SET <update_by_source>`` (Delta's
+   extension; opt-in) — target rows the feed did not mention. These
+   clauses make the merge a FULL-TABLE operation by construction:
+   unmatched target rows live in every bucket, so every data-carrying
+   bucket is read and rewritten (the same cost Delta pays; the cost is
+   explicit in the clause, not a merge default — leave them None and
+   the merge stays O(touched buckets)). The classic use is snapshot
+   sync: source = the full new state, ``update="*"``, ``insert="*"``,
+   ``delete_by_source_when="true"`` — rows absent from the feed are
+   deleted. ``update_by_source`` SET expressions see only ``t``
+   (``s`` is the NULL struct there, per ANSI scope).
 
 Conditions and set-expressions are SQL strings over two row structs:
 ``t.<col>`` (the current target row; NULL struct for inserts) and
@@ -63,6 +71,9 @@ def merge_into(
     delete_when: str | None = None,
     insert="*",
     insert_when: str | None = None,
+    update_by_source: dict | None = None,
+    update_by_source_when: str | None = None,
+    delete_by_source_when: str | None = None,
     new_watermarks: dict[int, str] | None = None,
 ) -> dict | None:
     """Run the merge and commit it as one copy-on-write snapshot
@@ -94,7 +105,16 @@ def merge_into(
     tcols = [*on, "commit", "event_seq", *payload]
     upd = _clause_map(update, tcols, "s")
     ins = _clause_map(insert, tcols, "s")
-    if upd is None and ins is None and delete_when is None:
+    if update_by_source is not None:
+        unknown = set(update_by_source) - set(tcols)
+        if unknown:
+            raise ValueError(
+                f"update_by_source sets unknown column(s) {sorted(unknown)}"
+            )
+    by_source = (
+        update_by_source is not None or delete_by_source_when is not None
+    )
+    if upd is None and ins is None and delete_when is None and not by_source:
         raise ValueError("merge with no clauses would be a no-op")
 
     src = source.withColumn(
@@ -104,6 +124,10 @@ def merge_into(
         ),
     )
     touched = sorted(r[0] for r in src.select("_sb").distinct().collect())
+    if by_source:
+        # unmatched target rows live in EVERY data-carrying bucket —
+        # the full-table cost the docstring warns about, made explicit
+        touched = sorted(set(touched) | {int(b) for b in snap["buckets"]})
     if not touched:
         return None
 
@@ -157,13 +181,26 @@ def merge_into(
     is_ins = (
         ~tp & sp & cl(insert_when) if ins is not None else F.lit(False)
     )
-    keep = (tp & ~is_del) | is_ins
+    unmatched_t = tp & ~sp
+    is_del_bs = (
+        unmatched_t & cl(delete_by_source_when)
+        if delete_by_source_when is not None else F.lit(False)
+    )
+    is_upd_bs = (
+        unmatched_t & ~is_del_bs & cl(update_by_source_when)
+        if update_by_source is not None else F.lit(False)
+    )
+    keep = (tp & ~is_del & ~is_del_bs) | is_ins
 
     def out_col(c: str):
         tv = F.col("t")[c]
         u = F.expr(upd[c]) if upd is not None and c in upd else tv
         i = F.expr(ins[c]) if ins is not None and c in ins else F.lit(None)
-        col = F.when(is_upd, u).when(is_ins, i).otherwise(tv)
+        col = F.when(is_upd, u).when(is_ins, i)
+        if update_by_source is not None:
+            ubs = F.expr(update_by_source[c]) if c in update_by_source else tv
+            col = col.when(is_upd_bs, ubs)
+        col = col.otherwise(tv)
         return col.cast("bigint" if c == "event_seq" else "string").alias(c)
 
     # the cardinality guard lives INSIDE the row filter so Catalyst

@@ -187,3 +187,59 @@ def test_time_travel_spans_merge(spark, tmp_path):
     merge_into(t, _src(spark, [("r1", "a.py", "000000000002", 9, "py", "A2", "U")]))
     old = {r["path"]: r["content"] for r in t.read(pre).collect()}
     assert old["a.py"] == "alpha"
+
+
+def test_by_source_delete_snapshot_sync(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE — the snapshot-sync
+    shape: the source IS the full new state; target rows absent from
+    it are deleted, matched rows update, new rows insert."""
+    t = _mk_table(spark, tmp_path / "l", BASE)
+    src = _src(spark, [
+        ("r1", "a.py", "000000000002", 9, "py", "ALPHA2", "U"),
+        ("r9", "new.rs", "000000000002", 9, "rs", "fresh", "I"),
+    ])
+    merge_into(t, src, delete_by_source_when="true")
+    st = _state(t)
+    assert set(st) == {("r1", "a.py"), ("r9", "new.rs")}
+    assert st[("r1", "a.py")][2] == "ALPHA2"
+
+
+def test_by_source_conditional_delete_and_update(spark, tmp_path):
+    """Conditional BY SOURCE: delete only stale go rows, mark the
+    remaining unmatched rows via an update over t; matched/insert
+    clauses behave as before; s is NULL in by-source expressions."""
+    t = _mk_table(spark, tmp_path / "l", BASE)
+    src = _src(spark, [
+        ("r1", "a.py", "000000000002", 9, "py", "ALPHA2", "U"),
+    ])
+    merge_into(
+        t, src,
+        delete_by_source_when="t.lang = 'go'",
+        update_by_source={"content": "'STALE:' || t.content"},
+    )
+    st = _state(t)
+    assert ("r2", "c.go") not in st and ("r2", "d.go") not in st
+    assert st[("r1", "b.py")][2] == "STALE:beta"      # unmatched, kept, marked
+    assert st[("r1", "a.py")][2] == "ALPHA2"          # matched update untouched
+    # content_sha recomputed for the by-source update
+    import hashlib
+    assert st[("r1", "b.py")][3] == hashlib.sha256(b"STALE:beta").hexdigest()
+
+
+def test_by_source_empty_source_deletes_everything(spark, tmp_path):
+    """An EMPTY feed + unconditional BY SOURCE delete = truncate —
+    the degenerate snapshot sync, must not early-exit as a no-op."""
+    t = _mk_table(spark, tmp_path / "l", BASE)
+    src = _src(spark, [])
+    merge_into(t, src, delete_by_source_when="true")
+    assert _state(t) == {}
+
+
+def test_by_source_off_keeps_unmatched_untouched(spark, tmp_path):
+    """Default (clauses None): unmatched target rows untouched and the
+    merge stays bucket-pruned (regression guard for the new params)."""
+    t = _mk_table(spark, tmp_path / "l", BASE)
+    src = _src(spark, [("r1", "a.py", "000000000002", 9, "py", "A2", "U")])
+    merge_into(t, src)
+    st = _state(t)
+    assert len(st) == 4 and st[("r2", "c.go")][2] == "gamma"
