@@ -501,25 +501,45 @@ class LakeTable:
         the per-file filters here stay word-compatible with the
         operator-tier filters, and the prime-modulus mixer is what
         keeps the k probes independent under the power-of-two m."""
-        from filters_spark.operators.hashing import mixp31
-        from filters_spark.operators.sketches import _bit_mask
-
         m, k = bloom["m"], bloom["k"]
-        todo = [
+        all_todo = [
             p for p in paths
             if any(
                 f"__bloom:{c}" not in self._file_stats_cache.get(p, {})
                 for c in bloom["cols"]
             )
         ]
-        if not todo:
+        if not all_todo:
             return
+        # chunk the harvest: the groupBy collect is bounded by
+        # files x m/64 words, so a 10^4-file ingest commit processes in
+        # driver-memory-bounded slices instead of one unbounded collect
+        CHUNK = 2048
+        for i in range(0, len(all_todo), CHUNK):
+            self._collect_file_blooms_chunk(all_todo[i:i + CHUNK], bloom, m, k)
+
+    # a filter with more than half its words nonzero prunes almost
+    # nothing (false-positive rate ~1 at that density) but costs full
+    # manifest weight — drop it (no filter = never pruned, the standard
+    # degrade) so manifests only carry filters that earn their bytes
+    _BLOOM_MAX_WORD_FRACTION = 0.5
+
+    def _collect_file_blooms_chunk(
+        self, todo: list[str], bloom: dict, m: int, k: int
+    ) -> None:
         # identity = path suffix after /data/ (one writer task reuses
         # its part-file NAME across every _bucket=K dir, so basenames
         # collide by construction; _rel_to_data is the same identity
         # clone/vacuum use, and it strips input_file_name's scheme
         # prefix for free)
+        from py4j.protocol import Py4JError
+        from pyspark.errors import PySparkException
+
+        from filters_spark.operators.hashing import mixp31
+        from filters_spark.operators.sketches import _bit_mask
+
         by_rel = {_rel_to_data(p): p for p in todo}
+        max_words = int((m // 64) * self._BLOOM_MAX_WORD_FRACTION)
         for c in bloom["cols"]:
             try:
                 rows = (
@@ -547,14 +567,19 @@ class LakeTable:
                     .agg(F.bit_or("_m").alias("bits"))
                     .collect()
                 )
-            except Exception:
-                continue  # unreadable files: no filter, never pruned
+            except (PySparkException, Py4JError, OSError):
+                # unreadable files: no filter, never pruned. Engine/IO
+                # errors ONLY — a bare Exception here once swallowed a
+                # NameError and silently disabled the whole index
+                continue
             words: dict[str, list] = {p: [] for p in todo}
             for r in rows:
                 p = by_rel.get(_rel_to_data(r["_f"]))
                 if p is not None:
                     words[p].append([int(r["w"]), int(r["bits"])])
             for p, wl in words.items():
+                if len(wl) > max_words:
+                    continue  # saturated: all cost, no pruning
                 fstats = self._file_stats_cache.setdefault(p, {})
                 fstats[f"__bloom:{c}"] = sorted(wl)
 
