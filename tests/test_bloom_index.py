@@ -257,3 +257,25 @@ def test_rewrite_reharvests_blooms(spark, tmp_path):
     assert t.prune_report(where_eq=("lang", "zz"))["files_read"] == 0
     after = {p["bucket"]: p["files"] for p in t.partitions()}
     assert sum(after.values()) < sum(before.values())
+
+
+def test_shallow_clone_keeps_bloom_pruning(spark, tmp_path):
+    """Shallow clones seed the source's per-file stats (blooms ride the
+    same dicts), so equality pruning works on the fork without a
+    re-harvest — and the re-written clone manifests persist it."""
+    from filters_spark.lake.clone import clone_table
+    from filters_spark.lake.table import LakeTable
+
+    root = str(tmp_path / "lake")
+    t = LakeTable.create(
+        spark, root, ["repo", "path"], num_buckets=2, bloom_cols=["lang"],
+    )
+    _seed_slices(spark, t, root, _base_rows()[:300], 2, "000000000001:0000000000")
+    fork = clone_table(t, str(tmp_path / "fork"))
+    rep = fork.prune_report(where_eq=("lang", "py"))
+    assert rep["files_skipped"] > 0, rep
+    assert fork.prune_report(where_eq=("lang", "zz"))["files_read"] == 0
+    # a RELOADED handle resolves blooms from the clone's own manifests
+    fork2 = LakeTable.load(spark, str(tmp_path / "fork"))
+    fork2.snapshot()  # populate stats cache from manifests
+    assert fork2.prune_report(where_eq=("lang", "zz"))["files_read"] == 0
