@@ -1390,6 +1390,78 @@ def q_dedup_simhash(spark, sf):
 
 
 @_q(
+    "text_repetition_filter",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, list_transform(
+        range(1, greatest(len(toks) - 2, 1) + 1),
+        i -> array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+      ) AS grams FROM t
+    )
+    SELECT doc_id,
+           len(grams) AS total_ngrams,
+           len(list_distinct(grams)) AS distinct_ngrams,
+           CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+             / len(grams) AS dup_fraction
+    FROM g
+    """,
+)
+def q_text_repetition_filter(spark, sf):
+    """Repeated-3-gram fraction per document (operators/textstats.py
+    ngram_repetition — the Gopher/C4 repetitious-text quality gate):
+    exact integer gram counts plus dup_fraction as ONE IEEE division
+    of those ints, so the score hash-matches DuckDB bit-for-bit.
+    Map-only native higher-order functions, zero shuffles."""
+    from filters_spark.operators.textstats import ngram_repetition
+
+    return ngram_repetition(_t(spark, sf, "documents"), "text", n=3)
+
+
+@_q(
+    "text_decontaminate",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(toks) - 7, 1) + 1),
+        i -> array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+7], ' ')
+      )) AS sh FROM t
+    ), bench AS (
+      SELECT DISTINCT unnest(sh) AS s FROM g WHERE doc_id % 97 = 0
+    ), doc_sh AS (
+      SELECT doc_id, unnest(sh) AS s FROM g
+    ), hits AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM doc_sh JOIN bench USING (s) GROUP BY doc_id
+    )
+    SELECT g.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_hits, 0) >= 3 AS contaminated
+    FROM g LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def q_text_decontaminate(spark, sf):
+    """Benchmark decontamination (operators/textstats.py
+    decontaminate — the GPT-3/PaLM n-gram-overlap test): documents
+    sharing >= 3 distinct word 8-grams with the planted benchmark
+    slice (doc_id % 97 = 0 — whose texts ARE in the corpus, so
+    self-contamination is guaranteed and the flag set is non-trivial)
+    are marked. The benchmark's distinct shingle set BROADCASTS (eval
+    sets are small by definition); only hit rows reach the per-doc
+    count shuffle."""
+    from filters_spark.operators.textstats import decontaminate
+
+    d = _t(spark, sf, "documents")
+    return decontaminate(
+        d, d.filter(F.col("doc_id") % 97 == 0), "text", n=8, min_hits=3
+    )
+
+
+@_q(
     "text_token_stats",
     """
     SELECT lang,

@@ -357,3 +357,87 @@ def pii_redact(
         c = F.col(f"n_{name}")
         total = c if total is None else total + c
     return out.withColumn("n_pii", total)
+
+
+def ngram_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Repeated n-gram fraction per document — the Gopher/C4
+    "repetitious text" quality gate (templated spam and boilerplate
+    repeat the same n-grams; natural prose doesn't). Output per doc:
+    ``total_ngrams``, ``distinct_ngrams`` (exact integers) and
+    ``dup_fraction`` = (total - distinct) / total — one IEEE division
+    of exact ints, so the score is bit-identical cross-engine.
+
+    Entirely native higher-order functions, map-only, zero shuffles;
+    grams materialize through a projection ONCE (HOFs are interpreted —
+    no codegen CSE, so expression reuse is on us, same discipline as
+    minhash_signature). Gram spelling matches dedupe.shingles minus
+    the distinct (repetition needs multiplicity)."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    total = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(0), total - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    staged = df.select(*id_cols, grams.alias("_g"))
+    return staged.select(
+        *id_cols,
+        F.size("_g").alias("total_ngrams"),
+        F.size(F.array_distinct("_g")).alias("distinct_ngrams"),
+        (
+            (F.size("_g") - F.size(F.array_distinct("_g"))).cast("double")
+            / F.size("_g").cast("double")
+        ).alias("dup_fraction"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Benchmark decontamination for training corpora: flag documents
+    sharing >= ``min_hits`` distinct word n-grams with an evaluation
+    benchmark — the standard n-gram-overlap test (GPT-3 appendix C /
+    PaLM style) run as a JOIN, not a per-doc scan of the benchmark.
+
+    Scale shape: the benchmark's distinct shingle set is SMALL by
+    definition (eval sets are thousands of documents, not billions) —
+    it BROADCASTS; the corpus side explodes its distinct shingles
+    map-side and semi-joins the broadcast, so only HIT rows (rare)
+    reach the per-doc count shuffle, and the final left join back to
+    the doc ids is the only corpus-keyed exchange. Long n (default 8
+    words) keeps incidental collisions ~zero, per the published
+    practice.
+
+    Output: ``id_cols`` + ``n_hits`` (distinct overlapping shingles)
+    + ``contaminated`` (n_hits >= min_hits)."""
+    from filters_spark.operators.dedupe import shingles
+
+    bench_sh = benchmark.select(
+        F.explode(shingles(F.col(text_col), n)).alias("_s")
+    ).distinct()
+    doc_sh = docs.select(
+        *id_cols, F.explode(shingles(F.col(text_col), n)).alias("_s")
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "_s")
+        .groupBy(*id_cols)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.select(*id_cols)
+        .join(hits, list(id_cols), "left")
+        .select(
+            *id_cols,
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )

@@ -1383,3 +1383,44 @@ def test_scd2_asof_join_point_in_time(spark):
     row = [r for r in scd2_asof_join(facts, hist, ["k"], ["c", "q"]).collect()
            if r.fact_id == 101][0]
     assert row.dim_attr == "a"
+
+
+def test_ngram_repetition_scores(spark):
+    from filters_spark.operators.textstats import ngram_repetition
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b"),         # "a b a" x3 + "b a b" x3: all dup
+            (2, "one two three four five"),  # all distinct
+            (3, "x"),                        # shorter than n: 1 gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in ngram_repetition(d, "text", n=3).collect()}
+    assert got[2].dup_fraction == 0.0 and got[2].distinct_ngrams == 3
+    assert got[3].total_ngrams == 1 and got[3].dup_fraction == 0.0
+    # doc 1: 6 grams, 2 distinct -> 4/6
+    assert got[1].total_ngrams == 6 and got[1].distinct_ngrams == 2
+    assert abs(got[1].dup_fraction - 4 / 6) < 1e-12
+
+
+def test_decontaminate_flags_overlap(spark):
+    from filters_spark.operators.textstats import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated text with no overlap whatsoever here now"),
+            (3, "the quick brown fox jumps over the lazy dog again"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in decontaminate(docs, bench, "text", n=8, min_hits=1).collect()}
+    # docs 1 and 3 share the 8-gram(s) of the benchmark sentence
+    assert got[1][1] and got[3][1] and not got[2][1]
+    assert got[2][0] == 0 and got[1][0] >= 1
