@@ -307,8 +307,8 @@ def test_egress_roundtrip_mirrors_table_via_wire_format(spark, tmp_path):
 
 
 def test_egress_rejects_noncanonical_op(spark):
-    """An op outside {I,U,D} must FAIL the egress job, not serialize an
-    op:null envelope that parse_debezium's non-row-op filter would
+    """An op outside {I,U,D,R} must FAIL the egress job, not serialize
+    an op:null envelope that parse_debezium's non-row-op filter would
     silently drop downstream (replica missing rows, no error)."""
     import pytest
 
@@ -320,7 +320,7 @@ def test_egress_rejects_noncanonical_op(spark):
         "lang string, content string, op string",
     )
     wire = to_debezium(df, ["repo", "path", "lang", "content"])
-    with pytest.raises(Exception, match="outside \\{I,U,D\\}"):
+    with pytest.raises(Exception, match="outside \\{I,U,D,R\\}"):
         wire.collect()
     # the canonical ops still serialize
     ok = df.withColumn("op", F.lit("D"))
