@@ -379,6 +379,71 @@ def q_cdc_check_constraint_gate(spark, sf):
 
 
 @_q(
+    "cdc_lineage_metrics",
+    """
+    SELECT CAST(1 AS BIGINT) AS snapshot_id,
+           CAST(count(*) FILTER (length(o_orderpriority) <= 8) AS BIGINT)
+             AS rows_applied,
+           CAST(count(*) FILTER (length(o_orderpriority) > 8) AS BIGINT)
+             AS dead_lettered,
+           max(CASE WHEN length(o_orderpriority) <= 8
+               THEN printf('%012x', o_orderkey) || ':'
+                    || lpad(CAST(o_orderkey AS VARCHAR), 20, '0') END)
+             AS max_watermark
+    FROM orders
+    """,
+)
+def q_cdc_lineage_metrics(spark, sf):
+    """The north rule's lineage/metrics rows, VALUE-CHECKED: one batch
+    through the full engine (a CHECK constraint plants a deterministic
+    dead-letter split), then the per-bucket lineage parquet
+    (engine/cdc.py _write_lineage — snapshot_id, bucket, watermark,
+    rows_applied, batch_dead_lettered) aggregates per snapshot and
+    must equal DuckDB's recount straight from the WAL: applied = rows
+    passing the gate, dead = rows failing it, max watermark = the
+    highest applied (commit, 20-pad seq) position. Bucket-level detail
+    is xxhash-partitioned (no DuckDB twin for the bucket id), so the
+    oracle checks the snapshot-level fold — the bucket breakdown is
+    pytest-pinned via the engine suites."""
+    from filters_spark.engine.cdc import CDCEngine, CheckConstraint
+    from filters_spark.engine.evolution import SpecRegistry, VersionSpec
+    from filters_spark.lake.table import LakeTable
+
+    o = _t(spark, sf, "orders")
+    reg = SpecRegistry(["repo", "path", "lang", "content"])
+    reg.register(VersionSpec(1, _EVO_SPECS_V1))
+    root = _tmpdir("filters_spark_linq_")
+    t = LakeTable.create(spark, os.path.join(root, "lake"), ["repo", "path"], num_buckets=8)
+    eng = CDCEngine(
+        spark, t, reg,
+        check_constraints=[CheckConstraint("content_cap", "length(content) <= 8")],
+    )
+    ev = o.select(
+        F.format_string("%012x", F.col("o_orderkey")).alias("commit"),
+        F.col("o_orderkey").alias("event_seq"),
+        F.lit("U").alias("op"),
+        F.concat(F.lit("r"), (F.col("o_custkey") % 25).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("o_orderkey").cast("string")).alias("path"),
+        F.col("o_orderstatus").alias("lang"),
+        F.col("o_orderpriority").alias("content"),
+        F.lit(1).alias("schema_version"),
+    )
+    eng.apply_batch(ev)
+    return (
+        eng.lineage()
+        .groupBy("snapshot_id")
+        .agg(
+            F.sum("rows_applied").alias("rows_applied"),
+            # the BATCH dead total repeats on every bucket row of its
+            # snapshot — max folds it back, sum would multiply by the
+            # touched-bucket count
+            F.max("batch_dead_lettered").alias("dead_lettered"),
+            F.max("watermark").alias("max_watermark"),
+        )
+    )
+
+
+@_q(
     "cdc_schema_evolution",
     """
     WITH ev AS (
