@@ -2832,12 +2832,22 @@ class LakeTable:
             self.io.remove(os.path.join(self.meta_dir, name))
             self._manifest_cache.pop(name, None)
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than_ms: int | None = None
+    ) -> list[int]:
         """Drop snapshot manifests older than the newest ``keep_last``
         (Iceberg ``expire_snapshots`` semantics): time travel to the
         expired ids stops working, and data files referenced ONLY by
         them become orphans that :meth:`vacuum` may delete. The current
         snapshot is always retained. Returns the expired ids.
+
+        ``older_than_ms`` (Iceberg's ``expireOlderThan`` /
+        ``retainLast`` pairing): when given, a snapshot additionally
+        survives while its ``timestamp_ms`` is at or after the cutoff —
+        the time-based retention policy ("keep a week of history")
+        composed with the count floor. The cutoff only ever RETAINS
+        more: every structural protection (tags, live branches,
+        rollback dependency closure) applies on top.
 
         Metadata-scale: one listing + one delete per expired snapshot
         header, plus GC of bucket-manifest files referenced ONLY by
@@ -2874,6 +2884,16 @@ class LakeTable:
                 if raw is None or raw.get("ref") is None:
                     break  # expired tail or reached the main chain
                 b = raw.get("parent_id")
+        if older_than_ms is not None:
+            # time-based retention: young snapshots survive regardless
+            # of the count floor. Must precede the rollback closure —
+            # a young rollback's undone chain needs retaining too.
+            for i in ids:
+                if i in keep:
+                    continue
+                raw = self._raw_snapshot_if_retained(i)
+                if raw is not None and raw.get("timestamp_ms", 0) >= older_than_ms:
+                    keep.add(i)
         # a retained ROLLBACK header's revert emission is re-derived by
         # changes() from its target header plus the whole undone
         # (target, parent] chain — expiring any of those would wedge

@@ -165,3 +165,31 @@ def test_partitions_metadata_table(spark, tmp_path):
     _commit(t2, spark, [("r", "a", "000000000001", 1, "py", "v1")])
     p2 = [p for p in t2.partitions() if p["files"]]
     assert p2 and all(p["rows"] is None and p["bytes"] is None for p in p2)
+
+
+def test_expire_older_than_time_based_retention(spark, tmp_path):
+    """expire_snapshots(older_than_ms=...) — Iceberg's expireOlderThan
+    composed with the count floor: young snapshots survive beyond
+    keep_last; a cutoff in the future degrades to plain keep_last."""
+    t = LakeTable.create(spark, str(tmp_path / "l"), ["repo", "path"], num_buckets=2)
+    s1 = _commit(t, spark, [("r", "a", "000000000001", 1, "py", "v1")])
+    s2 = _commit(t, spark, [("r", "a", "000000000002", 2, "py", "v2")])
+    s3 = _commit(t, spark, [("r", "a", "000000000003", 3, "py", "v3")])
+
+    # cutoff before every commit: everything is "young", nothing beyond
+    # keep_last's own floor expires
+    cutoff = t.snapshot(s1["snapshot_id"])["timestamp_ms"]
+    expired = t.expire_snapshots(keep_last=1, older_than_ms=cutoff)
+    assert expired == [] or all(
+        t._raw_snapshot_if_retained(i) is None for i in expired
+    )
+    assert t.read(s1["snapshot_id"]) is not None  # still time-travelable
+
+    # cutoff in the future: pure keep_last behavior
+    future = t.snapshot(s3["snapshot_id"])["timestamp_ms"] + 10_000
+    expired = t.expire_snapshots(keep_last=1, older_than_ms=future)
+    assert s1["snapshot_id"] in expired and s2["snapshot_id"] in expired
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        t.read(s1["snapshot_id"])
+    assert t.read().collect()[0]["content"] == "v3"
