@@ -124,10 +124,21 @@ def merge_into(
         ),
     )
     touched = sorted(r[0] for r in src.select("_sb").distinct().collect())
+    if update_by_source is None and update_by_source_when is not None:
+        raise ValueError(
+            "update_by_source_when given without update_by_source — the "
+            "condition would be silently ignored"
+        )
     if by_source:
         # unmatched target rows live in EVERY data-carrying bucket —
-        # the full-table cost the docstring warns about, made explicit
-        touched = sorted(set(touched) | {int(b) for b in snap["buckets"]})
+        # the full-table cost the docstring warns about, made explicit.
+        # Delta-only buckets included: a MoR bucket can hold rows purely
+        # in delta files with no base commit yet
+        touched = sorted(
+            set(touched)
+            | {int(b) for b in snap["buckets"]}
+            | {int(b) for b in snap.get("deltas", {})}
+        )
     if not touched:
         return None
 

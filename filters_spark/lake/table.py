@@ -518,11 +518,14 @@ class LakeTable:
         for i in range(0, len(all_todo), CHUNK):
             self._collect_file_blooms_chunk(all_todo[i:i + CHUNK], bloom, m, k)
 
-    # a filter with more than half its words nonzero prunes almost
-    # nothing (false-positive rate ~1 at that density) but costs full
-    # manifest weight — drop it (no filter = never pruned, the standard
-    # degrade) so manifests only carry filters that earn their bytes
-    _BLOOM_MAX_WORD_FRACTION = 0.5
+    # a filter whose estimated false-positive rate (bit density ^ k)
+    # exceeds this admits nearly everything but costs full manifest
+    # weight — drop it (no filter = never pruned, the standard degrade)
+    # so manifests only carry filters that earn their bytes. Density is
+    # SET BITS / m (popcount), not nonzero words: words saturate ~7x
+    # earlier than bits (a 64-bit word is nonzero at one bit), and a
+    # word-count gate would discard excellent filters at ~140 values
+    _BLOOM_MAX_FP = 0.1
 
     def _collect_file_blooms_chunk(
         self, todo: list[str], bloom: dict, m: int, k: int
@@ -538,8 +541,21 @@ class LakeTable:
         from filters_spark.operators.hashing import mixp31
         from filters_spark.operators.sketches import _bit_mask
 
-        by_rel = {_rel_to_data(p): p for p in todo}
-        max_words = int((m // 64) * self._BLOOM_MAX_WORD_FRACTION)
+        # identity mapping from input_file_name's URI spelling back to
+        # the committed path: the /data/-relative suffix for normal
+        # table files, plus the scheme-stripped absolute path as a
+        # fallback (commit_bucket_files accepts paths OUTSIDE data/,
+        # where _rel_to_data degenerates to the full differing strings)
+        from urllib.parse import unquote, urlparse
+
+        def _norm(p: str) -> str:
+            q = urlparse(p)
+            return unquote(q.path) if q.scheme else p
+
+        by_key: dict[str, str] = {}
+        for p in todo:
+            by_key[_rel_to_data(p)] = p
+            by_key[_norm(p)] = p
         for c in bloom["cols"]:
             try:
                 rows = (
@@ -573,12 +589,22 @@ class LakeTable:
                 # NameError and silently disabled the whole index
                 continue
             words: dict[str, list] = {p: [] for p in todo}
+            unmapped = 0
             for r in rows:
-                p = by_rel.get(_rel_to_data(r["_f"]))
-                if p is not None:
+                p = by_key.get(_rel_to_data(r["_f"])) or by_key.get(_norm(r["_f"]))
+                if p is None:
+                    unmapped += 1
+                else:
                     words[p].append([int(r["w"]), int(r["bits"])])
+            if unmapped:
+                # attribution is unreliable for this path spelling:
+                # record NOTHING — an empty entry would mean "column
+                # all NULL, definitively prunable" and silently drop
+                # live rows from where_eq reads
+                continue
             for p, wl in words.items():
-                if len(wl) > max_words:
+                set_bits = sum(bin(b & 0xFFFFFFFFFFFFFFFF).count("1") for _, b in wl)
+                if (set_bits / m) ** k > self._BLOOM_MAX_FP:
                     continue  # saturated: all cost, no pruning
                 fstats = self._file_stats_cache.setdefault(p, {})
                 fstats[f"__bloom:{c}"] = sorted(wl)
@@ -712,15 +738,34 @@ class LakeTable:
         """Combined file-skipping test for a delta-free bucket's base
         file: range stats against ``where``, range stats at
         [value, value] AND bloom definitive-absence against
-        ``where_eq``. Missing stats/filters always keep the file."""
+        ``where_eq``. Missing stats/filters always keep the file.
+
+        ``where_eq`` BLOOM pruning engages only for ``str`` probe
+        values: the harvest hashed the string column's own bytes, and
+        any non-string probe compares under Spark's numeric/boolean
+        coercion in the row filter (``'05' == 5`` is TRUE numerically
+        but hashes differently) — a bloom miss there would be a false
+        prune. The min/max range test additionally admits non-bool
+        ints (int stats from long columns compare exactly); a
+        probe/stats type mismatch declines instead of raising. All
+        other probe types skip file pruning; the row filter always
+        still applies."""
         stats = self._file_stats_cache.get(f)
         if where is not None and not self._file_may_match(stats, where):
             return False
         if where_eq is not None:
             col, value = where_eq
-            if not self._file_may_match(stats, (col, value, value)):
-                return False
-            if not self._file_bloom_may_contain(stats, snap.get("bloom"), where_eq):
+            if isinstance(value, str) or (
+                isinstance(value, int) and not isinstance(value, bool)
+            ):
+                try:
+                    if not self._file_may_match(stats, (col, value, value)):
+                        return False
+                except TypeError:
+                    pass  # probe/stats type mismatch: cannot prune
+            if isinstance(value, str) and not self._file_bloom_may_contain(
+                stats, snap.get("bloom"), where_eq
+            ):
                 return False
         return True
 

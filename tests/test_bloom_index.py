@@ -279,3 +279,72 @@ def test_shallow_clone_keeps_bloom_pruning(spark, tmp_path):
     fork2 = LakeTable.load(spark, str(tmp_path / "fork"))
     fork2.snapshot()  # populate stats cache from manifests
     assert fork2.prune_report(where_eq=("lang", "zz"))["files_read"] == 0
+
+
+def test_high_cardinality_filter_survives_saturation_gate(spark, tmp_path):
+    """Regression (review finding): the saturation gate must measure
+    SET-BIT density, not nonzero words — a 1000-distinct-value file is
+    an excellent filter (fp ~1e-6 at m=65536, k=5) and must be kept."""
+    from filters_spark.lake.table import LakeTable
+
+    root = str(tmp_path / "lake")
+    t = LakeTable.create(
+        spark, root, ["repo", "path"], num_buckets=1, bloom_cols=["lang"],
+    )
+    rows = [
+        ("r0", f"p{i}.py", "%012x" % 1, i, f"val-{i}", f"v{i}", f"s{i}")
+        for i in range(1000)
+    ]
+    d = os.path.join(root, "data", "seed-hc")
+    spark.createDataFrame(rows, DDL).coalesce(1).write.parquet(d)
+    files = [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
+    t.commit_bucket_files({"0": files}, {0: "000000000001:0000000000"})
+
+    st = t._file_stats_cache.get(files[0]) or {}
+    assert "__bloom:lang" in st, "high-cardinality filter was dropped"
+    # present values hit, absent values prune the (only) file
+    assert t.prune_report(where_eq=("lang", "val-500"))["files_read"] == 1
+    assert t.prune_report(where_eq=("lang", "nope"))["files_read"] == 0
+
+
+def test_outside_data_dir_paths_never_false_prune(spark, tmp_path):
+    """Regression (review finding): files committed from OUTSIDE the
+    table's data/ dir must not be recorded as empty (always-prune)
+    filters when the identity mapping is exercised — either the filter
+    is correct or it is absent, never wrong."""
+    from filters_spark.lake.table import LakeTable
+
+    root = str(tmp_path / "lake")
+    t = LakeTable.create(
+        spark, root, ["repo", "path"], num_buckets=1, bloom_cols=["lang"],
+    )
+    ext = str(tmp_path / "imports" / "seed")
+    rows = [("r0", f"p{i}.py", "%012x" % 1, i, "py", f"v{i}", f"s{i}")
+            for i in range(50)]
+    spark.createDataFrame(rows, DDL).coalesce(1).write.parquet(ext)
+    files = [os.path.join(ext, f) for f in os.listdir(ext) if f.endswith(".parquet")]
+    t.commit_bucket_files({"0": files}, {0: "000000000001:0000000000"})
+
+    # whatever the harvest managed, a read for a PRESENT value must
+    # return the rows — a false empty filter would silently drop them
+    got = t.read(where_eq=("lang", "py"))
+    assert got is not None and got.count() == 50
+
+
+def test_non_string_probe_values_never_crash_or_misprune(spark, tmp_path):
+    """Regression (review finding): bool/float probes (whose Python
+    spelling diverges from Spark's cast) skip FILE pruning; a probe
+    typed against mismatched stats declines instead of raising."""
+    from filters_spark.lake.table import LakeTable
+
+    root = str(tmp_path / "lake")
+    t = LakeTable.create(
+        spark, root, ["repo", "path"], num_buckets=2, bloom_cols=["lang"],
+    )
+    _seed_slices(spark, t, root, _base_rows()[:200], 2, "000000000001:0000000000")
+    # bool probe: no crash, no file pruned (bloom skipped for non-str)
+    rep = t.prune_report(where_eq=("lang", True))
+    assert rep["files_skipped"] == 0
+    # int probe against string stats: declines, never raises
+    rep2 = t.prune_report(where_eq=("lang", 5))
+    assert rep2["files_read"] == rep2["files_total"]

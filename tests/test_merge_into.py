@@ -243,3 +243,26 @@ def test_by_source_off_keeps_unmatched_untouched(spark, tmp_path):
     merge_into(t, src)
     st = _state(t)
     assert len(st) == 4 and st[("r2", "c.go")][2] == "gamma"
+
+
+def test_by_source_reaches_delta_only_buckets(spark, tmp_path):
+    """Regression (review finding): a MoR bucket whose rows live purely
+    in delta files (no base commit) must still be swept by BY SOURCE
+    clauses — snapshot sync deletes feed-absent rows wherever they
+    live."""
+    t = _mk_table(spark, tmp_path / "l", [])  # empty table: no base buckets
+    d = spark.createDataFrame(
+        [("r1", "a.py", "000000000001", 1, "py", "alpha", "U"),
+         ("r2", "c.go", "000000000001", 2, "go", "gamma", "U")],
+        _SRC_DDL,
+    ).select("*", bucket_expr(F.col("repo"), F.col("path"), 4, 16)
+             .cast("int").alias("_bucket"))
+    touched = sorted(r[0] for r in d.select("_bucket").distinct().collect())
+    t.commit_deltas(d.drop(), touched, {})
+    assert t.current()["buckets"] == {} and t.current()["deltas"]
+
+    src = _src(spark, [("r1", "a.py", "000000000002", 9, "py", "A2", "U")])
+    merge_into(t, src, delete_by_source_when="true")
+    st = _state(t)
+    assert set(st) == {("r1", "a.py")}
+    assert st[("r1", "a.py")][2] == "A2"
