@@ -3036,6 +3036,36 @@ def q_agg_cube(spark, sf):
 
 
 @_q(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_totalprice) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_agg_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS — the third member of the grouping
+    family next to CUBE and ROLLUP: per-status totals, per-priority
+    totals and the grand total in ONE aggregation (one shuffle with
+    map-side partials over the expanded sets), grouping_id
+    disambiguating subtotal rows from genuine NULL groups. Spelled
+    through spark.sql — the declarative surface Catalyst plans
+    identically to the DataFrame cube/rollup calls."""
+    _t(spark, sf, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               count(*) AS n,
+               CAST(sum(o_totalprice) AS DOUBLE) AS revenue
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+@_q(
     "agg_pivot_status",
     """
     SELECT o_orderpriority AS priority,
@@ -3669,6 +3699,34 @@ def q_lake_skipping_read(spark, sf):
     if rep["files_skipped"] <= 0:
         raise AssertionError(f"data skipping did not engage: {rep}")
     return t.read(where=where).select(*_LAKE_STATE_COLS)
+
+
+@_q(
+    "lake_expire_retention",
+    _LAKE_LWW_STATE_ORACLE,
+)
+def q_lake_expire_retention(spark, sf):
+    """Time-based snapshot retention (lake/table.py expire_snapshots
+    older_than_ms — Iceberg expireOlderThan + retainLast): a cutoff
+    BELOW every commit retains all history beyond the count floor
+    (the base snapshot stays time-travelable; the query raises if
+    anything expired), then a cutoff above them expires the base
+    snapshot under keep_last=1 (raises if it survived). The returned
+    current state must still be the exact LWW fold — expiry is
+    metadata-only and never perturbs data."""
+    import time as _time
+
+    t = _lake_build(spark, sf, deltas=True)
+    if t.expire_snapshots(keep_last=1, older_than_ms=0):
+        raise AssertionError("young cutoff must retain everything")
+    if t.read(snapshot_id=1) is None:
+        raise AssertionError("base snapshot must stay readable")
+    expired = t.expire_snapshots(
+        keep_last=1, older_than_ms=int(_time.time() * 1000) + 600_000
+    )
+    if 1 not in expired:
+        raise AssertionError(f"future cutoff must expire the base: {expired}")
+    return t.read().select(*_LAKE_STATE_COLS)
 
 
 @_q(
