@@ -1527,6 +1527,75 @@ def q_text_decontaminate(spark, sf):
 
 
 @_q(
+    "text_corpus_line_dedupe",
+    """
+    WITH d2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                    THEN text || '. Subscribe to our newsletter. Click here to read more'
+                  WHEN doc_id % 3 = 1
+                    THEN text || '. Subscribe to our newsletter'
+                  ELSE text END AS text
+      FROM documents
+    ), t AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, '.'), s -> trim(s)),
+                         s -> len(s) > 0) AS segs
+      FROM d2
+    ), b AS (
+      SELECT doc_id, unnest(segs) AS seg,
+             unnest(range(1, len(segs) + 1)) AS pos
+      FROM t
+    ), hot AS (
+      SELECT seg FROM b GROUP BY seg HAVING count(DISTINCT doc_id) >= 2
+    ), kept AS (
+      SELECT b.* FROM b ANTI JOIN hot USING (seg)
+    ), reb AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(seg, '. ' ORDER BY pos) AS cleaned_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.segs) AS BIGINT) AS n_segments,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.cleaned_text, '') AS cleaned_text
+    FROM t LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def q_text_corpus_line_dedupe(spark, sf):
+    """Corpus-wide boilerplate removal (operators/textstats.py
+    corpus_segment_dedupe — the CCNet/RefinedWeb line-dedupe pass,
+    complementing text_dup_segments' WITHIN-document stats): sentences
+    planted across the corpus ('Subscribe to our newsletter' into
+    every doc_id % 3 in {0, 1}, a second tail into % 3 == 0 only) are
+    detected by corpus-wide distinct-document frequency >= 2 and
+    stripped from every document; each document's text is rebuilt from
+    its surviving sentences in original order and must match DuckDB's
+    ordered string_agg byte-for-byte. Scale shape: segment-frequency
+    agg + anti join + per-doc rebuild, all keyed shuffles, no Python.
+    (The natural corpus contributes no cross-document sentences; if it
+    did, both engines would strip them identically.)"""
+    from filters_spark.operators.textstats import corpus_segment_dedupe
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(". Subscribe to our newsletter. Click here to read more"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.col("text"), F.lit(". Subscribe to our newsletter")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return corpus_segment_dedupe(d, "text", "doc_id", sep=r"\.", min_docs=2)
+
+
+@_q(
     "text_token_stats",
     """
     SELECT lang,
@@ -4308,6 +4377,48 @@ def q_lake_clone_fork(spark, sf):
         fork.read().select(F.lit("fork").alias("src"), *cols)
         .unionByName(t.read().select(F.lit("source").alias("src"), *cols))
     )
+
+
+@_q("lake_sync_incremental", _LAKE_LWW_STATE_ORACLE)
+def q_lake_sync_incremental(spark, sf):
+    """Changefeed-follower mirror (lake/sync.py sync_incremental): the
+    source commits the base slice (snapshot 1) and the delta slice
+    (snapshot 2) as merge-on-read delta commits; a mirror with a
+    DIFFERENT bucket layout (4 buckets, salt 2 vs the source's 8/16 —
+    the serving-tier re-bucketing case) follows with one sync call
+    AFTER EACH source commit, so the second sync reads only changes()
+    over (1, 2] — O(changed rows), never a table rescan — and LWW-
+    merges them into only the touched mirror buckets. The mirror's
+    final state must equal the full LWW fold of base+deltas
+    hash-for-hash, certifying that an incremental follower converges
+    to the authoritative state across a bucket-layout change.
+    (Incremental file-count proof is pinned in tests/test_mor.py
+    TestIncrementalMirrorSync; this query certifies the value
+    contract.)"""
+    from filters_spark.lake.sync import sync_incremental
+    from filters_spark.lake.table import LakeTable, bucket_expr
+
+    root = _tmpdir("filters_spark_syncq_")
+    src = LakeTable.create(
+        spark, os.path.join(root, "src"), ["repo", "path"], num_buckets=8
+    )
+    bkt = bucket_expr(F.col("repo"), F.col("path"), 8, 16).cast("int").alias("_bucket")
+    base = (
+        _lake_base_df(spark, sf)
+        .drop("content_sha")
+        .withColumn("op", F.lit("U"))
+        .select("*", bkt)
+    )
+    touched = sorted(r[0] for r in base.select("_bucket").distinct().collect())
+    src.commit_deltas(base, touched, {b: "000000000001:0000000000" for b in touched})
+    dst = LakeTable.create(
+        spark, os.path.join(root, "mirror"), ["repo", "path"],
+        num_buckets=4, path_salt=2,
+    )
+    sync_incremental(src, dst)              # folds snapshot 1 (base)
+    _lake_commit_delta_slice(src, spark, sf)  # snapshot 2 (deltas)
+    sync_incremental(src, dst)              # folds (1, 2] only
+    return dst.read().select(*_LAKE_STATE_COLS)
 
 
 @_q(

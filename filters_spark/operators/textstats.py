@@ -253,6 +253,73 @@ def dup_segment_stats(
     )
 
 
+def corpus_segment_dedupe(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = r"\.",
+    join_sep: str = ". ",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document boilerplate removal (the CCNet/RefinedWeb
+    line-dedupe pass): a segment (line or sentence, delimiter ``sep``)
+    appearing in >= ``min_docs`` DISTINCT documents is boilerplate
+    (navigation, headers, license blurbs, "subscribe" calls) and is
+    dropped from EVERY document; each document's text is rebuilt from
+    its surviving segments in original order. Complements
+    :func:`dup_segment_stats`, which measures repetition WITHIN one
+    document — this is the corpus-wide pass.
+
+    Returns ``(id_col, n_segments, n_kept, cleaned_text)`` — one row
+    per input document, including documents whose every segment was
+    boilerplate (``n_kept=0``, ``cleaned_text=''``).
+
+    Scale shape: one posexplode to (id, pos, seg); the boilerplate set
+    is a groupBy(seg) count_distinct(id) with map-side partials (the
+    >= min_docs survivor set is the small one — boilerplate is by
+    definition few distinct strings with huge doc-frequency); removal
+    is a LEFT ANTI join on the segment; rebuild is one groupBy(id)
+    with an order-preserving array_sort over (pos, seg) structs.
+    Three keyed shuffles, none quadratic, no Python. At corpus scale,
+    key the frequency agg and anti join on ``xxhash64(seg)`` instead
+    of the raw string to keep those exchanges narrow; the semantics
+    are unchanged up to hash collisions.
+    """
+    t = F.col(text_col)
+    segs = F.filter(
+        F.transform(F.split(t, sep), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    base = df.select(F.col(id_col), F.posexplode(segs).alias("pos", "seg"))
+    hot = (
+        base.groupBy("seg")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("seg")
+    )
+    kept = base.join(hot, "seg", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda x: x["seg"],
+            ),
+            join_sep,
+        ).alias("cleaned_text"),
+    )
+    return (
+        df.select(F.col(id_col), F.size(segs).cast("bigint").alias("n_segments"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_segments",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
 def ngram_contamination(
     docs: DataFrame,
     benchmark: DataFrame,

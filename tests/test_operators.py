@@ -747,6 +747,39 @@ class TestTextCuration:
         assert out[2] == (3, 3, 0.0)
         assert out[3] == (0, 0, 0.0)
 
+    def test_corpus_segment_dedupe(self, spark):
+        from filters_spark.operators.textstats import corpus_segment_dedupe
+
+        df = spark.createDataFrame(
+            [(1, "unique one. subscribe now. more one"),
+             (2, "subscribe now. unique two"),
+             (3, "only original text here"),
+             (4, "subscribe now")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: (r.n_segments, r.n_kept, r.cleaned_text)
+               for r in corpus_segment_dedupe(df, min_docs=2).collect()}
+        # 'subscribe now' appears in 3 distinct docs -> stripped everywhere,
+        # order of survivors preserved, fully-boilerplate doc kept as ''
+        assert out[1] == (3, 2, "unique one. more one")
+        assert out[2] == (2, 1, "unique two")
+        assert out[3] == (1, 1, "only original text here")
+        assert out[4] == (1, 0, "")
+
+    def test_corpus_segment_dedupe_within_doc_repeat_not_hot(self, spark):
+        from filters_spark.operators.textstats import corpus_segment_dedupe
+
+        # a segment repeated WITHIN one document only is not corpus
+        # boilerplate (distinct-doc frequency 1) and must survive
+        df = spark.createDataFrame(
+            [(1, "echo. echo. echo"), (2, "other")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: (r.n_kept, r.cleaned_text)
+               for r in corpus_segment_dedupe(df, min_docs=2).collect()}
+        assert out[1] == (3, "echo. echo. echo")
+        assert out[2] == (1, "other")
+
     def test_ngram_contamination(self, spark):
         from filters_spark.operators.textstats import ngram_contamination
 
