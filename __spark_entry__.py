@@ -4421,6 +4421,75 @@ def q_lake_sync_incremental(spark, sf):
     return dst.read().select(*_LAKE_STATE_COLS)
 
 
+@_q("lake_compact_read", _LAKE_LWW_STATE_ORACLE)
+def q_lake_compact_read(spark, sf):
+    """Compaction preserves state (lake/table.py compact()): fold the
+    merge-on-read delta files into new base files (one LWW merge + one
+    bucket-partitioned write), then read the COMPACTED table — the
+    result must equal the pre-compaction fold hash-for-hash, including
+    every content_sha. Together with lake_mor_read (fold at read time)
+    this value-checks both sides of the MoR contract: defer the merge,
+    then amortize it, with no observable difference. At 10^10-event
+    scale compaction is what keeps read amplification bounded while
+    ingest stays O(batch)."""
+    t = _lake_build(spark, sf, deltas=True)
+    t.compact()
+    return t.read().select(*_LAKE_STATE_COLS)
+
+
+@_q(
+    "lake_publish_roundtrip",
+    f"""
+    WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE}
+    SELECT repo, path, "commit", event_seq, lang, content, 'U' AS op FROM base
+    UNION ALL
+    SELECT repo, path, "commit", event_seq, lang, content, op FROM deltas
+    """,
+)
+def q_lake_publish_roundtrip(spark, sf):
+    """Checkpointed Debezium egress, round-tripped (lake/sync.py
+    publish_changes + sources/debezium.py parse_debezium): the source
+    commits base and delta slices as merge-on-read commits, publishing
+    its changefeed AFTER EACH commit as JSON-line Debezium envelopes
+    into per-range batch directories (batch-0-1, then batch-1-2 — each
+    publish reads only changes() over the unpublished range and
+    advances the egress checkpoint). Reading every published envelope
+    back through parse_debezium must reproduce the exact event stream
+    — (commit, event_seq) losslessly through source.file/pos, ops
+    through u/d, delete tombstones carrying their key in the before
+    image with NULL payload. This is the producer loop that makes the
+    lake a continuous Debezium SOURCE any standard consumer can tail."""
+    from filters_spark.lake.sync import publish_changes
+    from filters_spark.lake.table import LakeTable, bucket_expr
+    from filters_spark.sources.debezium import parse_debezium
+
+    root = _tmpdir("filters_spark_pubq_")
+    src = LakeTable.create(
+        spark, os.path.join(root, "src"), ["repo", "path"], num_buckets=8
+    )
+    bkt = bucket_expr(F.col("repo"), F.col("path"), 8, 16).cast("int").alias("_bucket")
+    base = (
+        _lake_base_df(spark, sf)
+        .drop("content_sha")
+        .withColumn("op", F.lit("U"))
+        .select("*", bkt)
+    )
+    touched = sorted(r[0] for r in base.select("_bucket").distinct().collect())
+    src.commit_deltas(base, touched, {b: "000000000001:0000000000" for b in touched})
+    sink = os.path.join(root, "sink")
+    os.makedirs(sink, exist_ok=True)
+    publish_changes(src, sink, db="lakedb", table="repos")
+    _lake_commit_delta_slice(src, spark, sf)
+    publish_changes(src, sink, db="lakedb", table="repos")
+    wire = spark.read.text(os.path.join(sink, "batch-*"))
+    ev = parse_debezium(
+        wire,
+        ["repo", "path", "lang", "content"],
+        seq_expr=lambda s: s["pos"].cast("long"),
+    )
+    return ev.select("repo", "path", "commit", "event_seq", "lang", "content", "op")
+
+
 @_q(
     "join_local_supplier_volume",
     """
