@@ -4421,6 +4421,79 @@ def q_lake_sync_incremental(spark, sf):
     return dst.read().select(*_LAKE_STATE_COLS)
 
 
+@_q(
+    "stream_cdc_replay",
+    f"""
+    WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE},
+    {_LAKE_LWW_CTES}
+    SELECT repo, path, "commit", event_seq, lower(lang) AS lang, content,
+           sha256(content) AS content_sha
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_stream_cdc_replay(spark, sf):
+    """The WAL tail under Structured Streaming, end to end and
+    value-checked (streaming/stream.py tail_directory +
+    start_cdc_stream): the base slice lands as WAL segment 1 and is
+    drained by an availableNow run (micro-batch -> validate ->
+    watermark -> LWW merge -> snapshot commit via foreachBatch); then
+    segment 2 (the delta slice) arrives TOGETHER WITH A REDELIVERED
+    COPY of segment 1 — the at-least-once failure mode of a real
+    binlog tail — and a second availableNow run over the SAME source
+    checkpoint drains both. Exactly-once falls out of the two
+    checkpoints composing: Spark's offset log skips files already
+    consumed, and the engine's per-bucket watermarks drop the
+    redelivered events the offset log has never seen. The final table
+    must equal the plain LWW fold of base+deltas (lang lowered by the
+    registry's ascii_lower chain) — redelivery leaves no trace.
+    Restart-resume file-count proofs are pytest-pinned
+    (tests/test_streaming.py); this row certifies the value
+    contract."""
+    from filters_spark.engine.cdc import CDCEngine
+    from filters_spark.engine.evolution import SpecRegistry, VersionSpec
+    from filters_spark.lake.table import LakeTable
+    from filters_spark.streaming import start_cdc_stream, tail_directory
+
+    root = _tmpdir("filters_spark_streamq_")
+    reg = SpecRegistry(["repo", "path", "lang", "content"])
+    reg.register(VersionSpec(1, _EVO_SPECS_V1))
+    t = LakeTable.create(
+        spark, os.path.join(root, "lake"), ["repo", "path"], num_buckets=8
+    )
+    eng = CDCEngine(spark, t, reg)
+    base = (
+        _lake_base_df(spark, sf)
+        .drop("content_sha")
+        .withColumn("op", F.lit("U"))
+        .withColumn("schema_version", F.lit(1))
+    )
+    # WAL payload contract: the required-content chain applies to EVERY
+    # event (gen_events' tombstones carry payloads; a payload-less D is
+    # a malformed producer and dead-letters). The tombstone's content
+    # never lands, so the final-state oracle is unchanged by the fill.
+    deltas = (
+        _lake_delta_df(spark, sf)
+        .withColumn("content", F.coalesce(F.col("content"), F.lit("tombstone")))
+        .withColumn("schema_version", F.lit(1))
+    )
+    wal = os.path.join(root, "wal")
+    os.makedirs(wal)
+    ckpt = os.path.join(root, "ckpt")
+    base.coalesce(1).write.parquet(os.path.join(wal, "seg1"))
+    q1 = start_cdc_stream(
+        eng, tail_directory(spark, wal + "/*/"), ckpt, trigger_once=True
+    )
+    q1.awaitTermination(300)
+    # segment 2 + the redelivered copy of segment 1 land together
+    base.coalesce(1).write.parquet(os.path.join(wal, "seg1_redelivered"))
+    deltas.coalesce(1).write.parquet(os.path.join(wal, "seg2"))
+    q2 = start_cdc_stream(
+        eng, tail_directory(spark, wal + "/*/"), ckpt, trigger_once=True
+    )
+    q2.awaitTermination(300)
+    return t.read().select(*_LAKE_STATE_COLS)
+
+
 @_q("lake_compact_read", _LAKE_LWW_STATE_ORACLE)
 def q_lake_compact_read(spark, sf):
     """Compaction preserves state (lake/table.py compact()): fold the
