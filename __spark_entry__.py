@@ -3662,6 +3662,26 @@ def _lake_build(spark, sf, deltas: bool = True, skipping: bool = False,
     return t
 
 
+def _lake_commit_base_slice_mor(t, spark, sf) -> None:
+    """Commit the BASE slice of the lake fixture as a merge-on-read
+    delta commit (snapshot 1, every row op='U') — for queries whose
+    source must be all-MoR so ``changes(0, ...)`` can feed a follower
+    (incremental sync, Debezium egress). Bucket/salt constants and the
+    watermark spelling stay in lockstep with _lake_build /
+    _lake_commit_delta_slice."""
+    from filters_spark.lake.table import bucket_expr
+
+    bkt = bucket_expr(F.col("repo"), F.col("path"), 8, 16).cast("int").alias("_bucket")
+    base = (
+        _lake_base_df(spark, sf)
+        .drop("content_sha")
+        .withColumn("op", F.lit("U"))
+        .select("*", bkt)
+    )
+    touched = sorted(r[0] for r in base.select("_bucket").distinct().collect())
+    t.commit_deltas(base, touched, {b: "000000000001:0000000000" for b in touched})
+
+
 def _lake_commit_delta_slice(t, spark, sf) -> None:
     """The MoR delta commit (snapshot 2) of the lake fixture, split out
     so queries can interleave work between the two commits."""
@@ -4396,21 +4416,13 @@ def q_lake_sync_incremental(spark, sf):
     TestIncrementalMirrorSync; this query certifies the value
     contract.)"""
     from filters_spark.lake.sync import sync_incremental
-    from filters_spark.lake.table import LakeTable, bucket_expr
+    from filters_spark.lake.table import LakeTable
 
     root = _tmpdir("filters_spark_syncq_")
     src = LakeTable.create(
         spark, os.path.join(root, "src"), ["repo", "path"], num_buckets=8
     )
-    bkt = bucket_expr(F.col("repo"), F.col("path"), 8, 16).cast("int").alias("_bucket")
-    base = (
-        _lake_base_df(spark, sf)
-        .drop("content_sha")
-        .withColumn("op", F.lit("U"))
-        .select("*", bkt)
-    )
-    touched = sorted(r[0] for r in base.select("_bucket").distinct().collect())
-    src.commit_deltas(base, touched, {b: "000000000001:0000000000" for b in touched})
+    _lake_commit_base_slice_mor(src, spark, sf)
     dst = LakeTable.create(
         spark, os.path.join(root, "mirror"), ["repo", "path"],
         num_buckets=4, path_salt=2,
@@ -4483,14 +4495,16 @@ def q_stream_cdc_replay(spark, sf):
     q1 = start_cdc_stream(
         eng, tail_directory(spark, wal + "/*/"), ckpt, trigger_once=True
     )
-    q1.awaitTermination(300)
+    if not q1.awaitTermination(300):
+        raise RuntimeError("stream_cdc_replay: first availableNow drain timed out")
     # segment 2 + the redelivered copy of segment 1 land together
     base.coalesce(1).write.parquet(os.path.join(wal, "seg1_redelivered"))
     deltas.coalesce(1).write.parquet(os.path.join(wal, "seg2"))
     q2 = start_cdc_stream(
         eng, tail_directory(spark, wal + "/*/"), ckpt, trigger_once=True
     )
-    q2.awaitTermination(300)
+    if not q2.awaitTermination(300):
+        raise RuntimeError("stream_cdc_replay: second availableNow drain timed out")
     return t.read().select(*_LAKE_STATE_COLS)
 
 
@@ -4533,22 +4547,14 @@ def q_lake_publish_roundtrip(spark, sf):
     image with NULL payload. This is the producer loop that makes the
     lake a continuous Debezium SOURCE any standard consumer can tail."""
     from filters_spark.lake.sync import publish_changes
-    from filters_spark.lake.table import LakeTable, bucket_expr
+    from filters_spark.lake.table import LakeTable
     from filters_spark.sources.debezium import parse_debezium
 
     root = _tmpdir("filters_spark_pubq_")
     src = LakeTable.create(
         spark, os.path.join(root, "src"), ["repo", "path"], num_buckets=8
     )
-    bkt = bucket_expr(F.col("repo"), F.col("path"), 8, 16).cast("int").alias("_bucket")
-    base = (
-        _lake_base_df(spark, sf)
-        .drop("content_sha")
-        .withColumn("op", F.lit("U"))
-        .select("*", bkt)
-    )
-    touched = sorted(r[0] for r in base.select("_bucket").distinct().collect())
-    src.commit_deltas(base, touched, {b: "000000000001:0000000000" for b in touched})
+    _lake_commit_base_slice_mor(src, spark, sf)
     sink = os.path.join(root, "sink")
     os.makedirs(sink, exist_ok=True)
     publish_changes(src, sink, db="lakedb", table="repos")

@@ -230,6 +230,18 @@ def top_ngram_stats(
     )
 
 
+def _segments(text: Column, sep: str) -> Column:
+    """Shared segmentation for the duplicate-segment passes: split on
+    ``sep``, trim, drop empties. dup_segment_stats (within-doc) and
+    corpus_segment_dedupe (corpus-wide) MUST segment identically — and
+    each is independently byte-matched to a DuckDB oracle spelling the
+    same split/trim/filter."""
+    return F.filter(
+        F.transform(F.split(text, sep), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+
+
 def dup_segment_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", sep: str = r"\."
 ) -> DataFrame:
@@ -238,10 +250,7 @@ def dup_segment_stats(
     corpora, '\\n' for lines): 1 - distinct/total over trimmed
     non-empty segments. Pure native array expressions, map-only, no
     shuffle."""
-    segs = F.filter(
-        F.transform(F.split(F.col(text_col), sep), lambda s: F.trim(s)),
-        lambda s: F.length(s) > 0,
-    )
+    segs = _segments(F.col(text_col), sep)
     n = F.size(segs)
     return df.select(
         F.col(id_col),
@@ -260,6 +269,7 @@ def corpus_segment_dedupe(
     sep: str = r"\.",
     join_sep: str = ". ",
     min_docs: int = 2,
+    broadcast_hot: bool = False,
 ) -> DataFrame:
     """Cross-document boilerplate removal (the CCNet/RefinedWeb
     line-dedupe pass): a segment (line or sentence, delimiter ``sep``)
@@ -274,49 +284,55 @@ def corpus_segment_dedupe(
     per input document, including documents whose every segment was
     boilerplate (``n_kept=0``, ``cleaned_text=''``).
 
-    Scale shape: one posexplode to (id, pos, seg); the boilerplate set
-    is a groupBy(seg) count_distinct(id) with map-side partials (the
-    >= min_docs survivor set is the small one — boilerplate is by
-    definition few distinct strings with huge doc-frequency); removal
-    is a LEFT ANTI join on the segment; rebuild is one groupBy(id)
-    with an order-preserving array_sort over (pos, seg) structs.
-    Three keyed shuffles, none quadratic, no Python. At corpus scale,
-    key the frequency agg and anti join on ``xxhash64(seg)`` instead
-    of the raw string to keep those exchanges narrow; the semantics
-    are unchanged up to hash collisions.
+    Scale shape: ONE scan segments each document (posexplode_outer, so
+    a document with no segments still contributes its row); the
+    boilerplate set is a groupBy(seg) count_distinct(id) with map-side
+    partials, joined back as a hot flag; the
+    rebuild is one groupBy(id) with an order-preserving array_sort
+    over (pos, seg) structs, counting and concatenating only the
+    non-hot segments — so every document survives to the output even
+    when all its segments were boilerplate. Three keyed shuffles,
+    nothing quadratic, no Python. ``broadcast_hot=True`` hints the
+    flag join to broadcast — correct when the hot set is KNOWN small
+    (high ``min_docs``, curated corpora); at min_docs=2 over a web
+    corpus the duplicated-segment set can be data-scale, so the
+    default lets AQE choose from measured sizes. At corpus scale, key
+    the frequency agg and flag join on ``xxhash64(seg)`` instead of
+    the raw string to keep those exchanges narrow; the semantics are
+    unchanged up to hash collisions.
     """
-    t = F.col(text_col)
-    segs = F.filter(
-        F.transform(F.split(t, sep), lambda s: F.trim(s)),
-        lambda s: F.length(s) > 0,
+    segs = _segments(F.col(text_col), sep)
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(F.size(segs), F.lit(0)).cast("bigint").alias("n_segments"),
+        F.posexplode_outer(segs).alias("pos", "seg"),
     )
-    base = df.select(F.col(id_col), F.posexplode(segs).alias("pos", "seg"))
     hot = (
-        base.groupBy("seg")
+        base.filter(F.col("seg").isNotNull())
+        .groupBy("seg")
         .agg(F.count_distinct(F.col(id_col)).alias("nd"))
         .filter(F.col("nd") >= min_docs)
-        .select("seg")
+        .select("seg", F.lit(1).alias("_hot"))
     )
-    kept = base.join(hot, "seg", "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
-                lambda x: x["seg"],
-            ),
-            join_sep,
-        ).alias("cleaned_text"),
-    )
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    keep = F.col("_hot").isNull() & F.col("seg").isNotNull()
     return (
-        df.select(F.col(id_col), F.size(segs).cast("bigint").alias("n_segments"))
-        .join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            "n_segments",
-            F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
-            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        base.join(hot, "seg", "left")
+        .groupBy(id_col, "n_segments")
+        .agg(
+            F.count(F.when(keep, F.lit(1))).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct("pos", "seg")))
+                    ),
+                    lambda x: x["seg"],
+                ),
+                join_sep,
+            ).alias("cleaned_text"),
         )
+        .select(id_col, "n_segments", "n_kept", "cleaned_text")
     )
 
 
