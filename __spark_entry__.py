@@ -4508,6 +4508,61 @@ def q_stream_cdc_replay(spark, sf):
     return t.read().select(*_LAKE_STATE_COLS)
 
 
+@_q(
+    "stream_stateful_dedupe",
+    f"""
+    WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE}
+    SELECT repo, path, "commit", event_seq, lang, content, 'U' AS op FROM base
+    UNION ALL
+    SELECT repo, path, "commit", event_seq, lang, content, op FROM deltas
+    """,
+)
+def q_stream_stateful_dedupe(spark, sf):
+    """Custom stateful streaming operator, value-checked
+    (streaming/stateful.py stream_dedupe — applyInPandasWithState
+    keyed first-wins dedupe): WAL segment 1 (the base slice) drains as
+    micro-batch 1; segment 2 carries a REDELIVERED copy of segment 1
+    plus the delta slice and drains as micro-batch 2 against the state
+    store persisted in the checkpoint. Per (repo, path) the state
+    holds the max (commit, event_seq) watermark, so every redelivered
+    event is dropped IN THE STREAM (before any validation or merge)
+    while every genuinely new event — higher-watermark updates,
+    deletes, fresh keys — passes. The emitted stream must equal
+    base ∪ deltas exactly: dedupe leaves no trace of the redelivery
+    and drops nothing real. The stream writes straight to a parquet
+    sink (no driver-side collect)."""
+    from filters_spark.streaming import tail_directory
+    from filters_spark.streaming.stateful import stream_dedupe
+
+    root = _tmpdir("filters_spark_sdedupq_")
+    base = (
+        _lake_base_df(spark, sf)
+        .drop("content_sha")
+        .withColumn("op", F.lit("U"))
+        .withColumn("schema_version", F.lit(1))
+    )
+    deltas = _lake_delta_df(spark, sf).withColumn("schema_version", F.lit(1))
+    wal = os.path.join(root, "wal")
+    os.makedirs(wal)
+    base.coalesce(1).write.parquet(os.path.join(wal, "seg1"))
+    base.unionByName(deltas).coalesce(1).write.parquet(os.path.join(wal, "seg2"))
+    sink = os.path.join(root, "sink")
+    q = (
+        stream_dedupe(tail_directory(spark, wal + "/*/", max_files_per_trigger=1))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        raise RuntimeError("stream_stateful_dedupe: drain timed out")
+    return spark.read.parquet(sink).select(
+        "repo", "path", "commit", "event_seq", "lang", "content", "op"
+    )
+
+
 @_q("lake_compact_read", _LAKE_LWW_STATE_ORACLE)
 def q_lake_compact_read(spark, sf):
     """Compaction preserves state (lake/table.py compact()): fold the
