@@ -4563,6 +4563,134 @@ def q_stream_stateful_dedupe(spark, sf):
     )
 
 
+@_q(
+    "cdc_retry_dead_letters",
+    """
+    SELECT 'r' || CAST(o_custkey % 25 AS VARCHAR) AS repo,
+           'p' || CAST(o_orderkey AS VARCHAR) AS path,
+           printf('%012x', o_orderkey) AS "commit",
+           o_orderkey AS event_seq,
+           lower(o_orderstatus) AS lang,
+           o_orderpriority AS content,
+           sha256(o_orderpriority) AS content_sha
+    FROM orders
+    """,
+)
+def q_cdc_retry_dead_letters(spark, sf):
+    """Fix the spec, drain the backlog (engine/cdc.py
+    retry_dead_letters — the operational loop after a bad producer or
+    an over-strict chain): batch 1 validates under a v1 spec whose
+    max_length(8) chain dead-letters every '4-NOT SPECIFIED' content
+    (too_long); the registry then evolves to a relaxed v2 and ONE
+    retry_dead_letters() call re-validates the stored raws at the
+    latest version and merges the now-clean events, re-adopting
+    nothing. The query raises unless the gate actually engaged
+    (dead_lettered > 0), the retry drained exactly that backlog, and
+    no dead letters remain — and the final table must equal the plain
+    fold of ALL events, as if the spec had been right from the start
+    (LWW makes the late repair indistinguishable)."""
+    from filters_spark.engine.cdc import CDCEngine
+    from filters_spark.engine.evolution import SpecRegistry, VersionSpec
+    from filters_spark.lake.table import LakeTable
+
+    o = _t(spark, sf, "orders")
+    reg = SpecRegistry(["repo", "path", "lang", "content"])
+    strict = {
+        **_EVO_SPECS_V1,
+        "content": {"chain": ["required", "strip",
+                              ("max_length", {"max_length": 8})]},
+    }
+    reg.register(VersionSpec(1, strict))
+    root = _tmpdir("filters_spark_retryq_")
+    t = LakeTable.create(
+        spark, os.path.join(root, "lake"), ["repo", "path"], num_buckets=8
+    )
+    eng = CDCEngine(spark, t, reg)
+    ev = o.select(
+        F.format_string("%012x", F.col("o_orderkey")).alias("commit"),
+        F.col("o_orderkey").alias("event_seq"),
+        F.lit("U").alias("op"),
+        F.concat(F.lit("r"), (F.col("o_custkey") % 25).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("o_orderkey").cast("string")).alias("path"),
+        F.col("o_orderstatus").alias("lang"),
+        F.col("o_orderpriority").alias("content"),
+        F.lit(1).alias("schema_version"),
+    )
+    m1 = eng.apply_batch(ev)
+    if m1["dead_lettered"] == 0:
+        raise RuntimeError("retry fixture: the strict chain gated nothing")
+    reg.register(VersionSpec(2, _EVO_SPECS_V1))  # the spec fix
+    m2 = eng.retry_dead_letters()
+    if m2["applied"] != m1["dead_lettered"] or m2["dead_lettered"] != 0:
+        raise RuntimeError(
+            f"retry did not drain the backlog: {m2['applied']} applied of "
+            f"{m1['dead_lettered']} dead, {m2['dead_lettered']} re-adopted"
+        )
+    if eng.dead_letters() is not None:
+        raise RuntimeError("dead letters remain after a full drain")
+    return t.read().select(*_LAKE_STATE_COLS)
+
+
+@_q(
+    "lake_point_lookup",
+    f"""
+    WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE},
+    {_LAKE_LWW_CTES},
+    keys AS (
+      SELECT 'r' || CAST(o_custkey % 40 AS VARCHAR) AS repo,
+             'p' || CAST(o_orderkey AS VARCHAR) AS path
+      FROM orders WHERE o_orderkey % 6 = 0
+      ORDER BY o_orderkey LIMIT 3
+    )
+    SELECT r.repo, r.path, r."commit", r.event_seq, r.lang, r.content,
+           sha256(r.content) AS content_sha
+    FROM ranked r JOIN keys USING (repo, path)
+    WHERE r.rn = 1 AND r.op <> 'D'
+    """,
+)
+def q_lake_point_lookup(spark, sf):
+    """Primary-key point reads (lake/table.py lookup() — the
+    CDC-serving layer's "what is this file's latest state?"): three
+    deterministic keys (the smallest updated orderkeys, so each
+    lookup must return the DELTA-winning row, not the base row) are
+    looked up one at a time. Each lookup computes the key's bucket
+    driver-side through the pure-Python xxhash twin and prunes to
+    that one bucket's manifests before the key filter runs; the query
+    raises unless the union of all three lookups touched strictly
+    fewer files than the table holds — a green hash certifies the
+    index-style read path is both engaged and LWW-correct."""
+    t = _lake_build(spark, sf, deltas=True)
+    o = _t(spark, sf, "orders")
+    keys = [
+        (r.repo, r.path)
+        for r in o.filter(F.col("o_orderkey") % 6 == 0)
+        .orderBy("o_orderkey")
+        .select(
+            F.concat(F.lit("r"), (F.col("o_custkey") % 40).cast("string")).alias("repo"),
+            F.concat(F.lit("p"), F.col("o_orderkey").cast("string")).alias("path"),
+        )
+        .limit(3)
+        .collect()
+    ]
+    out = None
+    for repo, path in keys:
+        hit = t.lookup(repo, path)
+        if hit is None:
+            raise RuntimeError(f"lookup returned None on a non-empty table: {repo}/{path}")
+        hit = hit.select(*_LAKE_STATE_COLS)
+        out = hit if out is None else out.unionByName(hit)
+    snap = t.current()
+    total_files = sum(len(v) for v in snap["buckets"].values()) + sum(
+        len(v) for v in snap.get("deltas", {}).values()
+    )
+    touched = len(set(out.inputFiles()))
+    if touched >= total_files:
+        raise RuntimeError(
+            f"point lookup did not prune: touched {touched} of {total_files} files"
+        )
+    return out
+
+
 @_q("lake_compact_read", _LAKE_LWW_STATE_ORACLE)
 def q_lake_compact_read(spark, sf):
     """Compaction preserves state (lake/table.py compact()): fold the
