@@ -820,6 +820,104 @@ def q_cdc_fanout_routes(spark, sf):
 
 
 @_q(
+    "stream_fanout_replay",
+    f"""
+    WITH r AS (SELECT {", ".join(_DBZ_FAN_ROW_EXPRS)} FROM orders),
+    v AS (SELECT tbl, {_DBZ_FAN_VALUE_SQL} AS value FROM r),
+    p AS (
+      SELECT value,
+             json_extract_string(value, '$.source.table') AS route_table,
+             json_extract_string(value, '$.op') AS dop,
+             json_extract_string(value, '$.source.file') AS file,
+             CAST(json_extract_string(value, '$.source.pos') AS BIGINT) AS pos,
+             CAST(json_extract_string(value, '$.source.row') AS BIGINT) AS rw
+      FROM v WHERE tbl IN ('repos', 'users')
+    ),
+    ev AS (
+      SELECT route_table,
+        printf('%012x', CAST(regexp_extract(file, '(\\d+)$', 1) AS BIGINT)) AS "commit",
+        pos * 65536 + rw AS event_seq,
+        CASE dop WHEN 'u' THEN 'U' WHEN 'd' THEN 'D' ELSE 'I' END AS op,
+        CASE WHEN dop = 'd' THEN json_extract_string(value, '$.before.repo')
+             ELSE json_extract_string(value, '$.after.repo') END AS repo,
+        CASE WHEN dop = 'd' THEN json_extract_string(value, '$.before.path')
+             ELSE json_extract_string(value, '$.after.path') END AS path,
+        CASE WHEN dop = 'd' THEN json_extract_string(value, '$.before.lang')
+             ELSE json_extract_string(value, '$.after.lang') END AS lang,
+        CASE WHEN dop = 'd' THEN json_extract_string(value, '$.before.content')
+             ELSE json_extract_string(value, '$.after.content') END AS content
+      FROM p
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY route_table, repo, path
+        ORDER BY "commit" DESC, event_seq DESC
+      ) AS rn FROM ev
+    )
+    SELECT route_table, repo, path, "commit", event_seq, lang, content,
+           sha256(content) AS content_sha
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_stream_fanout_replay(spark, sf):
+    """The multi-table fan-out under Structured Streaming
+    (engine/fanout.py start_fanout_stream): the SAME mixed server-level
+    feed as cdc_fanout_routes, but delivered as JSON-line WAL segments
+    tailed by readStream.text — segment 1 (binlog files 1-2) drains in
+    one availableNow run; segment 2 (files 3-4) then arrives TOGETHER
+    WITH A REDELIVERED copy of segment 1, and a second run over the
+    same offset checkpoint drains both. Each micro-batch fans out
+    through one parse pass to two independent engines ('extra' stays
+    unrouted); per TABLE, the watermark dedupe drops the replayed
+    prefix independently. Both final tables must hash-match the batch
+    fan-out's fold — the streaming delivery and the redelivery leave
+    no trace."""
+    from filters_spark.engine import CDCEngine, TableRoute
+    from filters_spark.engine.evolution import SpecRegistry, VersionSpec
+    from filters_spark.engine.fanout import start_fanout_stream
+    from filters_spark.lake.table import LakeTable
+
+    rows = _t(spark, sf, "orders").selectExpr(*_DBZ_FAN_ROW_EXPRS)
+    env = rows.selectExpr(f"{_DBZ_FAN_VALUE_SQL} AS value", "fileno")
+    root = _tmpdir("filters_spark_sfanq_")
+
+    def mk(name):
+        reg = SpecRegistry(["repo", "path", "lang", "content"])
+        reg.register(VersionSpec(1, _EVO_SPECS_V1))
+        t = LakeTable.create(
+            spark, os.path.join(root, name), ["repo", "path"], num_buckets=8
+        )
+        return CDCEngine(spark, t, reg), t
+
+    eng_r, t_r = mk("repos")
+    eng_u, t_u = mk("users")
+    routes = [TableRoute("repos", eng_r), TableRoute("users", eng_u)]
+    wal = os.path.join(root, "wal")
+    os.makedirs(wal)
+    ckpt = os.path.join(root, "ckpt")
+    seg1 = env.filter(F.col("fileno") <= 2).select("value")
+    seg2 = env.filter(F.col("fileno") > 2).select("value")
+    seg1.coalesce(1).write.text(os.path.join(wal, "seg1"))
+
+    def drain():
+        q = start_fanout_stream(
+            routes, spark.readStream.text(wal + "/*/"), ckpt, trigger_once=True
+        )
+        if not q.awaitTermination(300):
+            raise RuntimeError("stream_fanout_replay: drain timed out")
+
+    drain()
+    seg1.coalesce(1).write.text(os.path.join(wal, "seg1_redelivered"))
+    seg2.coalesce(1).write.text(os.path.join(wal, "seg2"))
+    drain()
+    cols = ["repo", "path", "commit", "event_seq", "lang", "content", "content_sha"]
+    return (
+        t_r.read().select(F.lit("repos").alias("route_table"), *cols)
+        .unionByName(t_u.read().select(F.lit("users").alias("route_table"), *cols))
+    )
+
+
+@_q(
     "cdc_fanout_consistent_cut",
     f"""
     WITH r AS (SELECT {", ".join(_DBZ_FAN_ROW_EXPRS)} FROM orders),
