@@ -4789,6 +4789,44 @@ def q_lake_point_lookup(spark, sf):
     return out
 
 
+@_q("lake_rescale_read", _LAKE_LWW_STATE_ORACLE)
+def q_lake_rescale_read(spark, sf):
+    """Partition evolution (lake/table.py rescale()): re-bucket the
+    8-bucket table (with pending MoR deltas) to 4 buckets under a new
+    path salt in one atomic snapshot — the quiesced-ingest layout
+    change a table makes when it outgrows its bucket count. The query
+    raises unless the new layout actually took (bucket count, cleared
+    deltas) and the post-rescale read must hash-match the full LWW
+    fold: a layout change may move every row, but it may not change
+    one."""
+    t = _lake_build(spark, sf, deltas=True)
+    t.rescale(4, path_salt=2)
+    snap = t.current()
+    if snap["num_buckets"] != 4 or any(snap.get("deltas", {}).values()):
+        raise RuntimeError(f"rescale did not take: {snap['num_buckets']} buckets")
+    return t.read().select(*_LAKE_STATE_COLS)
+
+
+@_q("lake_clone_deep_independent", _LAKE_LWW_STATE_ORACLE)
+def q_lake_clone_deep_independent(spark, sf):
+    """Deep clone self-containment (lake/clone.py mode='deep'): the
+    clone byte-copies every base and delta file, so it must survive
+    the SOURCE's complete destruction — the disaster-recovery /
+    archival contract a shallow clone deliberately does not make. The
+    source's entire data directory is deleted after cloning; the
+    clone's read must still produce the full LWW fold, proving no
+    file reference leaks back to the source."""
+    import shutil
+
+    from filters_spark.lake.clone import clone_table
+
+    t = _lake_build(spark, sf, deltas=True)
+    deep = clone_table(t, os.path.join(os.path.dirname(t.root), "deepclone"),
+                       mode="deep")
+    shutil.rmtree(t.data_dir)  # the source is gone
+    return deep.read().select(*_LAKE_STATE_COLS)
+
+
 @_q("lake_compact_read", _LAKE_LWW_STATE_ORACLE)
 def q_lake_compact_read(spark, sf):
     """Compaction preserves state (lake/table.py compact()): fold the
