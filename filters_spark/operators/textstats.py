@@ -296,7 +296,11 @@ def corpus_segment_dedupe(
     flag join to broadcast — correct when the hot set is KNOWN small
     (high ``min_docs``, curated corpora); at min_docs=2 over a web
     corpus the duplicated-segment set can be data-scale, so the
-    default lets AQE choose from measured sizes. At corpus scale, key
+    default lets AQE choose from measured sizes. The hint is worth a
+    full data-scale shuffle when it applies: AQE's runtime conversion
+    happens AFTER the sort-merge-planned probe-side exchange of the
+    exploded corpus has already run, while the hint never plans it
+    (plan-pinned in tests/test_plans.py). At corpus scale, key
     the frequency agg and flag join on ``xxhash64(seg)`` instead of
     the raw string to keep those exchanges narrow; the semantics are
     unchanged up to hash collisions.

@@ -273,3 +273,33 @@ def test_interval_join_batch_plan_budget(spark):
     assert not has_python_eval(j)
     assert exchange_count(j) <= 2, plan
     assert any("signup" in p or "purchase" in p for p in pushed_filters(j))
+
+
+def test_corpus_segment_dedupe_plan_budget(spark):
+    """corpus_segment_dedupe(): the hot-set agg, the flag join and the
+    per-doc rebuild are the only shuffles (<= 3 exchanges), zero
+    Python anywhere, and broadcast_hot=True turns the flag join into a
+    broadcast (no extra exchange for the corpus side). The corpus must
+    CONTAIN boilerplate: on a hot-set-free input AQE's empty-relation
+    propagation deletes the join outright (nice, but it would make
+    these assertions vacuous)."""
+    from filters_spark.operators.textstats import corpus_segment_dedupe
+
+    docs = spark.createDataFrame(
+        [(i, f"unique text {i}. subscribe now. more {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = corpus_segment_dedupe(docs)
+    out.collect()
+    assert not has_python_eval(out)
+    # un-hinted: AQE converts the flag join to broadcast at runtime,
+    # but the SMJ-planned probe-side seg exchange has already run — 4
+    # shuffles total (count_distinct's pair+seg, probe seg, rebuild)
+    assert exchange_count(out) <= 4, formatted_plan(out)
+
+    # the explicit hint never plans the probe-side exchange: one fewer
+    # data-scale shuffle of the exploded corpus
+    hinted = corpus_segment_dedupe(docs, broadcast_hot=True)
+    hinted.collect()
+    assert broadcast_join_count(hinted) >= 1, formatted_plan(hinted)
+    assert exchange_count(hinted) <= 3, formatted_plan(hinted)
