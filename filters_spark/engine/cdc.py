@@ -675,6 +675,18 @@ class CDCEngine:
             commit_part, _, seq_part = low.partition(":")
             if not commit_part or not seq_part:
                 raise ValueError(f"malformed watermark string {low!r}")
+            # the seq half needs the same width discipline as the
+            # commit half: an unpadded 'abcdef...:5' sorts ABOVE padded
+            # positions like ':00000000000000000042', silently dropping
+            # part of the tail as replays. Accept any integer string
+            # but normalize to the engine-wide %020d before use.
+            if not _re.fullmatch(r"\d{1,20}", seq_part):
+                raise ValueError(
+                    f"replay_from event_seq {seq_part!r} must be a "
+                    "decimal integer (≤20 digits; watermark order is "
+                    "lexicographic over %020d-padded seqs)"
+                )
+            low = f"{commit_part}:{int(seq_part):020d}"
         else:
             commit_part, seq = replay_from
             if seq < 0:

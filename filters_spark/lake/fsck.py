@@ -149,23 +149,37 @@ def verify_table(
 
     # -- watermark monotonicity along the main chain --------------------------
     for child, parent in zip(chain, chain[1:]):
-        if headers[child].get("operation") in ("bootstrap", "set-watermarks"):
-            # the ONE sanctioned downward watermark move: the bootstrap
-            # handoff replaces the seeding commit's per-bucket maxima
-            # with the low replay-from position (LakeTable.
-            # set_watermarks) — the overlap window reconciles via LWW,
-            # not the watermark gate, so this regression is by design
-            continue
+        sanctioned = headers[child].get("operation") in (
+            "bootstrap", "set-watermarks"
+        )
         cw = headers[child].get("watermarks", {})
         pw = headers[parent].get("watermarks", {})
         for b, wm in pw.items():
             got = cw.get(b)
             if got is not None and got < wm:
-                errors.append(
-                    f"bucket {b} watermark regressed {wm!r} -> {got!r} "
-                    f"between snapshots {parent} and {child} — replay "
-                    "dedupe would re-admit applied events"
-                )
+                if sanctioned:
+                    # the ONE sanctioned downward watermark move: the
+                    # bootstrap handoff replaces the seeding commit's
+                    # per-bucket maxima with the low replay-from
+                    # position (LakeTable.set_watermarks) — the overlap
+                    # window reconciles via LWW, not the watermark
+                    # gate. Still WARN: the label is caller-supplied,
+                    # so an operator auditing the table sees every
+                    # regression instead of a silent skip.
+                    warnings.append(
+                        f"bucket {b} watermark lowered {wm!r} -> {got!r} "
+                        f"by sanctioned "
+                        f"{headers[child].get('operation')!r} commit "
+                        f"{child} — verify this was a bootstrap handoff; "
+                        "applied events at re-admitted positions rely on "
+                        "LWW reconciliation, not the dedupe gate"
+                    )
+                else:
+                    errors.append(
+                        f"bucket {b} watermark regressed {wm!r} -> {got!r} "
+                        f"between snapshots {parent} and {child} — replay "
+                        "dedupe would re-admit applied events"
+                    )
 
     # -- orphans (informational) ----------------------------------------------
     try:

@@ -461,6 +461,18 @@ def scd2_asof_join(
         c for c in history.columns
         if c not in key_cols and c not in vf and c not in vt and c != "is_current"
     ]
+    # name-collision guards (mirrors interval_join's prefix guard): a
+    # fact column equal to a prefixed dim column would yield ambiguous
+    # duplicate output columns, and fact columns spelled like the
+    # join's internals would be silently dropped by the final drop()
+    internals = {f"__k_{k}" for k in key_cols} | {"__from", "__to", "__open"}
+    clash = sorted(set(facts.columns) & ({prefix + c for c in dim_cols} | internals))
+    if clash:
+        raise ValueError(
+            f"facts columns {clash} collide with prefixed dimension "
+            f"columns or join internals; pick a different prefix or "
+            "rename the fact columns"
+        )
     h = history.select(
         *[F.col(k).alias(f"__k_{k}") for k in key_cols],
         F.struct(*[F.col(c) for c in vf]).alias("__from"),

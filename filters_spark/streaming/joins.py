@@ -97,8 +97,10 @@ def interval_join(
     # bounds from this condition, and outer joins REQUIRE it to — the
     # cast the interval-constructor form introduces defeats the
     # pattern match and fails the query at analysis
-    lo = f"INTERVAL '{float(lower_s)}' SECOND"
-    hi = f"INTERVAL '{float(upper_s)}' SECOND"
+    # fixed-point, not repr(): float repr of magnitudes < 1e-4 or
+    # >= 1e16 is scientific notation, which the INTERVAL parser rejects
+    lo = f"INTERVAL '{float(lower_s):.6f}' SECOND"
+    hi = f"INTERVAL '{float(upper_s):.6f}' SECOND"
     cond = (
         cond
         & F.expr(f"`{rts}` >= `{lts}` + {lo}")

@@ -118,8 +118,30 @@ def test_bootstrap_arg_validation(spark, tmp_path, stream):
         e.bootstrap(snap, replay_from=("0" * 12, -1))
     with pytest.raises(ValueError, match="malformed watermark"):
         e.bootstrap(snap, replay_from="nocolon")
+    with pytest.raises(ValueError, match="event_seq.*decimal integer"):
+        # non-numeric seq half: would lexicographically mis-sort
+        e.bootstrap(snap, replay_from=("a" * 12) + ":abc")
     with pytest.raises(ValueError, match="schema_version"):
         e.bootstrap(snap.drop("schema_version"), replay_from=("0" * 12, 0))
+
+
+def test_bootstrap_string_seq_normalized(spark, tmp_path, stream):
+    # an UNPADDED seq in string form must behave exactly like the
+    # tuple form (which %020d-pads): before the fix, 'commit:5' sorted
+    # above 'commit:00000000000000000042' and dropped tail events as
+    # replays after the handoff
+    commit_long = F.conv(F.col("commit"), 16, 10).cast("long")
+    low_commit = f"{30:012x}"
+    t_s, e_s = _mk(spark, tmp_path, "seqstr")
+    t_t, e_t = _mk(spark, tmp_path, "seqtup")
+    snap = _source_state(stream, _wm_end_of_commit(30))
+    e_s.bootstrap(snap, replay_from=low_commit + ":0")       # unpadded
+    e_t.bootstrap(snap, replay_from=(low_commit, 0))         # tuple
+    tail = stream.filter(commit_long > 30)
+    m_s = e_s.replay(tail)[0]
+    m_t = e_t.replay(tail)[0]
+    assert m_s["applied"] == m_t["applied"] > 0
+    assert _state_rows(t_s) == _state_rows(t_t)
 
 
 def test_bootstrap_defaults_and_schema_version_literal(spark, tmp_path, stream):

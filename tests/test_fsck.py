@@ -80,6 +80,21 @@ def test_watermark_regression_detected(spark, tmp_path):
     assert any("regressed" in e and f"bucket {b} " in e for e in rep["errors"])
 
 
+def test_sanctioned_watermark_lowering_warns_not_errors(spark, tmp_path):
+    # a set-watermarks commit may lower watermarks (bootstrap handoff)
+    # without corrupting the table — but the label is caller-supplied,
+    # so fsck must still SURFACE the regression as a warning instead of
+    # skipping it silently
+    t = _built(spark, tmp_path)
+    wms = dict(t.current()["watermarks"])
+    b = next(iter(wms))
+    wms[b] = "000000000000:" + "0" * 20
+    t.set_watermarks(wms)
+    rep = verify_table(t, check_data_files=False)
+    assert rep["ok"] and rep["errors"] == []
+    assert any("lowered" in w and f"bucket {b} " in w for w in rep["warnings"])
+
+
 def test_shallow_clone_verifies_until_source_retention_eats_it(spark, tmp_path):
     """The clone-vs-source-retention hazard clone_table documents, made
     observable: a shallow clone verifies clean while the source's files

@@ -1417,6 +1417,18 @@ def test_scd2_asof_join_point_in_time(spark):
            if r.fact_id == 101][0]
     assert row.dim_attr == "a"
 
+    # collision guard: a fact column spelled like a prefixed dim column
+    # (or a join internal) must raise instead of yielding duplicate /
+    # silently-dropped output columns
+    with pytest.raises(ValueError, match="collide"):
+        scd2_asof_join(
+            facts.withColumn("dim_attr", F.lit("x")), hist, ["k"], ["c", "q"]
+        )
+    with pytest.raises(ValueError, match="collide"):
+        scd2_asof_join(
+            facts.withColumn("__from", F.lit(1)), hist, ["k"], ["c", "q"]
+        )
+
 
 def test_ngram_repetition_scores(spark):
     from filters_spark.operators.textstats import ngram_repetition

@@ -468,6 +468,27 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     assert bgot == got
 
 
+def test_interval_join_tiny_bound_fixed_point_literal(spark):
+    """Sub-1e-4 bounds must render as fixed-point INTERVAL literals:
+    Python float repr would spell 1e-05 in scientific notation, which
+    Spark's interval parser rejects at analysis time."""
+    from filters_spark.streaming.joins import interval_join
+
+    def frame(rows):
+        raw = spark.createDataFrame(rows, "ts string, user_id long, event_id long")
+        return raw.select(F.to_timestamp("ts").alias("ts"), "user_id", "event_id")
+
+    left = frame([("2026-01-01 10:00:00", 1, 100)])
+    right = frame([
+        ("2026-01-01 10:00:00.000005", 1, 900),  # 5e-06 s: below lower bound
+        ("2026-01-01 10:00:00.500000", 1, 901),  # inside [1e-05 s, 1 s]
+        ("2026-01-01 10:00:02", 1, 902),         # beyond upper
+    ])
+    j = interval_join(left, right, ("user_id",), lower_s=1e-05, upper_s=1.0)
+    got = sorted(r.r_event_id for r in j.collect())
+    assert got == [901]
+
+
 def test_interval_join_left_outer_stream_emits_unmatched_after_watermark(spark, tmp_path):
     """Outer interval join over streams: an unmatched left row emits
     (right side NULL) only once the watermark proves no partner can
