@@ -5280,7 +5280,8 @@ def q_graph_pagerank(spark, sf):
     f"""
     WITH q AS (
       SELECT o_orderkey, o_custkey,
-             CAST(floor(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey)
+             CAST(floor(percent_rank() OVER (PARTITION BY o_orderkey % 16
+                                             ORDER BY o_totalprice, o_orderkey)
                         * 255.0 + 0.5) AS BIGINT) AS price_q
       FROM orders
     )
@@ -5295,12 +5296,22 @@ def q_sort_zorder_quantized(spark, sf):
     — equal-mass buckets via percent_rank, deterministic under ties),
     then Morton-interleave it with a bounded dimension. percent_rank
     is exact double arithmetic over integer ranks, so quantiles and
-    keys are bit-identical cross-engine."""
+    keys are bit-identical cross-engine.
+
+    SCALE SHAPE: the rank window is PARTITIONED by an independent hash
+    bucket (pmod(o_orderkey, 16)) — price and orderkey are
+    uncorrelated, so each bucket's rank distribution approximates the
+    global quantile while the sort stays per-partition; bare
+    group_cols=() (one global sort task) is the documented footgun and
+    now warns (quantize_rank docstring)."""
     from filters_spark.operators.zorder import quantize_rank, zorder_key
 
-    o = _t(spark, sf, "orders")
+    o = _t(spark, sf, "orders").withColumn(
+        "_part", F.pmod(F.col("o_orderkey"), F.lit(16))
+    )
     q = quantize_rank(
-        o, "o_totalprice", bits=8, out_col="price_q", tiebreak=["o_orderkey"]
+        o, "o_totalprice", bits=8, out_col="price_q",
+        tiebreak=["o_orderkey"], group_cols=("_part",),
     )
     zk = zorder_key(F.pmod(F.col("o_custkey"), F.lit(256)), F.col("price_q"), bits=8)
     return q.select("o_orderkey", "price_q", zk.alias("zkey"))

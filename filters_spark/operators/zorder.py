@@ -91,11 +91,30 @@ def quantize_rank(
     values; percent_rank is exact double arithmetic on integer ranks,
     so the result is engine-portable (DuckDB spells the identical
     formula).
+
+    Bare ``group_cols=()`` is an UNPARTITIONED window — the entire
+    input flows through ONE task, a scale-killer on anything beyond
+    driver-sized data. It stays available for small frames (exact
+    global quantiles are occasionally what you want) but warns so it
+    can't ship silently; every table-scale caller must pass the
+    write-partition / bucket column (``LakeTable.rewrite_zorder``
+    passes ``("_bucket",)``; an independent hash bucket, e.g.
+    ``pmod(key, 16)``, approximates the global quantile while keeping
+    the sort per-partition).
     """
+    import warnings as _warnings
+
     from pyspark.sql import Window
 
     if not 1 <= bits <= 31:
         raise ValueError("bits must be in [1, 31]")
+    if not group_cols:
+        _warnings.warn(
+            "quantize_rank(group_cols=()) ranks over an UNPARTITIONED "
+            "window: the whole input sorts in one task. Pass the "
+            "write-partition/bucket column for table-scale data.",
+            stacklevel=2,
+        )
     out_col = out_col or f"{col}_q{bits}"
     order = [F.col(col).asc(), *[F.col(c).asc() for c in (tiebreak or [])]]
     w = Window.partitionBy(*group_cols).orderBy(*order)

@@ -106,6 +106,20 @@ class TestQuantizeRank:
         with pytest.raises(ValueError):
             quantize_rank(df, "v", bits=0)
 
+    def test_bare_global_window_warns(self, spark):
+        # group_cols=() = unpartitioned window = one sort task: allowed
+        # for small frames but must never ship silently
+        import warnings
+
+        from filters_spark.operators.zorder import quantize_rank
+
+        df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+        with pytest.warns(UserWarning, match="UNPARTITIONED"):
+            quantize_rank(df, "v", bits=2)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            quantize_rank(df, "v", bits=2, group_cols=("id",))
+
 
 class TestRewriteZorder:
     """Lake-level z-order re-clustering (lake/table.py rewrite_zorder):
