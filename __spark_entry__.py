@@ -443,6 +443,84 @@ def q_cdc_lineage_metrics(spark, sf):
     )
 
 
+def _lineage_bucket_cases() -> str:
+    """Inline repo→bucket CASE for the cdc_lineage_buckets oracle,
+    computed DRIVER-SIDE by the pure-Python xxhash64 twin
+    (lake/xxh.py bucket_of, bit-equality with Spark's bucket_expr
+    pinned in tests/test_xxh_twin.py). With path_salt=1 the path salt
+    collapses to 0, so the bucket is a function of the repo alone and
+    the 25-repo domain inlines as a constant CASE — giving DuckDB the
+    bucket id WITHOUT an xxhash64 implementation."""
+    from filters_spark.lake.xxh import bucket_of
+
+    whens = " ".join(
+        f"WHEN 'r{i}' THEN {bucket_of(f'r{i}', '', 8, path_salt=1)}"
+        for i in range(25)
+    )
+    return f"CASE repo {whens} END"
+
+
+@_q(
+    "cdc_lineage_buckets",
+    f"""
+    WITH ev AS (
+      SELECT printf('%012x', o_orderkey) AS "commit",
+             o_orderkey AS event_seq,
+             'r' || CAST(o_custkey % 25 AS VARCHAR) AS repo,
+             o_orderpriority AS content
+      FROM orders
+    ),
+    applied AS (
+      SELECT {_lineage_bucket_cases()} AS bucket, "commit", event_seq
+      FROM ev WHERE length(content) <= 8
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS rows_applied,
+           max("commit" || ':' || lpad(CAST(event_seq AS VARCHAR), 20, '0'))
+             AS watermark
+    FROM applied GROUP BY bucket
+    """,
+)
+def q_cdc_lineage_buckets(spark, sf):
+    """BUCKET-level lineage, value-checked (VERDICT r4 item 3): the
+    same engine run as cdc_lineage_metrics but the per-(snapshot,
+    bucket) lineage parquet rows themselves are the result — bucket
+    id, rows applied into that bucket, and the bucket's high
+    watermark. The oracle recomputes all three from the WAL in DuckDB,
+    with bucket ids supplied by the driver-side xxh64 twin inlined as
+    a constant repo→bucket CASE (path_salt=1 makes the bucket a pure
+    function of repo). Upgrades the lineage evidence from the
+    snapshot-level fold to the per-bucket breakdown."""
+    from filters_spark.engine.cdc import CDCEngine, CheckConstraint
+    from filters_spark.engine.evolution import SpecRegistry, VersionSpec
+    from filters_spark.lake.table import LakeTable
+
+    o = _t(spark, sf, "orders")
+    reg = SpecRegistry(["repo", "path", "lang", "content"])
+    reg.register(VersionSpec(1, _EVO_SPECS_V1))
+    root = _tmpdir("filters_spark_linb_")
+    t = LakeTable.create(
+        spark, os.path.join(root, "lake"), ["repo", "path"],
+        num_buckets=8, path_salt=1,
+    )
+    eng = CDCEngine(
+        spark, t, reg,
+        check_constraints=[CheckConstraint("content_cap", "length(content) <= 8")],
+    )
+    ev = o.select(
+        F.format_string("%012x", F.col("o_orderkey")).alias("commit"),
+        F.col("o_orderkey").alias("event_seq"),
+        F.lit("U").alias("op"),
+        F.concat(F.lit("r"), (F.col("o_custkey") % 25).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("o_orderkey").cast("string")).alias("path"),
+        F.col("o_orderstatus").alias("lang"),
+        F.col("o_orderpriority").alias("content"),
+        F.lit(1).alias("schema_version"),
+    )
+    eng.apply_batch(ev)
+    return eng.lineage().select("bucket", "rows_applied", "watermark")
+
+
 @_q(
     "cdc_schema_evolution",
     """
@@ -5664,6 +5742,7 @@ _DRIVER_ROTATION = [
     # never-independently-checked first (the driver validates the
     # first 50 registered) — converts self-reported oracle runs into
     # driver evidence (VERDICT r4, next-round item 1)
+    'cdc_lineage_buckets',
     'events_transitions',
     'events_interval_join',
     'sample_stratified',
