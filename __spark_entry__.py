@@ -5641,6 +5641,43 @@ def q_lake_dml_delete(spark, sf):
 
 
 @_q(
+    "lake_dml_mor_delete_dv",
+    f"""
+    WITH {_LAKE_BASE_CTE}, {_LAKE_DELTA_CTE},
+    {_LAKE_LWW_CTES}
+    SELECT repo, path, "commit", event_seq, lang, content,
+           sha256(content) AS content_sha
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+      AND NOT coalesce(lang = 'F' AND event_seq <= 3000, false)
+    """,
+)
+def q_lake_dml_mor_delete_dv(spark, sf):
+    """DELETE via DELETION VECTORS (lake/dml.py mode='dv' — Iceberg v2
+    position-delete semantics): the MoR fixture compacts (vectors
+    reference base files, so the table must be delta-free), then the
+    same delete as lake_dml_delete lands as O(matched) position-delete
+    files with ZERO bucket rewrites — the commit is asserted to be a
+    pure 'delete-vectors' snapshot whose base file lists are
+    byte-identical to the pre-delete snapshot. Final state must equal
+    the CoW/MoR result exactly (shared oracle); the read-amplification
+    win (DV buckets keep min/max pruning) is pinned in
+    tests/test_dml.py."""
+    from filters_spark.lake.dml import delete_where
+
+    t = _lake_build(spark, sf, deltas=True)
+    t.compact()
+    pre = t.current()
+    rep = delete_where(
+        t, predicate="lang = 'F'", where=("event_seq", None, 3000), mode="dv"
+    )
+    snap = rep["snapshot"]
+    if snap is not None:
+        assert snap["operation"] == "delete-vectors"
+        assert snap["buckets"] == pre["buckets"]  # no rewrite
+    return t.read().select(*_LAKE_STATE_COLS)
+
+
+@_q(
     "lake_dml_delete_pruned",
     f"""
     WITH {_LAKE_BASE_CTE}
@@ -5743,6 +5780,7 @@ _DRIVER_ROTATION = [
     # first 50 registered) — converts self-reported oracle runs into
     # driver evidence (VERDICT r4, next-round item 1)
     'cdc_lineage_buckets',
+    'lake_dml_mor_delete_dv',
     'events_transitions',
     'events_interval_join',
     'sample_stratified',

@@ -91,12 +91,18 @@ def clone_table(
     if mode == "deep":
         header["buckets"] = _copy_files(src, dst, snap["buckets"])
         header["deltas"] = _copy_files(src, dst, snap.get("deltas", {}))
+        if snap.get("delete_vectors"):
+            header["delete_vectors"] = _copy_files(
+                src, dst, snap["delete_vectors"]
+            )
     else:
         # stats ride the manifests: resolving ``snap`` above loaded the
         # source's per-file min/max into ITS cache; seed the clone's so
         # the re-written manifests keep file-skipping selective
-        for files in list(snap["buckets"].values()) + list(
-            snap.get("deltas", {}).values()
+        for files in (
+            list(snap["buckets"].values())
+            + list(snap.get("deltas", {}).values())
+            + list(snap.get("delete_vectors", {}).values())
         ):
             for f in files:
                 st = src._file_stats_cache.get(f)

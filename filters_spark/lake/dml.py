@@ -38,10 +38,23 @@ append-deltas commit, and the table stays a valid change source. Same
 quiesced-ingest caveat as :meth:`LakeTable.rollback`: in-flight events
 at older commits for the touched buckets would be dropped as replays.
 
+``mode="dv"`` (DELETE only) writes POSITION DELETES — Iceberg v2 /
+Delta deletion-vector semantics: O(matched) files of ``(base file,
+row position)`` pairs that ``read()`` applies as an anti-join on the
+scan. Against full-payload MoR tombstones this cuts both write bytes
+(two narrow columns, no payload copy) and read amplification (base
+files keep min/max pruning — a vector only removes rows, so skipping
+a file is still sound, where a row-delta bucket must scan in full).
+Requires a DELTA-FREE table (``compact()`` first): a delta-winning
+row has no base position, and position-deleting its stale base
+version would resurface it. ``changes()`` emits the deleted rows as
+``op='D'`` tombstones under the commit's recorded identity — same
+change-source transparency as ``mode="mor"``.
+
 Copy-on-write mode commits ``operation='delete'`` / ``'update'``
 snapshots, which — like every CoW rewrite — make ``changes()`` raise
 for ranges crossing them (no row-level log exists); change-source
-tables should use ``mode="mor"``.
+tables should use ``mode="mor"`` (or ``"dv"`` for deletes).
 """
 
 from __future__ import annotations
@@ -167,8 +180,10 @@ def delete_where(
     payload = t.payload_cols(snap)
     if mode == "mor":
         return _dml_mor(t, snap, payload, predicate, where, None)
+    if mode == "dv":
+        return _dml_dv(t, snap, payload, predicate, where)
     if mode != "cow":
-        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+        raise ValueError(f"mode must be 'cow', 'mor' or 'dv', got {mode!r}")
     return _dml_cow(t, snap, payload, predicate, where, None)
 
 
@@ -369,6 +384,88 @@ def _dml_mor(
         rows.repartition("_bucket"),
         touched,
         {b: ident_wm for b in touched},
+    )
+    report["rows_changed"] = agg["n"]
+    return report
+
+
+def _dml_dv(
+    t: LakeTable,
+    snap: dict,
+    payload: list[str],
+    predicate: str | None,
+    where: tuple | None,
+) -> dict:
+    """DELETE via position deletes (deletion vectors). One base-file
+    scan (min/max-pruned by ``where`` exactly like ``read()`` — DV
+    buckets stay prunable), prior vectors applied so re-sweeps never
+    re-mark a row, matched rows reduced to ``(_relfile, _pos)``.
+    O(matched) write, zero bucket rewrites."""
+    from filters_spark.operators.materialize import materialize
+
+    if any(fl for fl in snap.get("deltas", {}).values()):
+        raise ValueError(
+            "mode='dv' requires a delta-free table: position deletes "
+            "reference base files, and a delta-winning row has no base "
+            "position — compact() first"
+        )
+    cond = _cond_col(predicate, where)
+    report = {"snapshot": None, "rows_changed": 0}
+    base_files: list[str] = []
+    for b, fl in snap["buckets"].items():
+        if where is not None:
+            fl = [f for f in fl if t._file_passes(f, snap, where, None)]
+        base_files.extend(fl)
+    if not base_files:
+        return report
+    base = (
+        t.spark.read.schema(t._base_ddl(payload))
+        .parquet(*base_files)
+        .select(
+            "repo", "path", "commit", "event_seq", *payload, "content_sha",
+            bucket_expr(
+                F.col("repo"), F.col("path"),
+                snap["num_buckets"], snap["path_salt"],
+            ).alias("_bucket"),
+            F.substring_index(
+                F.col("_metadata.file_path"), "/data/", -1
+            ).alias("_relfile"),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
+    )
+    prior = [
+        f for fl in snap.get("delete_vectors", {}).values() for f in fl
+    ]
+    if prior:
+        dv_prior = (
+            t.spark.read.schema("_relfile string, _pos long")
+            .parquet(*prior)
+        )
+        base = base.join(dv_prior, ["_relfile", "_pos"], "left_anti")
+    matched = materialize(
+        base.filter(F.coalesce(cond, F.lit(False))).select(
+            "_bucket", "_relfile", "_pos", "commit", "event_seq"
+        )
+    )
+    agg = matched.agg(
+        F.max(watermark_str(F.col("commit"), F.col("event_seq"))).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+        F.collect_set(F.col("_bucket").cast("int")).alias("bs"),
+    ).collect()[0]
+    if not agg["n"]:
+        return report
+    gw = max(snap.get("watermarks", {}).values(), default=WATERMARK_ZERO)
+    base_wm = max(gw, agg["m"])
+    c_str, s_str = base_wm.rsplit(":", 1)
+    ident_commit, ident_seq = c_str, int(s_str) + 1
+    ident_wm = f"{ident_commit}:{ident_seq:020d}"
+    touched = sorted(agg["bs"])
+    report["snapshot"] = t.commit_delete_vectors(
+        matched.select("_relfile", "_pos", F.col("_bucket").cast("int").alias("_bucket"))
+        .repartition("_bucket"),
+        touched,
+        {b: ident_wm for b in touched},
+        dv_identity={"commit": ident_commit, "event_seq": ident_seq},
     )
     report["rows_changed"] = agg["n"]
     return report

@@ -112,8 +112,10 @@ def verify_table(
     seen_manifests: set[str] = set()
     for label, raw in sources:
         if raw.get("format") != 2:  # format-1: file lists inline
-            for fl in list(raw.get("buckets", {}).values()) + list(
-                raw.get("deltas", {}).values()
+            for fl in (
+                list(raw.get("buckets", {}).values())
+                + list(raw.get("deltas", {}).values())
+                + list(raw.get("delete_vectors", {}).values())
             ):
                 live_files.update(fl)
             continue
@@ -122,8 +124,10 @@ def verify_table(
         # the checker itself
         if "buckets" not in raw:
             errors.append(f"{label}: format-2 header lacks the 'buckets' map")
-        for name in list(raw.get("buckets", {}).values()) + list(
-            raw.get("deltas", {}).values()
+        for name in (
+            list(raw.get("buckets", {}).values())
+            + list(raw.get("deltas", {}).values())
+            + list(raw.get("delete_vectors", {}).values())
         ):
             if name in seen_manifests:
                 continue

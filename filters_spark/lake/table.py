@@ -619,6 +619,16 @@ class LakeTable:
         header["format"] = 2
         header["buckets"] = self._write_manifests(snapshot["buckets"])
         header["deltas"] = self._write_manifests(snapshot.get("deltas", {}))
+        if snapshot.get("delete_vectors"):
+            header["delete_vectors"] = self._write_manifests(
+                snapshot["delete_vectors"]
+            )
+        else:
+            header.pop("delete_vectors", None)
+        if header.get("operation") != "delete-vectors":
+            # per-DV-commit annotation: never rides into descendants
+            # (every commit path builds on {**prev})
+            header.pop("dv_identity", None)
         # optimistic concurrency: the snapshot file is create-exclusive —
         # a concurrent writer that committed sid first wins the rename
         self.io.write_text_atomic(
@@ -837,6 +847,10 @@ class LakeTable:
         for b, fl in snap.get("deltas", {}).items():
             if wanted is None or b in wanted:
                 delta_files.extend(fl)
+        dv_files: list[str] = []
+        for b, fl in snap.get("delete_vectors", {}).items():
+            if wanted is None or b in wanted:
+                dv_files.extend(fl)
 
         # _bucket is recomputed from (repo, path) — a pure function of
         # the key and the table params — instead of directory-based
@@ -859,6 +873,14 @@ class LakeTable:
             self.spark.read.schema(self._base_ddl(payload)).parquet(*base_files)
             if base_files else None
         )
+        if base is not None and dv_files:
+            # deletion vectors (Iceberg v2 position-delete semantics):
+            # (file, position) pairs marking base rows deleted — an
+            # anti-join on the scan instead of a bucket rewrite. Base
+            # files keep their min/max pruning (a DV only REMOVES
+            # rows, so skipping a file can never expose a deleted
+            # row); pruned files' DV entries simply never match.
+            base = self._apply_delete_vectors(base, dv_files)
         if base is not None:
             base = base.select(
                 "repo", "path", "commit", "event_seq", *payload,
@@ -899,6 +921,40 @@ class LakeTable:
         if where_eq is not None:
             df = df.filter(F.col(where_eq[0]) == F.lit(where_eq[1]))
         return df
+
+    _DV_BROADCAST_BYTES = 32 * 1024 * 1024
+
+    def _apply_delete_vectors(
+        self, base: DataFrame, dv_files: list[str]
+    ) -> DataFrame:
+        """Anti-join ``base`` (a bare parquet scan, pre-select) against
+        the position-delete set. Row identity is the parquet-native
+        (file, row position) via the ``_metadata`` hidden column —
+        stable because a base file is immutable once committed. File
+        paths compare RELATIVE to the data dir (``_rel_to_data``
+        semantics), the same spelling-independent identity vacuum and
+        the changefeed use. DV sets are O(deleted rows) of two narrow
+        columns: broadcast below the size threshold (metadata-known,
+        no job), shuffled anti-join above it."""
+        dv = (
+            self.spark.read.schema("_relfile string, _pos long")
+            .parquet(*dv_files)
+            .select(
+                F.col("_relfile").alias("__dv_relfile"),
+                F.col("_pos").alias("__dv_pos"),
+            )
+        )
+        if sum(self.io.size(f) for f in dv_files) <= self._DV_BROADCAST_BYTES:
+            dv = F.broadcast(dv)
+        base = base.withColumns({
+            "__dv_relfile": F.substring_index(
+                F.col("_metadata.file_path"), "/data/", -1
+            ),
+            "__dv_pos": F.col("_metadata.row_index"),
+        })
+        return base.join(dv, ["__dv_relfile", "__dv_pos"], "left_anti").drop(
+            "__dv_relfile", "__dv_pos"
+        )
 
     def prune_report(
         self,
@@ -960,6 +1016,14 @@ class LakeTable:
                 if st is None or "__rows" not in st:
                     return None
                 total += st["__rows"]
+            # delete vectors subtract exactly: positions are unique per
+            # (file, pos) by construction (a second sweep scans with
+            # prior vectors applied, so it can never re-mark a row)
+            for f in snap.get("delete_vectors", {}).get(b, []):
+                st = self._file_stats_cache.get(f)
+                if st is None or "__rows" not in st:
+                    return None
+                total -= st["__rows"]
         for b, fl in snap.get("deltas", {}).items():
             if fl and (wanted is None or b in wanted) and b not in snap["buckets"]:
                 return None
@@ -1452,6 +1516,10 @@ class LakeTable:
         if snap.get("format") == 2:
             snap["buckets"] = self._resolve_manifests(snap["buckets"])
             snap["deltas"] = self._resolve_manifests(snap.get("deltas", {}))
+            if snap.get("delete_vectors"):
+                snap["delete_vectors"] = self._resolve_manifests(
+                    snap["delete_vectors"]
+                )
             snap.pop("format", None)
         return snap
 
@@ -1488,14 +1556,17 @@ class LakeTable:
             )
         buckets = dict(prev["buckets"])
         deltas = dict(prev.get("deltas", {}))
+        dvs = dict(prev.get("delete_vectors", {}))
         for b, fl in new_files.items():
             if fl:
                 buckets[b] = fl
             else:
                 buckets.pop(b, None)
-            # the rewrite IS the merged state of base ∪ deltas — any
-            # delta files for this bucket are now folded in
+            # the rewrite IS the merged state of base ∪ deltas with
+            # delete vectors applied — any delta or DV files for this
+            # bucket are now folded in
             deltas.pop(b, None)
+            dvs.pop(b, None)
         watermarks = dict(prev["watermarks"])
         for b, wm in new_watermarks.items():
             old = watermarks.get(str(b), WATERMARK_ZERO)
@@ -1512,9 +1583,13 @@ class LakeTable:
             "columns": columns or prev["columns"],
             "buckets": buckets,
             "deltas": deltas,
+            "delete_vectors": dvs,
             "watermarks": watermarks,
             "stats": stats or prev["stats"],
         }
+        # per-snapshot annotation of the delete-vectors commit itself;
+        # must not ride into descendants via the {**prev} carry
+        snapshot.pop("dv_identity", None)
         return snapshot
 
     def commit_deltas(
@@ -1655,6 +1730,75 @@ class LakeTable:
             "watermarks": watermarks,
             "stats": stats or prev["stats"],
         }
+        snapshot.pop("dv_identity", None)  # see _next_bucket_snapshot
+        return snapshot
+
+    def commit_delete_vectors(
+        self,
+        dv_df: DataFrame,
+        touched_buckets: list[int],
+        new_watermarks: dict[int, str],
+        dv_identity: dict | None = None,
+    ) -> dict:
+        """Position-delete commit (Iceberg v2 position-deletes / Delta
+        deletion-vector semantics): append ``dv_df`` — rows of
+        ``(_relfile string, _pos long, _bucket)`` naming base-file row
+        positions — as DELETE VECTOR files of the touched buckets.
+        The write is O(deleted rows) of two narrow columns; ``read()``
+        applies the vectors as an anti-join on the base scan, so a
+        delete-heavy sweep (GDPR) never rewrites a bucket and never
+        pays the full-payload tombstone fold that ``commit_deltas``
+        row-deletes cost at read time.
+
+        ``_relfile`` is the base file's data-dir-relative path
+        (``_rel_to_data``); positions are the parquet ``_metadata.
+        row_index`` of the file the row came from — immutable once the
+        file is committed. Callers must only reference CURRENT base
+        files of a DELTA-FREE bucket (a delta-winning row has no base
+        position; deleting its stale base version would resurface it)
+        — :func:`filters_spark.lake.dml.delete_where` with
+        ``mode='dv'`` enforces this.
+
+        ``dv_identity`` (``{"commit", "event_seq"}``) is the feed
+        identity ``changes()`` emits the deleted rows' ``op='D'``
+        tombstones under; pass the same identity the watermark bump
+        uses so downstream LWW folds order the delete after every
+        superseded version. Compaction folds vectors into new base
+        files exactly like row deltas; ``metadata_row_count`` stays
+        exact (base rows minus DV rows, both manifest-recorded)."""
+        prev = self.current()
+        sid = prev["snapshot_id"] + 1
+        out_dir = os.path.join(self.data_dir, f"dv-{sid:08d}")
+        new_files = self._write_delta_data(
+            dv_df.select("_relfile", "_pos", "_bucket"), out_dir, touched_buckets
+        )
+        # harvest __rows footers so metadata-only counts stay exact
+        self._collect_file_stats(
+            [f for fl in new_files.values() for f in fl], []
+        )
+        dvs = dict(prev.get("delete_vectors", {}))
+        added: list[str] = []
+        for b, files in new_files.items():
+            if files:
+                dvs[str(b)] = dvs.get(str(b), []) + files
+                added.extend(files)
+        watermarks = dict(prev["watermarks"])
+        for b, wm in new_watermarks.items():
+            old = watermarks.get(str(b), WATERMARK_ZERO)
+            watermarks[str(b)] = max(old, wm)
+        snapshot = {
+            **prev,
+            "snapshot_id": sid,
+            "parent_id": prev["snapshot_id"],
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": "delete-vectors",
+            "added_files": added,
+            "delete_vectors": dvs,
+            "watermarks": watermarks,
+        }
+        if dv_identity is not None:
+            snapshot["dv_identity"] = dict(dv_identity)
+        self._write_snapshot(snapshot)
         return snapshot
 
     def buckets_needing_compaction(self, max_delta_files: int) -> list[int]:
@@ -1671,11 +1815,15 @@ class LakeTable:
         after (pinned by tests). Returns the new snapshot, or None if
         nothing to compact."""
         snap = self.current()
-        with_deltas = sorted(int(b) for b in snap.get("deltas", {}))
-        wanted = with_deltas if buckets is None else sorted(set(int(b) for b in buckets) & set(with_deltas))
+        with_work = sorted(
+            {int(b) for b in snap.get("deltas", {})}
+            | {int(b) for b in snap.get("delete_vectors", {})}
+        )
+        wanted = with_work if buckets is None else sorted(set(int(b) for b in buckets) & set(with_work))
         if not wanted:
             return None
-        merged = self.read(buckets=wanted)  # read() folds base ∪ deltas
+        # read() folds base ∪ deltas with delete vectors applied
+        merged = self.read(buckets=wanted)
         payload = self.payload_cols(snap)
         merged = merged.select(
             "repo", "path", "commit", "event_seq", *payload, "content_sha",
@@ -1942,6 +2090,7 @@ class LakeTable:
         )
         file_sids: list[tuple[str, int]] = []
         rollbacks: list[tuple[int, dict]] = []
+        dv_commits: list[tuple[int, dict]] = []
         for sid, raw in sorted(chain):
             # operation and added_files are plain raw-header fields —
             # no manifest resolution on the incremental hot path
@@ -1960,13 +2109,19 @@ class LakeTable:
                 # emission is derived, not file-backed — handled below
                 rollbacks.append((sid, raw))
                 continue
+            if op == "delete-vectors":
+                # position deletes ARE a logical change (rows vanish);
+                # the tombstone emission is derived from the referenced
+                # base rows — handled below
+                dv_commits.append((sid, raw))
+                continue
             if op != "append-deltas":
                 raise ValueError(
                     f"snapshot {sid} is {op!r} (copy-on-write): no row-level "
                     "change log; ingest with write_mode='mor' for incremental reads"
                 )
             file_sids.extend((f, sid) for f in raw.get("added_files", []))
-        if not file_sids and not rollbacks:
+        if not file_sids and not rollbacks and not dv_commits:
             return None
         # ONE scan of every added file + a broadcast file->snapshot map
         # (a union of one relation per snapshot makes the plan O(range
@@ -2006,7 +2161,66 @@ class LakeTable:
             rv = self._rollback_reverts(sid, raw, payload)
             if rv is not None:
                 feed = rv if feed is None else feed.unionByName(rv)
+        for sid, raw in dv_commits:
+            dd = self._dv_deletes(sid, raw, payload)
+            if dd is not None:
+                feed = dd if feed is None else feed.unionByName(dd)
         return feed
+
+    def _dv_deletes(
+        self, sid: int, raw: dict, payload: list[str]
+    ) -> DataFrame | None:
+        """The logical change a ``delete-vectors`` snapshot applies, as
+        feed rows: every position-deleted base row emits ``op='D'``
+        with its last payload (the WAL tombstone convention) under the
+        commit's recorded ``dv_identity`` — which the committing DML
+        chose to beat every matched row's own (commit, event_seq), so
+        downstream LWW folds order the delete after the versions it
+        kills. O(deleted rows): one scan of the referenced base files
+        position-semi-joined to the vectors; the referenced-file set
+        is resolved driver-side from the PARENT snapshot's manifests
+        (metadata-scale, bounded by the bucket's file count)."""
+        dv_files = raw.get("added_files", [])
+        if not dv_files:
+            return None
+        ident = raw.get("dv_identity") or {}
+        dv = self.spark.read.schema("_relfile string, _pos long").parquet(
+            *dv_files
+        )
+        parent = self.snapshot(raw["parent_id"])
+        rel_to_abs = {
+            _rel_to_data(f): f
+            for fl in parent["buckets"].values()
+            for f in fl
+        }
+        # distinct referenced files: metadata-scale collect (bounded by
+        # the touched buckets' file counts, never by row counts)
+        rels = [r["_relfile"] for r in dv.select("_relfile").distinct().collect()]
+        files = [rel_to_abs[r] for r in rels if r in rel_to_abs]
+        if not files:
+            return None
+        base = (
+            self.spark.read.schema(self._base_ddl(payload))
+            .parquet(*files)
+            .select(
+                "repo", "path", *payload,
+                F.substring_index(
+                    F.col("_metadata.file_path"), "/data/", -1
+                ).alias("_relfile"),
+                F.col("_metadata.row_index").alias("_pos"),
+            )
+        )
+        return (
+            base.join(dv, ["_relfile", "_pos"], "left_semi")
+            .select(
+                "repo", "path",
+                F.lit(ident.get("commit")).cast("string").alias("commit"),
+                F.lit(ident.get("event_seq")).cast("long").alias("event_seq"),
+                *payload,
+                F.lit("D").alias("op"),
+                F.lit(sid).cast("int").alias("snapshot_id"),
+            )
+        )
 
     def _touched_delta_buckets(
         self, chain: list[tuple[int, dict]], base_raw: dict, base_sid: int
@@ -2032,7 +2246,16 @@ class LakeTable:
         raws[base_sid] = base_raw
         touched: set[int] = set()
         for _, raw in chain:
-            if raw.get("operation") != "append-deltas":
+            op = raw.get("operation")
+            if op == "delete-vectors":
+                # a DV commit changes its buckets' logical state too —
+                # same child-vs-parent content-addressed diff
+                pdv = raws[raw["parent_id"]].get("delete_vectors", {})
+                for b, v in raw.get("delete_vectors", {}).items():
+                    if pdv.get(b) != v:
+                        touched.add(int(b))
+                continue
+            if op != "append-deltas":
                 continue
             pdel = raws[raw["parent_id"]].get("deltas", {})
             for b, v in raw.get("deltas", {}).items():
@@ -2322,6 +2545,7 @@ class LakeTable:
             "path_salt": salt,
             "buckets": {b: fl for b, fl in new_files.items() if fl},
             "deltas": {},
+            "delete_vectors": {},
             "watermarks": {str(b): w for b, w in new_watermarks.items()},
         }
         self._write_snapshot(snapshot)
@@ -3006,6 +3230,8 @@ class LakeTable:
                 live.update(fl)
             for fl in snap.get("deltas", {}).values():
                 live.update(fl)
+            for fl in snap.get("delete_vectors", {}).values():
+                live.update(fl)
         return live
 
     def vacuum(self, dry_run: bool = False, min_age_seconds: float = 3600.0) -> list[str]:
@@ -3081,6 +3307,7 @@ class LakeTable:
             if snap.get("format") == 2:
                 live_manifests |= set(snap["buckets"].values())
                 live_manifests |= set(snap.get("deltas", {}).values())
+                live_manifests |= set(snap.get("delete_vectors", {}).values())
         orphan_manifests: list[str] = []
         for name in self.io.listdir(self.meta_dir):
             if not (name.startswith("manifest-") and name.endswith(".json")):

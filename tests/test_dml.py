@@ -340,3 +340,144 @@ def test_cow_dml_retries_past_crashed_attempt_dir(spark, tmp_path):
     assert all(r[0] != "py" for r in t.read().select("lang").collect())
     # the residue is untouched (vacuum's job), the retry went elsewhere
     assert t.io.isdir(os.path.join(t.data_dir, crashed))
+
+
+# -- deletion vectors (mode='dv': Iceberg v2 position-delete semantics) ------
+
+def test_dv_delete_no_rewrite_and_state_matches_cow(spark, tmp_path):
+    t_dv = _mk_table(spark, tmp_path / "dv", BASE)
+    t_cow = _mk_table(spark, tmp_path / "cow", BASE)
+    pre = t_dv.current()
+    rep = delete_where(t_dv, predicate="lang = 'go'", mode="dv")
+    assert rep["rows_changed"] == 2
+    snap = rep["snapshot"]
+    assert snap["operation"] == "delete-vectors"
+    # ZERO bucket rewrites: base file lists are byte-identical
+    assert snap["buckets"] == pre["buckets"]
+    assert any(fl for fl in snap["delete_vectors"].values())
+    delete_where(t_cow, predicate="lang = 'go'", mode="cow")
+    assert _state(t_dv) == _state(t_cow)
+    assert len(_state(t_dv)) == 3
+
+
+def test_dv_update_not_supported(spark, tmp_path):
+    t = _mk_table(spark, tmp_path / "l", BASE)
+    with pytest.raises(ValueError, match="mode"):
+        update_where(t, {"lang": "'x'"}, predicate="true", mode="dv")
+
+
+def test_dv_requires_delta_free_table(spark, tmp_path):
+    t = _mk_table(spark, tmp_path / "l", BASE)
+    delete_where(t, predicate="lang = 'rs'", mode="mor")  # pending delta
+    with pytest.raises(ValueError, match="delta-free"):
+        delete_where(t, predicate="lang = 'py'", mode="dv")
+    t.compact()
+    rep = delete_where(t, predicate="lang = 'py'", mode="dv")
+    assert rep["rows_changed"] == 2
+    assert set(_state(t)) == {("r2", "c.go"), ("r2", "d.go")}
+
+
+def test_dv_resweep_never_remarks_and_metadata_count_exact(spark, tmp_path):
+    t = _mk_table(spark, tmp_path / "l", BASE, stats_cols=["commit"])
+    assert t.metadata_row_count() == 5
+    rep1 = delete_where(t, predicate="lang = 'go'", mode="dv")
+    assert rep1["rows_changed"] == 2
+    # metadata-only count stays exact: base rows minus DV rows
+    assert t.metadata_row_count() == 3 == t.read().count()
+    # second sweep matching EVERYTHING marks only the 3 survivors
+    rep2 = delete_where(t, predicate="true", mode="dv")
+    assert rep2["rows_changed"] == 3
+    assert t.metadata_row_count() == 0
+    df = t.read()
+    assert df is None or df.count() == 0
+
+
+def test_dv_changes_feed_emits_tombstones(spark, tmp_path):
+    t = _mk_table(spark, tmp_path / "l", BASE)
+    pre_sid = t.current()["snapshot_id"]
+    delete_where(t, predicate="lang = 'go'", mode="dv")
+    ch = t.changes(pre_sid, t.current()["snapshot_id"])
+    rows = {(r["repo"], r["path"]): (r["op"], r["content"]) for r in ch.collect()}
+    # D tombstones carrying the last payload (WAL convention)
+    assert rows == {("r2", "c.go"): ("D", "gamma"),
+                    ("r2", "d.go"): ("D", "delta")}
+    # feed identity beats the deleted rows' own positions and the
+    # touched buckets' watermarks advanced to it
+    snap = t.current()
+    ident = {r["commit"]: r["event_seq"]
+             for r in ch.collect()}
+    for c, s in ident.items():
+        assert f"{c}:{s:020d}" in snap["watermarks"].values()
+        assert f"{c}:{s:020d}" > "000000000002:%020d" % 4
+
+
+def test_dv_compact_folds_vectors(spark, tmp_path):
+    t = _mk_table(spark, tmp_path / "l", BASE, stats_cols=["commit"])
+    delete_where(t, predicate="lang = 'py'", mode="dv")
+    before = _state(t)
+    snap = t.compact()
+    assert snap is not None and snap["operation"] == "compact"
+    assert not any(fl for fl in snap.get("delete_vectors", {}).values())
+    assert _state(t) == before
+    assert t.metadata_row_count() == 3
+
+
+def test_dv_keeps_file_pruning_where_mor_cannot(spark, tmp_path):
+    """THE read-amplification win: a DV bucket keeps min/max data
+    skipping (vectors only remove rows), while a row-delta bucket must
+    scan every base file (value-pruning under read-time LWW is
+    unsound). Same delete, same data — the DV table still prunes."""
+    t_dv = _mk_table(spark, tmp_path / "dv", BASE,
+                     stats_cols=["commit"], sort_cols=["commit"])
+    t_mor = _mk_table(spark, tmp_path / "mor", BASE,
+                      stats_cols=["commit"], sort_cols=["commit"])
+    delete_where(t_dv, predicate="lang = 'py'", mode="dv")
+    delete_where(t_mor, predicate="lang = 'py'", mode="mor")
+    # range matching only commit=...003 rows: files for 001/002 prunable
+    w = ("commit", "000000000003", None)
+    rep_dv = t_dv.prune_report(where=w)
+    rep_mor = t_mor.prune_report(where=w)
+    assert rep_dv["buckets_with_deltas"] == []
+    assert rep_dv["files_skipped"] > 0
+    assert rep_mor["files_skipped"] < rep_dv["files_skipped"]
+    # and the pruned read is still CORRECT
+    got = {(r["repo"], r["path"]) for r in t_dv.read(where=w).collect()}
+    assert got == {("r3", "e.rs")}
+
+
+def test_dv_write_bytes_beat_cow_rewrite(spark, tmp_path):
+    """Write-amp: the DV commit writes O(deleted positions) bytes and
+    rewrites nothing, where CoW rewrites every touched bucket."""
+    rows = [("r1", f"p{i}.py", "0000000000a0", i, "py", "x" * 200)
+            for i in range(400)]
+    t_dv = _mk_table(spark, tmp_path / "dv", rows)
+    t_cow = _mk_table(spark, tmp_path / "cow", rows)
+    rep_dv = delete_where(t_dv, predicate="event_seq % 100 = 0", mode="dv")
+    rep_cow = delete_where(t_cow, predicate="event_seq % 100 = 0", mode="cow")
+    assert rep_dv["rows_changed"] == 4
+    dv_bytes = sum(t_dv.io.size(f)
+                   for fl in rep_dv["snapshot"]["delete_vectors"].values()
+                   for f in fl)
+    cow_bytes = sum(
+        t_cow.io.size(f)
+        for f in set().union(*rep_cow["snapshot"]["buckets"].values())
+        - set().union(*map(set, t_dv.current()["buckets"].values()))
+    ) or sum(t_cow.io.size(f)
+             for fl in rep_cow["snapshot"]["buckets"].values() for f in fl)
+    assert dv_bytes < cow_bytes
+    assert _state(t_dv) == _state(t_cow)
+
+
+def test_dv_fsck_vacuum_clone_integration(spark, tmp_path):
+    from filters_spark.lake.clone import clone_table
+    from filters_spark.lake.fsck import verify_table
+
+    t = _mk_table(spark, tmp_path / "l", BASE)
+    delete_where(t, predicate="lang = 'go'", mode="dv")
+    rep = verify_table(t)
+    assert rep["ok"], rep["errors"]
+    # vacuum must not sweep live DV files
+    assert t.vacuum(dry_run=True, min_age_seconds=0) == []
+    c = clone_table(t, str(tmp_path / "c"), mode="deep")
+    assert _state(c) == _state(t)
+    assert verify_table(c)["ok"]
