@@ -16,8 +16,9 @@ any IO:
 - **dropped whole, metadata-only** (pure-range DELETE only): the
   file's stats PROVE every row matches — [min, max] inside the range,
   zero recorded nulls (NULL never matches a range), row counts
-  recorded, and bounds of a type a parquet footer can't have
-  truncated misleadingly (numeric, or strings <= 64 chars);
+  recorded, and bounds that are directionally safe (numeric, or
+  string bounds stored through the lake's truncate(16) transform —
+  long-content columns included);
 - **scanned and rewritten**: only the boundary files — plus buckets
   carrying pending MoR deltas, which fold in full first (value-pruning
   a bucket under read-time LWW is unsound, see :meth:`LakeTable.read`;
@@ -98,9 +99,14 @@ def _provably_all_match(st: dict | None, where: tuple) -> bool:
     """True only when the file's manifest stats PROVE every row's
     ``col`` lies inside [lo, hi]: complete [min, max], a recorded zero
     null count (NULL cells never match a range), and bounds whose type
-    rules out misleading footer truncation. The skip direction
-    (:meth:`LakeTable._file_may_match`) tolerates truncated bounds;
-    this direction must not — so long strings decline."""
+    rules out misleading footer truncation. String bounds are stored
+    through the truncate(16) transform (lake/table.py
+    ``_truncate_bound_lower``/``_upper``) — directionally SAFE by
+    construction (lower <= every value, upper >= every value), so the
+    proof holds on them too: stored-min >= lo still proves every row
+    >= lo, stored-max <= hi still proves every row <= hi. The >64-char
+    guard below only fires on legacy manifests written before the
+    transform."""
     col, lo, hi = where
     if not st or col not in st or "__rows" not in st:
         return False

@@ -52,6 +52,35 @@ from filters_spark.lake.xxh import bucket_of
 WATERMARK_ZERO = "000000000000:-1"
 
 
+_STAT_TRUNCATE_CHARS = 16
+
+
+def _truncate_bound_lower(v: str, ln: int = _STAT_TRUNCATE_CHARS) -> str:
+    """Safe LOWER bound of ``v`` in at most ``ln`` chars: the prefix
+    (a prefix sorts <= the full string; and <= any longer true min the
+    footer value was itself a truncation of)."""
+    return v if len(v) <= ln else v[:ln]
+
+
+def _truncate_bound_upper(v: str, ln: int = _STAT_TRUNCATE_CHARS) -> str | None:
+    """Safe UPPER bound of ``v`` in at most ``ln`` chars: the prefix
+    with its last char bumped one code point (skipping the surrogate
+    gap) — strictly greater than every string sharing the prefix,
+    hence >= the true max even when the footer max was itself a prefix
+    truncation. Returns None when every prefix char already sits at
+    the maximum code point (no finite short bound exists)."""
+    if len(v) <= ln:
+        return v
+    p = v[:ln]
+    for i in range(len(p) - 1, -1, -1):
+        cp = ord(p[i]) + 1
+        if 0xD800 <= cp <= 0xDFFF:
+            cp = 0xE000
+        if cp <= 0x10FFFF:
+            return p[:i] + chr(cp)
+    return None
+
+
 def _rel_to_data(path: str) -> str:
     """Data-file identity independent of how the table root was spelled:
     the suffix after the LAST ``/data/`` (``snap-N/_bucket=K/part-*``).
@@ -465,6 +494,23 @@ class LakeTable:
                     mn = lo if mn is None else min(mn, lo)
                     mx = hi if mx is None else max(mx, hi)
                 if ok and mn is not None:
+                    if isinstance(mn, str) and isinstance(mx, str):
+                        # Iceberg truncate(16)-style bound transform:
+                        # long string bounds store as a short SAFE pair
+                        # — lower = 16-char prefix (<= every value),
+                        # upper = prefix with the last kept char bumped
+                        # one code point (> every value with that
+                        # prefix). Sound even if the parquet footer
+                        # itself prefix-truncated the max: the true max
+                        # then shares the 16-char prefix, so the bumped
+                        # bound still exceeds it. Keeps manifests
+                        # O(16 chars) per bound on wide content columns
+                        # AND makes string predicates drop-provable in
+                        # DML triage (long raw bounds had to decline).
+                        mn = _truncate_bound_lower(mn)
+                        mx = _truncate_bound_upper(mx)
+                        if mx is None:
+                            continue  # unbounded: no finite safe upper
                     fstats[c] = [mn, mx]
                     if nulls_ok:
                         # null count enables the ALL-rows-match proof

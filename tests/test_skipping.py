@@ -123,6 +123,119 @@ class TestDataSkipping:
         )
 
 
+class TestStringBoundTruncation:
+    """Long-string stats store through the truncate(16) transform
+    (lake/table.py _truncate_bound_lower/_upper): bounds stay O(16)
+    chars in the manifests, pruning stays sound and selective, and
+    string-range DML triage gains the whole-file drop proof."""
+
+    def _long(self, prefix, i):
+        # > 16 chars so the transform actually truncates
+        return f"{prefix}{i:04d}" + "x" * 40
+
+    @pytest.fixture(scope="class")
+    def table(self, spark, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("strskip") / "lake")
+        t = LakeTable.create(
+            spark, root, ["repo", "path"], num_buckets=2,
+            stats_cols=["content"], sort_cols=["content"],
+        )
+        rows = [
+            (f"r{i % 3}", f"p{i}.py", "%012x" % 1, i, "py",
+             self._long("a" if i < 400 else "m" if i < 800 else "z", i),
+             f"s{i}")
+            for i in range(1200)
+        ]
+        df = _with_bucket(spark.createDataFrame(rows, DDL), 2)
+        df = df.repartitionByRange(6, "content")
+        t.commit_buckets(df, [0, 1], {b: "000000000001:0" for b in range(2)})
+        return t
+
+    def test_bounds_stored_truncated_and_safe(self, table):
+        import json, os
+
+        seen = 0
+        for name in table.io.listdir(table.meta_dir):
+            if not name.startswith("manifest-"):
+                continue
+            body = json.loads(table.io.read_text(os.path.join(table.meta_dir, name)))
+            for f, st in body.get("stats", {}).items():
+                if "content" not in st:
+                    continue
+                mn, mx = st["content"]
+                assert len(mn) <= 16 and len(mx) <= 16
+                assert mn <= mx
+                seen += 1
+        assert seen > 2
+
+    def test_string_range_read_prunes_and_stays_exact(self, table):
+        # 'm'-prefix slab only: 'a'- and 'z'-slab files must skip
+        w = ("content", "m", "n")
+        rep = table.prune_report(w)
+        assert rep["files_skipped"] > 0
+        got = _rows(table.read(where=w))
+        expect = _rows(
+            table.read().filter(F.col("content").between("m", "n"))
+        )
+        assert got == expect and len(got) == 400
+
+    def test_boundary_values_never_lost(self, table):
+        # bounds are CONSERVATIVE: a range starting exactly at a
+        # truncation point keeps the file (never skips a matching row)
+        probe = self._long("a", 399)  # a real max-ish 'a'-slab value
+        got = _rows(table.read(where=("content", probe, probe)))
+        assert len(got) == 1
+
+    def test_truncate_upper_edge_cases(self):
+        from filters_spark.lake.table import (
+            _truncate_bound_lower, _truncate_bound_upper,
+        )
+
+        long = "abcdefghijklmnopqrstuvwxyz"
+        assert _truncate_bound_lower(long) == long[:16]
+        up = _truncate_bound_upper(long)
+        assert len(up) == 16 and up > long
+        assert _truncate_bound_upper("short") == "short"
+        # last char at the surrogate boundary skips the gap
+        v = "a" * 15 + "퟿" + "tail_beyond_16__"
+        up2 = _truncate_bound_upper(v)
+        assert up2 == "a" * 15 + "" and up2 > v
+        # every char at the max code point: no finite bound
+        assert _truncate_bound_upper("\U0010ffff" * 20) is None
+        # carry into the previous char when the last is maxed
+        v3 = "ab" + "\U0010ffff" * 20
+        up3 = _truncate_bound_upper(v3)
+        assert up3 == "ac" and up3 > v3
+
+    def test_string_range_delete_drops_files_metadata_only(self, spark, tmp_path):
+        from filters_spark.lake.dml import delete_where
+
+        t = LakeTable.create(
+            spark, str(tmp_path / "strdml"), ["repo", "path"], num_buckets=2,
+            stats_cols=["content"], sort_cols=["content"],
+        )
+        rows = [
+            ("r1", f"p{i}.py", "%012x" % 1, i, "py", self._long("a", i), f"s{i}")
+            for i in range(200)
+        ] + [
+            ("r1", f"q{i}.py", "%012x" % 1, i, "py", self._long("z", i), f"s{i}")
+            for i in range(200)
+        ]
+        df = _with_bucket(spark.createDataFrame(rows, DDL), 2)
+        df = df.repartitionByRange(4, "content")
+        t.commit_buckets(df, [0, 1], {b: "000000000001:0" for b in range(2)})
+        # every 'a'-slab file is PROVABLY inside (None, 'b'): with raw
+        # 44-char bounds this declined (len > 64... legacy guard) — the
+        # truncate(16) bounds make the drop proof fire, zero IO
+        rep = delete_where(t, where=("content", None, "b"))
+        assert rep["files_dropped"] > 0
+        assert rep["rows_dropped_metadata_only"] == 200
+        assert rep["files_scanned"] == 0
+        got = _rows(t.read())
+        assert len(got) == 200
+        assert all(c.startswith("z") for _, _, _, c in got)
+
+
 class TestSkippingMoRSoundness:
     def test_delta_buckets_are_never_value_pruned(self, spark, tmp_path):
         """A key's winning version can live OUTSIDE the predicate range
