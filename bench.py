@@ -127,6 +127,7 @@ def sentinel_degraded(sent: dict) -> list[str]:
 QUERY_CEILING_FACTOR = 8
 REF_QUERY_SECONDS = {
     "warmup": 35, "cdc_replay": 30, "cdc_replay_mor": 25,
+    "fanout_replay": 45, "fanout_replay_2pc": 55,
     "cdc_lww_merge": 1.5, "cdc_checkpoint_offsets": 1.2,
     "agg_pricing_summary": 1.3, "join_revenue_by_nation": 2.2,
     "window_topk_per_user": 1.5, "filter_unicode_normalize": 0.9,
@@ -272,6 +273,71 @@ def run_cdc_replay(spark, n_events: int, num_buckets: int = 32, batches: int = 4
             "applied": sum(m["applied"] for m in metrics),
             "dead_lettered": sum(m["dead_lettered"] for m in metrics),
             "final_rows": rows,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def run_fanout_replay(spark, n_events: int, num_buckets: int = 32,
+                      atomic: bool = False) -> dict:
+    """Two-route Debezium fan-out replay — the multi-table ingest path
+    (engine/fanout.py + engine/txn.py). ONE mixed server-level envelope
+    stream (two source tables with the flagship replay's skew/dirt
+    profile) is materialized to parquet, then the measured section
+    decodes it in a single parse pass and applies each route to its own
+    fresh lake table. ``atomic=True`` routes through the 2PC
+    all-or-none path (stage every table, one durable decision record,
+    metadata-only publish) — the delta vs the independent-applies mode
+    IS the per-route staged-commit overhead atomicity costs."""
+    from filters_spark.engine.cdc import CDCEngine
+    from filters_spark.engine.defaults import default_registry
+    from filters_spark.engine.fanout import TableRoute, fan_out_debezium
+    from filters_spark.engine.txn import fan_out_atomic
+    from filters_spark.lake.table import LakeTable
+    from filters_spark.sources.datagen import gen_events
+    from filters_spark.sources.debezium import to_debezium
+
+    root = tempfile.mkdtemp(prefix="filters_spark_bench_fan_")
+    try:
+        half = n_events // 2
+        fields = ["repo", "path", "lang", "content"]
+        env_path = os.path.join(root, "envelopes.parquet")
+        ev_a = gen_events(spark, n_events=half, n_repos=250, n_paths=2500,
+                          hot_frac=0.15, dirty_frac=0.05, seed=42)
+        ev_b = gen_events(spark, n_events=n_events - half, n_repos=250,
+                          n_paths=2500, hot_frac=0.15, dirty_frac=0.05, seed=43)
+        (
+            to_debezium(ev_a, fields, db="d", table="repos")
+            .unionAll(to_debezium(ev_b, fields, db="d", table="users"))
+            .repartition(64)
+            .write.parquet(env_path)
+        )
+        raw = spark.read.parquet(env_path)
+        routes = []
+        for name in ("repos", "users"):
+            t = LakeTable.create(
+                spark, os.path.join(root, name), key_cols=["repo", "path"],
+                num_buckets=num_buckets,
+            )
+            routes.append(TableRoute(name, CDCEngine(spark, t, default_registry())))
+        seq = lambda s: s["pos"].cast("long")  # noqa: E731 — pos IS event_seq
+        t0 = time.time()
+        if atomic:
+            report = fan_out_atomic(
+                raw, routes, os.path.join(root, "txn"), seq_expr=seq
+            )
+            assert report["txn"] == "committed"
+        else:
+            report = fan_out_debezium(raw, routes, seq_expr=seq)
+        dt = time.time() - t0
+        return {
+            "seconds": dt,
+            "events": n_events,
+            "events_per_sec": n_events / dt,
+            "applied": sum(m["applied"] for m in report["tables"].values()),
+            "dead_lettered": sum(
+                m["dead_lettered"] for m in report["tables"].values()
+            ),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -483,12 +549,16 @@ Mid-run steal monitor: {mon.summary()}.
         warm = run_cdc_replay(spark, 10_000, batches=2)
         cdc = run_cdc_replay(spark, n_events)
         cdc_mor = run_cdc_replay(spark, n_events, write_mode="mor")
+        fan = run_fanout_replay(spark, n_events)
+        fan_2pc = run_fanout_replay(spark, n_events, atomic=True)
         qtimes = run_queries(spark, args.sf, HEADLINE)
     total = time.time() - t0
     queries = {
         "warmup": round(warm["seconds"], 3),
         "cdc_replay": round(cdc["seconds"], 3),
         "cdc_replay_mor": round(cdc_mor["seconds"], 3),
+        "fanout_replay": round(fan["seconds"], 3),
+        "fanout_replay_2pc": round(fan_2pc["seconds"], 3),
         **qtimes,
     }
     sent_after = _sentinel_with_retry("after")
@@ -504,6 +574,8 @@ Mid-run steal monitor: {mon.summary()}.
         "queries": queries,
         "cdc_events_per_sec": round(cdc["events_per_sec"], 1),
         "cdc_mor_events_per_sec": round(cdc_mor["events_per_sec"], 1),
+        "fanout_events_per_sec": round(fan["events_per_sec"], 1),
+        "fanout_2pc_events_per_sec": round(fan_2pc["events_per_sec"], 1),
         "sf": sf,
         "sentinel_before": sent_before,
         "sentinel_after": sent_after,
