@@ -562,3 +562,74 @@ def test_interval_join_left_outer_stream_emits_unmatched_after_watermark(spark, 
     # batch set minus the open frontier
     assert set(got) <= set(bgot)
     assert set(bgot) - set(got) == {(8, 102, None)}
+
+
+def test_interval_join_state_stays_bounded_across_watermark_advances(spark, tmp_path):
+    """The scaling claim behind the stream-stream interval join
+    (streaming/joins.py): watermark + interval bound make BOTH sides'
+    state evictable, so state size tracks the rows inside the
+    (watermark-lag + interval) window — O(keys x interval density) —
+    and NOT the cumulative input. Measured via StateOperatorProgress:
+    feed 4 batches each advancing event time by an hour (far past the
+    10-minute watermark + 30s interval), assert numRowsTotal never
+    exceeds ~one batch's rows while cumulative input grows 4x."""
+    from filters_spark.streaming.joins import interval_join
+
+    ddl = "ts timestamp, user_id long, event_id long"
+    rows_per_batch = 50
+
+    def frame(rows):
+        raw = spark.createDataFrame(rows, "ts string, user_id long, event_id long")
+        return raw.select(F.to_timestamp("ts").alias("ts"), "user_id", "event_id")
+
+    ld, rd = str(tmp_path / "lsrc"), str(tmp_path / "rsrc")
+    os.makedirs(ld)
+    os.makedirs(rd)
+    out = str(tmp_path / "bsout")
+
+    def run():
+        ls = spark.readStream.schema(ddl).parquet(ld + "/*/")
+        rs = spark.readStream.schema(ddl).parquet(rd + "/*/")
+        j = interval_join(
+            ls, rs, ("user_id",), lower_s=0.0, upper_s=30.0,
+            watermark="10 minutes",
+        )
+        q = (
+            j.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "bsckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return q
+
+    state_totals = []
+    out_counts = []
+    for batch in range(4):
+        base_h = 10 + batch  # each batch a full hour later
+        lrows = [(f"2026-01-01 {base_h}:00:{i % 50:02d}", i % 10, batch * 1000 + i)
+                 for i in range(rows_per_batch)]
+        rrows = [(f"2026-01-01 {base_h}:00:{i % 50 + 5:02d}", i % 10,
+                  batch * 1000 + 500 + i) for i in range(rows_per_batch)]
+        frame(lrows).coalesce(1).write.parquet(os.path.join(ld, f"f{batch}"))
+        frame(rrows).coalesce(1).write.parquet(os.path.join(rd, f"f{batch}"))
+        q = run()
+        ops = [p["stateOperators"][0] for p in q.recentProgress
+               if p["stateOperators"]]
+        assert ops, "expected state operator progress"
+        state_totals.append(max(op["numRowsTotal"] for op in ops))
+        out_counts.append(spark.read.parquet(out).count())
+    # every batch produced matches (the operator is live, not draining);
+    # the parquet sink reports numOutputRows=-1, so count the sink files
+    assert all(b > a for a, b in zip([0] + out_counts, out_counts)), out_counts
+    # BOUNDED: cumulative input is 4 x 2 x rows_per_batch = 400 rows,
+    # but state plateaus at TWO batches' worth (the incoming batch plus
+    # the prior batch, whose rows evict only once the new batch's
+    # watermark commits) — never the cumulative stream
+    cap = 2 * (2 * rows_per_batch) + 10
+    assert max(state_totals) <= cap, (state_totals, cap)
+    # and it PLATEAUS instead of growing with input (eviction works):
+    # batch 3's peak is no higher than batch 1's
+    assert state_totals[-1] <= state_totals[1] + 10, state_totals
