@@ -481,3 +481,18 @@ def test_dv_fsck_vacuum_clone_integration(spark, tmp_path):
     c = clone_table(t, str(tmp_path / "c"), mode="deep")
     assert _state(c) == _state(t)
     assert verify_table(c)["ok"]
+
+
+def test_dv_changes_with_images_pre_images(spark, tmp_path):
+    # the Debezium-before shape composes over a DV commit: the deleted
+    # rows' pre-image is their seeded base state, op_effective = 'D'
+    t = _mk_table(spark, tmp_path / "l", BASE)
+    pre_sid = t.current()["snapshot_id"]
+    delete_where(t, predicate="lang = 'go'", mode="dv")
+    ch = t.changes_with_images(pre_sid)
+    rows = {
+        (r["repo"], r["path"]): (r["op_effective"], r["pre_op"], r["pre_content"])
+        for r in ch.collect()
+    }
+    assert rows == {("r2", "c.go"): ("D", "K", "gamma"),
+                    ("r2", "d.go"): ("D", "K", "delta")}
