@@ -127,7 +127,9 @@ def sentinel_degraded(sent: dict) -> list[str]:
 QUERY_CEILING_FACTOR = 8
 REF_QUERY_SECONDS = {
     "warmup": 35, "cdc_replay": 30, "cdc_replay_mor": 25,
-    "fanout_replay": 45, "fanout_replay_2pc": 55,
+    # calibrated from the first clean idle-host run at r5 HEAD
+    # (2026-08-20: 20.9s / 24.3s, sentinel mt8 47k, steal 0.06%)
+    "fanout_replay": 21, "fanout_replay_2pc": 25,
     "cdc_lww_merge": 1.5, "cdc_checkpoint_offsets": 1.2,
     "agg_pricing_summary": 1.3, "join_revenue_by_nation": 2.2,
     "window_topk_per_user": 1.5, "filter_unicode_normalize": 0.9,
