@@ -136,6 +136,12 @@ def _classify(
     dropped: list[tuple[str, str]] = []
     scan: dict[str, list[str]] = {}
     delta_b = {b for b, fl in snap.get("deltas", {}).items() if fl}
+    # DV-carrying buckets fold like delta buckets: a direct base-file
+    # scan would RESURRECT position-deleted rows in the rewrite, and a
+    # whole-file drop proof would over-count them
+    delta_b |= {
+        b for b, fl in snap.get("delete_vectors", {}).items() if fl
+    }
     for b, fl in snap["buckets"].items():
         if b in delta_b:
             continue
@@ -253,11 +259,16 @@ def _dml_cow(
     cond = _cond_col(predicate, where)
     can_drop = upd is None and predicate is None and where is not None
     kept, dropped, scan = _classify(t, snap, where, can_drop)
-    # a delta bucket rewrites (full fold) iff some file admits a match
+    # a delta- or DV-carrying bucket rewrites (full fold through
+    # read(), which applies vectors) iff some file admits a match
+    fold_map: dict[str, list[str]] = {
+        b: list(fl) for b, fl in snap.get("deltas", {}).items() if fl
+    }
+    for b, fl in snap.get("delete_vectors", {}).items():
+        if fl:
+            fold_map.setdefault(b, [])
     rewrite_delta_b = []
-    for b, dfl in snap.get("deltas", {}).items():
-        if not dfl:
-            continue
+    for b, dfl in fold_map.items():
         files = snap["buckets"].get(b, []) + dfl
         if where is None or any(
             t._file_may_match(t._file_stats_cache.get(f), where) for f in files

@@ -496,3 +496,32 @@ def test_dv_changes_with_images_pre_images(spark, tmp_path):
     }
     assert rows == {("r2", "c.go"): ("D", "K", "gamma"),
                     ("r2", "d.go"): ("D", "K", "delta")}
+
+
+def test_cow_dml_on_dv_table_does_not_resurrect(spark, tmp_path):
+    """A CoW DML rewriting a DV-carrying bucket must fold the vectors
+    (read()-path), never scan base files raw — else position-deleted
+    rows resurrect in the rewrite (which also clears the DV map)."""
+    t = _mk_table(spark, tmp_path / "l", BASE)
+    delete_where(t, predicate="lang = 'go'", mode="dv")
+    assert set(_state(t)) == {("r1", "a.py"), ("r1", "b.py"), ("r3", "e.rs")}
+    rep = update_where(t, {"content": "content || '!'"}, predicate="lang = 'py'")
+    assert rep["snapshot"]["operation"] == "update"
+    st = _state(t)
+    # the DV-deleted go rows must NOT come back
+    assert set(st) == {("r1", "a.py"), ("r1", "b.py"), ("r3", "e.rs")}
+    assert st[("r1", "a.py")][2] == "alpha!"
+    # and a follow-up CoW delete composes the same way
+    rep2 = delete_where(t, predicate="lang = 'rs'")
+    assert set(_state(t)) == {("r1", "a.py"), ("r1", "b.py")}
+
+
+def test_cow_range_delete_keeps_untouched_dv_bucket_by_reference(spark, tmp_path):
+    # a DV bucket provably outside the range keeps BOTH its base files
+    # and its vectors by reference — no rewrite, deletes still applied
+    t = _mk_table(spark, tmp_path / "l", BASE,
+                  stats_cols=["commit"], sort_cols=["commit"])
+    delete_where(t, predicate="lang = 'go'", mode="dv")
+    rep = delete_where(t, where=("commit", "000000000010", None))
+    assert rep["snapshot"] is None  # nothing provably touched
+    assert set(_state(t)) == {("r1", "a.py"), ("r1", "b.py"), ("r3", "e.rs")}
