@@ -288,6 +288,86 @@ NATIVE_BUILDERS: dict[str, Callable[..., NativeStep]] = {
 }
 
 
+# --- kernel identity guards --------------------------------------------------
+# For chains that must run on the KERNEL (Arrow/Python) path, a guard is
+# a Column predicate proving the whole chain is IDENTITY for a row:
+# value unchanged AND no error recorded. Rows satisfying the guard can
+# skip the Python boundary entirely (the validate operator ships NULL in
+# their place — an Arrow null bit instead of the payload bytes — and
+# restores the original column JVM-side). Guards are deliberately
+# conservative: any row a guard cannot PROVE identity for (NULL guard
+# result included) takes the kernel path and gets the reference
+# semantics, so false negatives cost only bytes, never correctness.
+
+# printable ASCII + \t + \n: within this set the Unicode kernel is
+# provably identity — no \p{C}-not-\s codepoint to strip (\t/\n are
+# whitespace, \x20-\x7e are non-control), no \r to rewrite, and ASCII
+# is NFC by construction. \x7f (DEL, stripped), \x0b (the RE2/Python
+# divergence char) and \r all fall outside the class, so they route to
+# the kernel. rlike with a single negated char class measured as cheap
+# as length() on ~1KB payloads (translate-delete was 3-4x slower).
+_UNICODE_IDENTITY_SAFE = "[^\\x20-\\x7e\\t\\n]"
+
+
+def _g_required(**kw) -> Callable[[Column], Column]:
+    # non-empty string: passes unchanged (NULL length -> NULL -> guard
+    # fails -> kernel path fires the reference 'empty' error)
+    return lambda c: F.length(c) > 0
+
+
+def _g_not_empty(allow_none: bool = True, **kw) -> Callable[[Column], Column]:
+    return lambda c: F.length(c) > 0
+
+
+def _g_unicode(encoding: str = "utf-8", normalize: bool = True, **kw):
+    if not normalize:
+        # str input decodes to itself; nothing else to do
+        return lambda c: c.isNotNull()
+    return lambda c: ~c.rlike(_UNICODE_IDENTITY_SAFE)
+
+
+def _g_noop(**kw) -> Callable[[Column], Column]:
+    return lambda c: F.lit(True)
+
+
+IDENTITY_GUARD_BUILDERS: dict[str, Callable[..., Callable[[Column], Column]]] = {
+    "required": _g_required,
+    "not_empty": _g_not_empty,
+    "unicode": _g_unicode,
+    "noop": _g_noop,
+}
+
+
+def compile_identity_guard(chain_spec) -> Optional[Callable[[Column], Column]]:
+    """Compile a chain spec into a ``col -> Column`` boolean guard that
+    is True only when EVERY step of the chain is identity-no-error for
+    the value, or None when any step lacks a guard builder. Only valid
+    for string-typed input/output chains (the caller checks types)."""
+    steps = _normalize_steps(chain_spec)
+    if steps is None or not steps:
+        return None
+    builders = []
+    for name, params in steps:
+        b = IDENTITY_GUARD_BUILDERS.get(name)
+        if b is None:
+            return None
+        try:
+            builders.append(b(**params))
+        except TypeError:
+            return None
+
+    def guard(col: Column) -> Column:
+        g = None
+        for b in builders:
+            # each step is identity under its own guard, so every
+            # step's guard evaluates over the UNCHANGED input column
+            gi = b(col)
+            g = gi if g is None else (g & gi)
+        return F.coalesce(g, F.lit(False))
+
+    return guard
+
+
 def _normalize_steps(chain_spec) -> list[tuple[str, dict]]:
     steps = []
     for step in chain_spec if isinstance(chain_spec, (list, tuple)) else [chain_spec]:

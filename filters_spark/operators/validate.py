@@ -33,7 +33,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 from pyspark.sql.functions import pandas_udf
 
-from filters_spark.functions.native import ERRORS_DDL, compile_native_chain
+from filters_spark.functions.native import (
+    ERRORS_DDL,
+    compile_identity_guard,
+    compile_native_chain,
+)
 from filters_spark.functions.spec import compile_chain
 
 ERRORS_COL = "_errors"
@@ -73,14 +77,19 @@ def _coerce_for_arrow(v: Any, dtype: str) -> Any:
     return v
 
 
-def _kernel_udf(field: str, spec: FieldSpec):
-    """Build a scalar pandas UDF: raw col -> struct(value, errors)."""
+def _kernel_udf(field: str, spec: FieldSpec, with_skip: bool = False):
+    """Build a scalar pandas UDF: raw col -> struct(value, errors).
+
+    ``with_skip``: the UDF takes a second boolean column; rows where it
+    is True are identity-guarded (see compile_field) — the chain never
+    runs for them and they return (NULL, []) placeholders the JVM side
+    discards. Their payload bytes were already masked to NULL before
+    the Arrow boundary, so a guarded row costs one null bit each way."""
     chain = compile_chain(spec.chain_spec)
     dtype = spec.dtype
     ret_ddl = f"struct<value:{dtype},errors:{ERRORS_DDL}>"
 
-    @pandas_udf(ret_ddl)
-    def udf(vals: pd.Series) -> pd.DataFrame:
+    def run(vals: pd.Series) -> pd.DataFrame:
         out, errs = chain.apply(vals)
         out = out.map(lambda v: _coerce_for_arrow(v, dtype))
         def fmt(e):
@@ -92,7 +101,34 @@ def _kernel_udf(field: str, spec: FieldSpec):
             ]
         return pd.DataFrame({"value": out, "errors": errs.map(fmt)})
 
-    return udf
+    if not with_skip:
+        @pandas_udf(ret_ddl)
+        def udf(vals: pd.Series) -> pd.DataFrame:
+            return run(vals)
+
+        return udf
+
+    # the skip bit is ECHOED BACK in the result struct so the outer
+    # projection can branch on it without re-evaluating the guard
+    # expression (a second evaluation happens in a different codegen
+    # stage, where common-subexpression elimination cannot reach)
+    ret_skip_ddl = f"struct<value:{dtype},errors:{ERRORS_DDL},skipped:boolean>"
+
+    @pandas_udf(ret_skip_ddl)
+    def udf_skip(vals: pd.Series, skip: pd.Series) -> pd.DataFrame:
+        need = ~skip.astype(bool)
+        if need.all():
+            res = run(vals)
+            res["skipped"] = skip
+            return res
+        sub = run(vals[need])
+        value = pd.Series([None] * len(vals), index=vals.index, dtype=object)
+        errors = pd.Series([[]] * len(vals), index=vals.index, dtype=object)
+        value[need] = sub["value"]
+        errors[need] = sub["errors"]
+        return pd.DataFrame({"value": value, "errors": errors, "skipped": skip})
+
+    return udf_skip
 
 
 def compile_field(field: str, spec: FieldSpec, input_type: str | None = None):
@@ -103,6 +139,30 @@ def compile_field(field: str, spec: FieldSpec, input_type: str | None = None):
             return "native", native
         if spec.mode == "native":
             raise ValueError(f"field {field!r}: chain has no full native path")
+
+    # identity guard: rows the JVM can PROVE the chain leaves unchanged
+    # (value identical, no error) skip the Python boundary — the kernel
+    # receives an Arrow NULL in their place (a null bit, not the payload
+    # bytes) and the original column is restored JVM-side. Guarded rows
+    # are the common case on clean streams, so this cuts the dominant
+    # cost of a kernel field: serializing payload bytes out and back.
+    guard_b = None
+    if input_type == "string" and spec.dtype.split("(")[0].lower() == "string":
+        guard_b = compile_identity_guard(spec.chain_spec)
+    if guard_b is not None:
+        guard = guard_b
+        udf_g = _kernel_udf(field, spec, with_skip=True)
+
+        def apply(col: Column) -> tuple[Column, Column]:
+            g = guard(col)
+            res = udf_g(F.when(~g, col), g)
+            skipped = res["skipped"]
+            value = F.when(skipped, col).otherwise(res["value"])
+            errors = F.when(skipped, F.array().cast(ERRORS_DDL)).otherwise(res["errors"])
+            return value, errors
+
+        return "kernel", apply
+
     udf = _kernel_udf(field, spec)
 
     def apply(col: Column) -> tuple[Column, Column]:
