@@ -351,13 +351,19 @@ class CDCEngine:
                 else:
                     in_col = F.lit(None).cast("string")
                 cond = sv.isin(vs)
-                masked = F.when(cond, in_col)  # NULL outside this group
                 if chain_spec is None:  # field not validated in these versions
-                    val, errs = masked, empty_errs
+                    val, errs = in_col, empty_errs
                 else:
                     spec = FieldSpec.of(chain_spec)
-                    _, fn = compile_field(field, spec, input_type="string")
-                    val, errs = fn(masked)
+                    strategy, fn = compile_field(field, spec, input_type="string")
+                    # mask the input to NULL outside this version group
+                    # ONLY for kernel chains (it keeps other groups'
+                    # payload bytes off the Python path); native chains
+                    # are CASE-gated by the stitching below anyway, and
+                    # the extra mask layer measurably slows the
+                    # projection (outputs identical either way)
+                    chain_in = F.when(cond, in_col) if strategy == "kernel" else in_col
+                    val, errs = fn(chain_in)
                 value_expr = F.when(cond, val) if value_expr is None else value_expr.when(cond, val)
                 err_expr = F.when(cond, errs) if err_expr is None else err_expr.when(cond, errs)
                 raw_expr = F.when(cond, in_col) if raw_expr is None else raw_expr.when(cond, in_col)
@@ -378,7 +384,9 @@ class CDCEngine:
                 ).alias("message"),
             )
         )
-        all_errs = F.when(known_cond, F.flatten(F.array(*field_errs))).otherwise(unknown_err)
+        # concat of the per-field arrays (not array-of-arrays + flatten:
+        # one less allocation pass per row, same element order)
+        all_errs = F.when(known_cond, F.concat(*field_errs)).otherwise(unknown_err)
 
         projection = [F.col(c) for c in PASSTHROUGH]
         for field in self.registry.canonical_columns:

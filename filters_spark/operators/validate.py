@@ -198,7 +198,8 @@ def validate(
         value_cols[field] = val
         error_cols.append(errs)
 
-    flat_errors = F.flatten(F.array(*error_cols)) if error_cols else F.array().cast(ERRORS_DDL)
+    # concat, not array-of-arrays + flatten: one less allocation pass
+    flat_errors = F.concat(*error_cols) if error_cols else F.array().cast(ERRORS_DDL)
 
     projection: list[Column] = []
     for c in df.columns:

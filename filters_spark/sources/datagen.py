@@ -59,7 +59,10 @@ def _content_expr(key_h, rev: "F.Column") -> "F.Column":
         F.conv(F.pmod(key_h, F.lit(2**31)).cast("string"), 10, 16),
         rev.cast("string"),
     )
-    return F.array_join(F.array_repeat(line, n_lines), "\n")
+    # line repeated n times joined by \n, built as one string repeat
+    # (no array allocation per row; byte-identical to
+    # array_join(array_repeat(line, n), "\n") for n >= 1)
+    return F.concat(line, F.repeat(F.concat(F.lit("\n"), line), n_lines - 1))
 
 
 def gen_repos(
@@ -163,7 +166,9 @@ def gen_events(
         messy & content.isNotNull(),
         F.concat(
             F.lit("  \t// Ame\u0301lie\u2003was here\r\n"),
-            F.regexp_replace(content, "\n", "\r\n"),
+            # literal replace, not regexp_replace: no regex machinery
+            # per row for a fixed single-char pattern
+            F.replace(content, F.lit("\n"), F.lit("\r\n")),
             F.lit("\u0000  "),
         ),
     ).otherwise(content)
