@@ -294,11 +294,36 @@ def fan_out_debezium(
     parsed, matches, report = _parse_and_gate(
         raw, routes, value_col, commit_expr, seq_expr, unrouted, track_feed
     )
-    for r, m in zip(routes, matches):
-        pre_sid = r.engine.table.current_snapshot_id()
-        metrics = r.engine.apply_batch(
-            _route_slice(parsed, r, m), audit_fn=r.audit_fn
-        )
+    # Per-route applies are INDEPENDENT Spark jobs over independent
+    # tables (own watermarks, scratch, dead letters, commit chain), and
+    # each has serial driver phases (stats collect, commit finalize)
+    # that leave the cluster idle — overlap them from a small thread
+    # pool so one route's tail back-fills with the next route's tasks.
+    # The parsed frame is a materialized checkpoint (no input files),
+    # so the per-stage scan-split conf scoping is a no-op and nothing
+    # touches session state concurrently. Sequential fallback when any
+    # route carries a caller audit_fn (caller code of unknown thread
+    # safety) — ledger stamping below is always sequential in route
+    # order either way.
+    pre_sids = [r.engine.table.current_snapshot_id() for r in routes]
+    if len(routes) > 1 and all(r.audit_fn is None for r in routes):
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(3, len(routes))) as pool:
+            futs = [
+                pool.submit(
+                    r.engine.apply_batch, _route_slice(parsed, r, m),
+                    audit_fn=r.audit_fn,
+                )
+                for r, m in zip(routes, matches)
+            ]
+            all_metrics = [f.result() for f in futs]
+    else:
+        all_metrics = [
+            r.engine.apply_batch(_route_slice(parsed, r, m), audit_fn=r.audit_fn)
+            for r, m in zip(routes, matches)
+        ]
+    for r, pre_sid, metrics in zip(routes, pre_sids, all_metrics):
         report["tables"][route_key(r)] = metrics
         if report["feed_to"] is not None:
             if metrics.get("audit") == "rejected":

@@ -135,10 +135,38 @@ def fan_out_atomic(
                 pass
 
     try:
-        for r, m in zip(routes, matches):
-            handles.append(
-                (r, r.engine.stage_batch(_route_slice(parsed, r, m), wap_id))
-            )
+        # stage the routes CONCURRENTLY: stages are independent
+        # data-heavy jobs over independent tables (the decision and the
+        # publishes stay strictly sequential below), and each stage has
+        # serial driver phases that would otherwise leave the cluster
+        # idle. The parsed frame is a materialized checkpoint, so the
+        # per-stage scan-split conf scoping is a no-op across threads.
+        if len(routes) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(3, len(routes))) as pool:
+                futs = [
+                    pool.submit(
+                        r.engine.stage_batch, _route_slice(parsed, r, m), wap_id
+                    )
+                    for r, m in zip(routes, matches)
+                ]
+                first_err = None
+                for r, f in zip(routes, futs):
+                    try:
+                        handles.append((r, f.result()))
+                    except BaseException as exc:  # keep collecting: every
+                        # SUCCESSFUL stage must land in handles so the
+                        # outer _abandon_all can clean it up
+                        if first_err is None:
+                            first_err = exc
+                if first_err is not None:
+                    raise first_err
+        else:
+            for r, m in zip(routes, matches):
+                handles.append(
+                    (r, r.engine.stage_batch(_route_slice(parsed, r, m), wap_id))
+                )
         for r, h in handles:
             if r.audit_fn is None or h.wap_id is None:
                 continue
