@@ -152,16 +152,49 @@ def minhash_lsh_pairs(
     pass a DFS path for long-running cluster jobs).
     """
     rows_per_band = num_hashes // bands
+    # Signature via explode + per-salt MIN aggregates, not the
+    # array-fold of minhash_signature: higher-order functions are
+    # interpreted (no codegen), and the fold rebuilds a num_hashes-wide
+    # array per shingle — num_hashes x shingles interpreted steps per
+    # doc. Exploding to (_id, shingle-hash) rows and taking num_hashes
+    # codegen'd min() aggregates computes the IDENTICAL values (min
+    # and least share null-skipping semantics; shingle arrays are
+    # non-empty by construction) entirely inside whole-stage codegen,
+    # with map-side partial aggregation collapsing the explosion back
+    # to one row per doc before the exchange.
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), shingle_k).alias("_sh"),
+    ).select(
+        "_id",
+        # NULL text -> NULL shingle array -> NULL signature (the fold's
+        # aggregate-over-NULL result), reconstructed via this flag
+        F.col("_sh").isNull().alias("_sig_null"),
+        F.explode_outer("_sh").alias("_s"),
+    )
+    if base_hash_fn is not None:
+        from filters_spark.operators.hashing import mix31
+
+        ex = ex.withColumn("_h", base_hash_fn(F.col("_s")))
+        mins = [
+            F.min(mix31(F.col("_h"), F.lit(seed + i))).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        hf = hash_fn or F.xxhash64
+        mins = [
+            F.min(hf(F.col("_s"), F.lit(seed + i))).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
     sig = (
-        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-        .withColumn(
-            "_sig",
-            minhash_signature(
-                shingles(F.col("_text"), shingle_k), num_hashes, seed,
-                hash_fn=hash_fn, base_hash_fn=base_hash_fn,
-            ),
+        ex.groupBy("_id")
+        .agg(F.max("_sig_null").alias("_sig_null"), *mins)
+        .select(
+            "_id",
+            F.when(F.col("_sig_null"), F.lit(None).cast("array<bigint>"))
+            .otherwise(F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]))
+            .alias("_sig"),
         )
-        .drop("_text")
         # materialize signatures ONCE as (_id, num_hashes longs).
         # Without a barrier Catalyst inlines the interpreted
         # shingle->minhash expression into every downstream derivation
@@ -195,11 +228,16 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("_id", "_sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    # degenerate-bucket guard (boilerplate skew)
-    bucket_sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("bn"))
-    banded = banded.join(
-        bucket_sizes.filter(F.col("bn") <= max_bucket).select("band", "bucket"),
-        ["band", "bucket"],
+    # degenerate-bucket guard (boilerplate skew): a window count over
+    # (band, bucket) — same filter as the groupBy+semi-join spelling,
+    # but ONE scan of banded and one exchange instead of an aggregate
+    # branch joined back (the join's second scan + AQE replan measurably
+    # slowed the one-shot path)
+    gw = Window.partitionBy("band", "bucket")
+    banded = (
+        banded.withColumn("_bn", F.count(F.lit(1)).over(gw))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
     )
 
     a = banded.select(F.col("band"), F.col("bucket"), F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
