@@ -318,6 +318,17 @@ class CDCEngine:
         field_values: dict[str, F.Column] = {}
         field_raws: dict[str, F.Column] = {}
         field_errs: list[F.Column] = []
+        # Native chains are compiled to PARTS (final transform +
+        # nullable first-error struct) projected as named intermediate
+        # columns in a first select; the second select stitches the
+        # err-gated value and the error channel from those attributes.
+        # Inlining both into one projection evaluates the whole chain
+        # tree TWICE per field (codegen subexpression elimination does
+        # not reach across the value/error CASE trees — measured ~2x
+        # the native cost); the err alias is non-cheap and referenced
+        # twice, so CollapseProject keeps the two projections apart and
+        # the chain runs once.
+        part_cols: list[F.Column] = []
         for field in self.registry.canonical_columns:
             groups: dict[str, list[int]] = {}
             for v in known:
@@ -326,7 +337,7 @@ class CDCEngine:
                 groups.setdefault(key, []).append(v)
 
             value_expr, err_expr, raw_expr = None, None, None
-            for vs in groups.values():
+            for gi, vs in enumerate(groups.values()):
                 chain_spec = self.registry.get(vs[0]).field_specs.get(field)
                 src = src_name(field, vs[0])
                 # WAL payload contract: field chains consume STRING
@@ -355,15 +366,30 @@ class CDCEngine:
                     val, errs = in_col, empty_errs
                 else:
                     spec = FieldSpec.of(chain_spec)
-                    strategy, fn = compile_field(field, spec, input_type="string")
-                    # mask the input to NULL outside this version group
-                    # ONLY for kernel chains (it keeps other groups'
-                    # payload bytes off the Python path); native chains
-                    # are CASE-gated by the stitching below anyway, and
-                    # the extra mask layer measurably slows the
-                    # projection (outputs identical either way)
-                    chain_in = F.when(cond, in_col) if strategy == "kernel" else in_col
-                    val, errs = fn(chain_in)
+                    native_parts = None
+                    if spec.mode in ("auto", "native"):
+                        from filters_spark.functions.native import compile_native_chain
+
+                        native_parts = compile_native_chain(
+                            field, spec.chain_spec, input_type="string", parts=True
+                        )
+                    if native_parts is not None:
+                        t_name = f"__nat_t_{field}_{gi}"
+                        e_name = f"__nat_e_{field}_{gi}"
+                        raw_val, err = native_parts(in_col)
+                        part_cols.append(raw_val.alias(t_name))
+                        part_cols.append(err.alias(e_name))
+                        e, t = F.col(e_name), F.col(t_name)
+                        val = F.when(e.isNull(), t).otherwise(F.lit(None))
+                        errs = F.when(
+                            e.isNotNull(), F.array(e)
+                        ).otherwise(empty_errs)
+                    else:
+                        _, fn = compile_field(field, spec, input_type="string")
+                        # mask the input to NULL outside this version
+                        # group for kernel chains: it keeps other
+                        # groups' payload bytes off the Python path
+                        val, errs = fn(F.when(cond, in_col))
                 value_expr = F.when(cond, val) if value_expr is None else value_expr.when(cond, val)
                 err_expr = F.when(cond, errs) if err_expr is None else err_expr.when(cond, errs)
                 raw_expr = F.when(cond, in_col) if raw_expr is None else raw_expr.when(cond, in_col)
@@ -393,7 +419,8 @@ class CDCEngine:
             projection.append(field_values[field].alias(field))
             projection.append(field_raws[field].alias(f"_raw_{field}"))
         projection.append(all_errs.alias(ERRORS_COL))
-        return events.select(*projection)
+        base = events.select("*", *part_cols) if part_cols else events
+        return base.select(*projection)
 
     @staticmethod
     def _null_clean_raws(out: DataFrame) -> DataFrame:

@@ -386,10 +386,15 @@ def _normalize_steps(chain_spec) -> list[tuple[str, dict]]:
 
 
 def compile_native_chain(
-    field: str, chain_spec, input_type: str | None = None
+    field: str, chain_spec, input_type: str | None = None, parts: bool = False
 ) -> Optional[Callable[[Column], tuple[Column, Column]]]:
     """Compile a chain spec to a ``col -> (value, errors_array)`` Column
-    function, or None if any step is not native-able.
+    function, or None if any step is not native-able. With
+    ``parts=True`` the function instead returns ``(raw_value,
+    err_struct)`` — the ungated final transform and the nullable
+    first-error struct — for callers that stitch the gated value and
+    error channel themselves from named intermediates (see
+    ``apply_parts`` below).
 
     ``input_type``: the Spark simpleString of the input column when
     known. The native builders assume string semantics (e.g. required's
@@ -415,7 +420,7 @@ def compile_native_chain(
             return None
         native_steps.append(built)
 
-    def apply(col: Column) -> tuple[Column, Column]:
+    def apply_parts(col: Column) -> tuple[Column, Column]:
         # LINEAR composition: one flat CASE over all step conditions.
         #
         # Chains short-circuit at the first failing step (reference
@@ -425,7 +430,16 @@ def compile_native_chain(
         # exponentially and stalls codegen). Transforms are evaluated
         # unconditionally on the running value — all native transforms
         # are total functions (never throw, null-safe), so evaluating
-        # them past an error is harmless: the CASE ignores their result.
+        # them past an error is harmless: the consumer gates on the err
+        # struct and ignores their result.
+        #
+        # Returns PARTS: (final transformed value NOT err-gated, the
+        # nullable first-error struct). Callers that project the parts
+        # as named intermediate columns evaluate the chain ONCE even
+        # when both the gated value and the error channel are consumed
+        # (inlining both into one projection duplicates the whole chain
+        # tree — codegen subexpression elimination does not reach
+        # across the two CASE trees; measured ~2x the native cost).
         stage_vals = [col]  # value entering step i
         candidates: list[tuple[Column, Column]] = []
         for step in native_steps:
@@ -445,8 +459,14 @@ def compile_native_chain(
             err = err.otherwise(F.lit(None).cast(ERROR_ELEM_DDL))
         else:
             err = F.lit(None).cast(ERROR_ELEM_DDL)
+        return stage_vals[-1], err
 
-        val = F.when(err.isNull(), stage_vals[-1]).otherwise(F.lit(None))
+    if parts:
+        return apply_parts
+
+    def apply(col: Column) -> tuple[Column, Column]:
+        raw_val, err = apply_parts(col)
+        val = F.when(err.isNull(), raw_val).otherwise(F.lit(None))
         errors = F.when(err.isNotNull(), F.array(err)).otherwise(F.array().cast(ERRORS_DDL))
         return val, errors
 

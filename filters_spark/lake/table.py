@@ -879,11 +879,19 @@ class LakeTable:
             raise ValueError("where_eq value may not be None (use an IS NULL "
                              "filter on the returned frame; NULL never equals)")
         wanted = None if buckets is None else {str(b) for b in buckets}
-        base_files: list[str] = []
+        # base files split by whether their bucket carries deltas: only
+        # delta-carrying buckets need the LWW fold; the rest stay bare
+        # scans (no shuffle) and union onto the merged slice below. At
+        # scale this is the difference between folding the whole table
+        # and folding only the ingested-since-compaction slice.
+        base_files: list[str] = []      # delta-free buckets
+        base_merge_files: list[str] = []  # buckets with pending deltas
         for b, fl in snap["buckets"].items():
             if wanted is None or b in wanted:
-                if (where is not None or where_eq is not None) \
-                        and not snap.get("deltas", {}).get(b):
+                if snap.get("deltas", {}).get(b):
+                    base_merge_files.extend(fl)
+                    continue
+                if where is not None or where_eq is not None:
                     fl = [
                         f for f in fl
                         if self._file_passes(f, snap, where, where_eq)
@@ -915,31 +923,32 @@ class LakeTable:
         bkt = bucket_expr(
             F.col("repo"), F.col("path"), snap["num_buckets"], snap["path_salt"]
         ).alias("_bucket")
-        base = (
-            self.spark.read.schema(self._base_ddl(payload)).parquet(*base_files)
-            if base_files else None
-        )
-        if base is not None and dv_files:
-            # deletion vectors (Iceberg v2 position-delete semantics):
-            # (file, position) pairs marking base rows deleted — an
-            # anti-join on the scan instead of a bucket rewrite. Base
-            # files keep their min/max pruning (a DV only REMOVES
-            # rows, so skipping a file can never expose a deleted
-            # row); pruned files' DV entries simply never match.
-            base = self._apply_delete_vectors(base, dv_files)
-        if base is not None:
-            base = base.select(
+
+        def _base_scan(files: list[str]) -> DataFrame:
+            df = self.spark.read.schema(self._base_ddl(payload)).parquet(*files)
+            if dv_files:
+                # deletion vectors (Iceberg v2 position-delete
+                # semantics): (file, position) pairs marking base rows
+                # deleted — an anti-join on the scan instead of a
+                # bucket rewrite. Base files keep their min/max pruning
+                # (a DV only REMOVES rows, so skipping a file can never
+                # expose a deleted row); pruned files' DV entries
+                # simply never match.
+                df = self._apply_delete_vectors(df, dv_files)
+            return df.select(
                 "repo", "path", "commit", "event_seq", *payload,
                 "content_sha", bkt,
             )
+
+        base = _base_scan(base_files) if base_files else None
         if not delta_files:
             return self._apply_where(base, where, where_eq)
         deltas = self.spark.read.schema(self._delta_ddl(payload)).parquet(*delta_files).select(
             "repo", "path", "commit", "event_seq", *payload, "op", bkt,
             watermark_str(F.col("commit"), F.col("event_seq")).alias("_wm"),
         )
-        if base is not None:
-            base_ops = base.select(
+        if base_merge_files:
+            base_ops = _base_scan(base_merge_files).select(
                 "repo", "path", "commit", "event_seq", *payload,
                 F.lit("K").alias("op"), "_bucket",
                 watermark_str(F.col("commit"), F.col("event_seq")).alias("_wm"),
@@ -947,7 +956,9 @@ class LakeTable:
             merged_src = base_ops.unionByName(deltas)
         else:
             merged_src = deltas
-        return self._apply_where(lww_merge(merged_src, payload), where, where_eq)
+        merged = lww_merge(merged_src, payload)
+        out = base.unionByName(merged) if base is not None else merged
+        return self._apply_where(out, where, where_eq)
 
     @staticmethod
     def _apply_where(

@@ -190,11 +190,33 @@ def validate(
     field_specs = {f: FieldSpec.of(s) for f, s in specs.items()}
     value_cols: dict[str, Column] = {}
     error_cols: list[Column] = []
+    # native chains compile to PARTS projected as named intermediates
+    # (one evaluation of the chain even though both the gated value and
+    # the error channel consume it — inlining both duplicates the whole
+    # chain tree; see functions/native.py apply_parts)
+    part_cols: list[Column] = []
     for field, spec in field_specs.items():
         if field not in df.columns:
             raise ValueError(f"validate: column {field!r} not in DataFrame {df.columns}")
-        _, fn = compile_field(field, spec, input_type=df.schema[field].dataType.simpleString())
-        val, errs = fn(F.col(field))
+        input_type = df.schema[field].dataType.simpleString()
+        native_parts = None
+        if spec.mode in ("auto", "native"):
+            native_parts = compile_native_chain(
+                field, spec.chain_spec, input_type=input_type, parts=True
+            )
+        if native_parts is not None:
+            t_name, e_name = f"__nat_t_{field}", f"__nat_e_{field}"
+            raw_val, err = native_parts(F.col(field))
+            part_cols.append(raw_val.alias(t_name))
+            part_cols.append(err.alias(e_name))
+            e, t = F.col(e_name), F.col(t_name)
+            val = F.when(e.isNull(), t).otherwise(F.lit(None))
+            errs = F.when(e.isNotNull(), F.array(e)).otherwise(
+                F.array().cast(ERRORS_DDL)
+            )
+        else:
+            _, fn = compile_field(field, spec, input_type=input_type)
+            val, errs = fn(F.col(field))
         value_cols[field] = val
         error_cols.append(errs)
 
@@ -210,7 +232,8 @@ def validate(
         else:
             projection.append(F.col(c))
     projection.append(flat_errors.alias(errors_col))
-    out = df.select(*projection)
+    base = df.select("*", *part_cols) if part_cols else df
+    out = base.select(*projection)
 
     if keep_raw == "on_error":
         # second projection so the (non-cheap) error expression is
