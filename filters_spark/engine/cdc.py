@@ -279,6 +279,36 @@ class CDCEngine:
 
     # ------------------------------------------------------------------
 
+    # Merge-window partition sizing: the LWW fold sorts content-heavy
+    # rows per (version/batch, bucket) partition, and letting the
+    # session's shuffle.partitions (sized to core count by callers) or
+    # AQE's compressed-byte coalescing decide leaves multi-GB sorts per
+    # task at replay scale (measured: the 6M-event grouped CoW fold ran
+    # 3x slower at 8 post-shuffle partitions than at 64). The engine
+    # knows the row volume entering every fold from the batch stats, so
+    # it sizes the exchange explicitly: rows/ROWS_PER_PARTITION, floored
+    # at the session's shuffle.partitions (small folds keep exactly the
+    # plan they had) and capped defensively. Row-count based because
+    # parquet/shuffle compressed bytes under-estimate in-memory sort
+    # width ~40x on code content; override per deployment via
+    # FILTERS_SPARK_FOLD_ROWS_PER_PARTITION for much wider/narrower rows.
+    FOLD_ROWS_PER_PARTITION = int(
+        os.environ.get("FILTERS_SPARK_FOLD_ROWS_PER_PARTITION", "200000")
+    )
+
+    def _fold_partitions(self, rows_est: int) -> int:
+        floor = int(self.spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        return max(floor, min(rows_est // self.FOLD_ROWS_PER_PARTITION + 1, 4096))
+
+    def _current_rows_est(self, buckets: list[int]) -> int:
+        """Metadata-only row estimate of the current state of the given
+        buckets (0 when manifests lack counts — partition sizing only,
+        never semantics)."""
+        try:
+            return self.table.metadata_row_count(buckets=buckets) or 0
+        except Exception:
+            return 0
+
     def _payload_cols(self) -> list[str]:
         """Non-key canonical payload columns, derived from the registry
         at CALL time — registering a VersionSpec that adds a column
@@ -1059,6 +1089,9 @@ class CDCEngine:
             # merge-on-read: in-batch LWW dedupe only (KEEPING delete
             # tombstones — newest op wins at read time), then append
             # O(batch) delta files. No current-state read, no rewrite.
+            incoming = incoming.repartition(
+                self._fold_partitions(applied_events), "_bucket"
+            )
             mw = Window.partitionBy("_bucket").orderBy(
                 "repo", "path", F.col("_wm").desc()
             )
@@ -1114,6 +1147,12 @@ class CDCEngine:
                 merged_src = cur.unionByName(incoming)
             else:
                 merged_src = incoming
+            merged_src = merged_src.repartition(
+                self._fold_partitions(
+                    applied_events + self._current_rows_est(touched)
+                ),
+                "_bucket",
+            )
             merged = lww_merge(merged_src, payload)
 
             # 7. atomic commit (copy-on-write of touched buckets only)
@@ -1291,6 +1330,17 @@ class CDCEngine:
             expanded = src.join(F.broadcast(vmap), "_bucket").filter(
                 F.col("_v") >= F.col("_b")
             )
+            # expansion volume: each batch's events appear in every
+            # committing version >= their batch; current-state rows in
+            # every committing version of their bucket
+            n_expand = sum(
+                per[i]["applied"] * sum(1 for j in committing if j >= i)
+                for i in batch_ids
+            )
+            rows_est = n_expand + self._current_rows_est(all_touched) * len(committing)
+            expanded = expanded.repartition(
+                self._fold_partitions(rows_est), "_snap", "_bucket"
+            )
             merged = lww_merge(expanded, payload, extra_keys=["_snap"])
             merged.write.partitionBy("_snap", "_bucket").parquet(group_out)
         merge_share = (
@@ -1434,6 +1484,10 @@ class CDCEngine:
             incoming = clean.select(
                 *ev_cols, F.col("_batch").cast("int").alias("_batch")
             ).filter(F.col("repo").isNotNull() & F.col("path").isNotNull())
+            incoming = incoming.repartition(
+                self._fold_partitions(sum(per[i]["applied"] for i in batch_ids)),
+                "_batch", "_bucket",
+            )
             # in-batch LWW dedupe, all batches at once; tombstones KEPT
             # (newest op wins at read time) — same fold commit_deltas'
             # caller does per batch
