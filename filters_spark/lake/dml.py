@@ -483,6 +483,11 @@ def _dml_dv(
         touched,
         {b: ident_wm for b in touched},
         dv_identity={"commit": ident_commit, "event_seq": ident_seq},
+        # conflict basis: the positions above were computed against this
+        # snapshot's base files; a foreign commit replacing them between
+        # scan and commit must fail the commit, not silently retain rows
+        basis_snapshot_id=snap["snapshot_id"],
+        basis_files=base_files,
     )
     report["rows_changed"] = agg["n"]
     return report

@@ -1796,6 +1796,8 @@ class LakeTable:
         touched_buckets: list[int],
         new_watermarks: dict[int, str],
         dv_identity: dict | None = None,
+        basis_snapshot_id: int | None = None,
+        basis_files: list[str] | None = None,
     ) -> dict:
         """Position-delete commit (Iceberg v2 position-deletes / Delta
         deletion-vector semantics): append ``dv_df`` — rows of
@@ -1824,6 +1826,79 @@ class LakeTable:
         files exactly like row deltas; ``metadata_row_count`` stays
         exact (base rows minus DV rows, both manifest-recorded)."""
         prev = self.current()
+        # conflict-basis check: the vectors' (file, position) pairs were
+        # computed against the scan-time snapshot; a concurrent
+        # compact/rewrite/rescale/CoW-DML replacing the referenced base
+        # files between scan and commit would leave vectors whose
+        # relfiles never match at read time — the deletes silently
+        # resurface. When the caller supplies its scan basis
+        # (lake/dml.py mode='dv' does), a moved head must still carry
+        # the same bucketing params, the same scanned base files, no new
+        # deltas and unchanged DV sets on the touched buckets; anything
+        # else raises so the sweep re-runs against the new head instead
+        # of silently retaining data.
+        if basis_snapshot_id is not None and prev["snapshot_id"] != basis_snapshot_id:
+            basis_raw = self._raw_snapshot_if_retained(basis_snapshot_id)
+            basis = None if basis_raw is None else self._resolve_header(basis_raw)
+            if basis is None:
+                raise ValueError(
+                    f"delete-vector basis snapshot {basis_snapshot_id} is "
+                    f"no longer retained and the head moved to "
+                    f"{prev['snapshot_id']} — re-run the sweep against "
+                    "the current head"
+                )
+            if (
+                prev["num_buckets"] != basis["num_buckets"]
+                or prev["path_salt"] != basis["path_salt"]
+            ):
+                raise ValueError(
+                    "table was rescaled between the delete-vector scan "
+                    f"(snapshot {basis_snapshot_id}) and this commit — "
+                    "positions no longer address the head's files; "
+                    "re-run the sweep"
+                )
+            basis_buckets = basis["buckets"]
+            for b in touched_buckets:
+                bs = str(b)
+                head_files = set(prev["buckets"].get(bs, []))
+                if basis_files is not None:
+                    # the vectors can only reference scanned files of
+                    # this bucket: basis bucket set ∩ scanned list
+                    scanned = set(basis_files) & set(basis_buckets.get(bs, []))
+                    missing = sorted(scanned - head_files)
+                else:
+                    # no scanned-file list supplied: require the
+                    # bucket's base set unchanged since the basis
+                    missing = (
+                        []
+                        if sorted(basis_buckets.get(bs, []))
+                        == sorted(prev["buckets"].get(bs, []))
+                        else [f"<bucket {bs} base set changed>"]
+                    )
+                if missing:
+                    raise ValueError(
+                        f"base files referenced by the delete-vector scan "
+                        f"are gone from the head's bucket {bs} (concurrent "
+                        f"compact/rewrite/DML since snapshot "
+                        f"{basis_snapshot_id}): {missing[:3]} — re-run the "
+                        "sweep against the current head"
+                    )
+                if prev.get("deltas", {}).get(bs):
+                    raise ValueError(
+                        f"bucket {bs} gained delta files since the "
+                        f"delete-vector scan (snapshot {basis_snapshot_id}) "
+                        "— a delta-winning row has no base position; "
+                        "compact() and re-run the sweep"
+                    )
+                if prev.get("delete_vectors", {}).get(bs, []) != basis.get(
+                    "delete_vectors", {}
+                ).get(bs, []):
+                    raise ValueError(
+                        f"bucket {bs}'s delete-vector set changed since the "
+                        f"scan (snapshot {basis_snapshot_id}) — a concurrent "
+                        "sweep may have marked the same positions; re-run "
+                        "against the current head"
+                    )
         sid = prev["snapshot_id"] + 1
         out_dir = os.path.join(self.data_dir, f"dv-{sid:08d}")
         new_files = self._write_delta_data(
@@ -2241,6 +2316,16 @@ class LakeTable:
         if not dv_files:
             return None
         ident = raw.get("dv_identity") or {}
+        if "commit" not in ident or "event_seq" not in ident:
+            # a NULL-identity tombstone would silently LOSE every
+            # downstream LWW fold instead of winning it — refuse loudly
+            # (commit_delete_vectors callers should always record the
+            # identity; lake/dml.py mode='dv' does)
+            raise ValueError(
+                f"delete-vectors snapshot {sid} records no dv_identity "
+                "(commit, event_seq) — its tombstones cannot be ordered "
+                "in the change feed; re-commit with dv_identity"
+            )
         dv = self.spark.read.schema("_relfile string, _pos long").parquet(
             *dv_files
         )
@@ -2253,7 +2338,19 @@ class LakeTable:
         # distinct referenced files: metadata-scale collect (bounded by
         # the touched buckets' file counts, never by row counts)
         rels = [r["_relfile"] for r in dv.select("_relfile").distinct().collect()]
-        files = [rel_to_abs[r] for r in rels if r in rel_to_abs]
+        unresolved = sorted(r for r in rels if r not in rel_to_abs)
+        if unresolved:
+            # mirror how changes() fails loudly for CoW snapshots whose
+            # files are gone: silently filtering would emit NO op='D'
+            # rows for this commit and downstream syncs would keep rows
+            # deleted upstream — silent incorrectness, not degradation
+            raise ValueError(
+                f"delete-vectors snapshot {sid} references base files "
+                f"absent from its parent snapshot's manifests "
+                f"(vacuumed after compaction?): {unresolved[:3]} — the "
+                "change feed across this commit cannot be reconstructed"
+            )
+        files = [rel_to_abs[r] for r in rels]
         if not files:
             return None
         base = (
