@@ -5775,10 +5775,29 @@ def q_lake_dml_mor_update(spark, sf):
 
 
 _DRIVER_ROTATION = [
-    # round-5 rotation: every query with no CORRECTNESS_r01-r04 row,
-    # never-independently-checked first (the driver validates the
-    # first 50 registered) — converts self-reported oracle runs into
-    # driver evidence (VERDICT r4, next-round item 1)
+    # round-6 rotation: the 18 queries no driver round has ever
+    # validated (r5 verdict, next-round item 1) at positions 1-18 —
+    # CORRECTNESS_r06 green rows complete the 142/142 driver union;
+    # the rest keep their r5 order behind them. Pure reorder: each
+    # query's oracle SQL text is unchanged.
+    'lake_sync_incremental',
+    'stream_cdc_replay',
+    'stream_stateful_dedupe',
+    'cdc_retry_dead_letters',
+    'lake_point_lookup',
+    'lake_rescale_read',
+    'lake_clone_deep_independent',
+    'lake_compact_read',
+    'sketch_hll_distinct',
+    'sketch_cms_counts',
+    'sample_weighted_priority',
+    'sample_mixture',
+    'graph_pagerank',
+    'sort_zorder_key',
+    'heavy_hitters_users',
+    'kmeans_embedding_clusters',
+    'lake_dml_delete',
+    'lake_dml_update',
     'cdc_lineage_buckets',
     'lake_dml_mor_delete_dv',
     'events_transitions',
@@ -5829,24 +5848,6 @@ _DRIVER_ROTATION = [
     'lake_branch_fastforward',
     'lake_merge_into',
     'lake_wap_publish',
-    'lake_sync_incremental',
-    'stream_cdc_replay',
-    'stream_stateful_dedupe',
-    'cdc_retry_dead_letters',
-    'lake_point_lookup',
-    'lake_rescale_read',
-    'lake_clone_deep_independent',
-    'lake_compact_read',
-    'sketch_hll_distinct',
-    'sketch_cms_counts',
-    'sample_weighted_priority',
-    'sample_mixture',
-    'graph_pagerank',
-    'sort_zorder_key',
-    'heavy_hitters_users',
-    'kmeans_embedding_clusters',
-    'lake_dml_delete',
-    'lake_dml_update',
 ]
 
 
