@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 from contextlib import contextmanager
@@ -521,6 +522,13 @@ class CDCEngine:
 
     # ------------------------------------------------------------------
 
+    # split-sizing mutates SESSION conf; concurrent stagers (the
+    # fan-out thread pool) must not interleave set/restore. Non-blocking:
+    # whoever holds the lock tunes its scan, everyone else runs with the
+    # session defaults (correct either way — split size is performance,
+    # never semantics).
+    _SCAN_SPLITS_LOCK = threading.Lock()
+
     @contextmanager
     def _scan_splits(self, events: DataFrame):
         """Scope parquet split sizing to the staging job.
@@ -561,22 +569,28 @@ class CDCEngine:
         par = max(sc.defaultParallelism, 1)
         target = min(max(total // (3 * par), 4 << 20), 128 << 20)
         open_cost = min(max(target // 4, 64 << 10), 4 << 20)
-        conf = self.spark.conf
-        wanted = {
-            "spark.sql.files.maxPartitionBytes": str(target),
-            "spark.sql.files.openCostInBytes": str(open_cost),
-        }
-        old = {k: conf.get(k, None) for k in wanted}
-        for k, v in wanted.items():
-            conf.set(k, v)
+        if not self._SCAN_SPLITS_LOCK.acquire(blocking=False):
+            yield  # a concurrent stager is tuning; run with defaults
+            return
         try:
-            yield
+            conf = self.spark.conf
+            wanted = {
+                "spark.sql.files.maxPartitionBytes": str(target),
+                "spark.sql.files.openCostInBytes": str(open_cost),
+            }
+            old = {k: conf.get(k, None) for k in wanted}
+            for k, v in wanted.items():
+                conf.set(k, v)
+            try:
+                yield
+            finally:
+                for k, v in old.items():
+                    if v is None:
+                        conf.unset(k)
+                    else:
+                        conf.set(k, v)
         finally:
-            for k, v in old.items():
-                if v is None:
-                    conf.unset(k)
-                else:
-                    conf.set(k, v)
+            self._SCAN_SPLITS_LOCK.release()
 
     def _stage(
         self,

@@ -120,7 +120,7 @@ def fan_out_atomic(
     io = routes[0].engine.io
     txn_id = txn_id or uuid.uuid4().hex[:16]
     wap_id = f"txn-{txn_id}"
-    parsed, matches, report = _parse_and_gate(
+    parsed, matches, report, parse_scratch = _parse_and_gate(
         raw, routes, value_col, commit_expr, seq_expr, unrouted, track_feed=True
     )
 
@@ -167,6 +167,9 @@ def fan_out_atomic(
                 handles.append(
                     (r, r.engine.stage_batch(_route_slice(parsed, r, m), wap_id))
                 )
+        # every route is staged (own copies under its table); the
+        # materialized decode is no longer read by audit/decide/publish
+        io.rmtree(parse_scratch)
         for r, h in handles:
             if r.audit_fn is None or h.wap_id is None:
                 continue
@@ -189,6 +192,7 @@ def fan_out_atomic(
                     )
     except BaseException:
         _abandon_all()
+        io.rmtree(parse_scratch)
         raise
     if rejected is not None:
         for r, h in handles:
@@ -414,7 +418,10 @@ def recover_fanout(
         staging = os.path.join(eng.table.root, "_staging")
         for name in eng.io.listdir(staging):
             d = os.path.join(staging, name)
-            if not name.startswith("txn-") or not eng.io.isdir(d):
+            # txn-* = fan-out validate scratch; fanout-parse-* = the
+            # materialized mixed-batch decode (normally removed by the
+            # fan-out itself; survives only a hard pre-cleanup crash)
+            if not name.startswith(("txn-", "fanout-parse-")) or not eng.io.isdir(d):
                 continue
             if min_age_seconds and now - eng.io.mtime(d) < min_age_seconds:
                 continue
