@@ -1600,9 +1600,49 @@ class CDCEngine:
     def _write_lineage(self, rows: list) -> None:
         if not rows:
             return
+        if self._write_lineage_driver_side(rows):
+            return
         self.spark.createDataFrame(rows, self.LINEAGE_DDL).coalesce(1).write.mode(
             "append"
         ).parquet(self.lineage_dir)
+
+    def _write_lineage_driver_side(self, rows: list) -> bool:
+        """Append the lineage rows as one parquet file written directly
+        from the driver (pyarrow), skipping the ~1s createDataFrame +
+        single-task write Spark job — a fixed serial term paid once per
+        replay/apply for a handful of metadata-scale rows. Local
+        FileIO only (pyarrow cannot target the Hadoop gateway);
+        schema matches LINEAGE_DDL's parquet layout exactly, so
+        Spark-written and driver-written files coexist in one read.
+        Write-to-temp + atomic rename keeps concurrent lineage()
+        readers from seeing a partial file."""
+        from filters_spark.lake.fileio import LocalFileIO
+
+        if not isinstance(self.io, LocalFileIO):
+            return False
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+        except ImportError:
+            return False
+        schema = pa.schema([
+            ("snapshot_id", pa.int64()),
+            ("bucket", pa.int32()),
+            ("watermark", pa.string()),
+            ("rows_applied", pa.int64()),
+            ("batch_dead_lettered", pa.int64()),
+            ("ts_ms", pa.int64()),
+        ])
+        cols = list(zip(*rows))
+        tbl = pa.table(
+            {f.name: list(c) for f, c in zip(schema, cols)}, schema=schema
+        )
+        os.makedirs(self.lineage_dir, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}-driver.parquet"
+        tmp = os.path.join(self.lineage_dir, f".{name}.tmp")
+        pq.write_table(tbl, tmp, compression="snappy")
+        os.replace(tmp, os.path.join(self.lineage_dir, name))
+        return True
 
     def _adopt_dead_letters(self, dead_src: str, adopt_name: str, n_dead: int) -> None:
         if n_dead and self.io.isdir(dead_src):

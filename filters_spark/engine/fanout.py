@@ -410,13 +410,21 @@ def _parse_and_gate(
     from filters_spark.sources.debezium import parse_debezium
 
     union_fields = sorted({f for r in routes for f in r.fields})
+    # deferred op filter: the scratch write's plan then evaluates
+    # from_json exactly once per envelope (a filter above the parse is
+    # pushed below it by alias substitution and re-lexes every row a
+    # second time); the read-back in _gate applies the equivalent
+    # ``op IS NOT NULL`` on the materialized column, pushed into the
+    # columnar scan. The value-notnull prefilter (Kafka compaction
+    # tombstones) IS pushable for free — it lands in the source scan.
     plan = parse_debezium(
-        raw,
+        raw.filter(F.col(value_col).isNotNull()),
         union_fields,
         value_col=value_col,
         commit_expr=commit_expr,
         seq_expr=seq_expr,
         include_source=True,
+        _defer_op_filter=True,
     )
     # The decode is materialized ONCE so each route's slice is a column
     # filter, never a re-parse. Barrier = a parquet scratch write +
@@ -444,8 +452,15 @@ def _parse_and_gate(
 
 def _gate(raw, routes, scratch, plan, unrouted, track_feed):
     # explicit schema: an all-dropped batch writes no part files and a
-    # schema-less read of the empty dir would fail
-    parsed = raw.sparkSession.read.schema(plan.schema).parquet(scratch)
+    # schema-less read of the empty dir would fail. The op filter the
+    # parse deferred (see _parse_and_gate) is applied here, pushed into
+    # the columnar scan — every consumer below (feed aggregate,
+    # unrouted gate, route slices) sees exactly the rows the eager
+    # filter produced.
+    parsed = (
+        raw.sparkSession.read.schema(plan.schema).parquet(scratch)
+        .filter(F.col("op").isNotNull())
+    )
     matches = _route_matches(routes)
 
     report: dict = {"tables": {}, "unrouted": {}, "feed_to": None, "feed_from": None}

@@ -99,6 +99,7 @@ def parse_debezium(
     commit_expr=None,
     seq_expr=None,
     include_source: bool = False,
+    _defer_op_filter: bool = False,
 ) -> DataFrame:
     """Decode a frame of Debezium JSON envelopes into engine events.
 
@@ -126,8 +127,27 @@ def parse_debezium(
 
     ``include_source=True`` appends lineage columns ``(_src_db,
     _src_table, _src_ts_ms)`` for multi-table fan-in routing.
+
+    ``_defer_op_filter`` (internal): return the frame WITHOUT the
+    row-op filter. Callers that materialize the parse (engine/fanout.py
+    scratch barrier) filter ``op IS NOT NULL`` on the read-back instead
+    — the filter commutes with materialization (dropped rows' cells
+    are never read), and keeping it out of the write job's plan keeps
+    that plan to a single ``from_json`` evaluation: a filter above
+    these projections is pushed below them by alias substitution and
+    re-lexes every envelope a second time just to test ``op``.
     """
-    env = F.from_json(F.col(value_col), ENVELOPE_DDL)
+    # The envelope parse is projected ONCE as a named column. Inlined
+    # (the previous spelling), it is referenced from the payload-wrapper
+    # CASE's predicate, both branches and the pushed-down op filters;
+    # OptimizeJsonExprs then splits per-branch schema-pruned copies and
+    # codegen subexpression elimination reaches across neither CASE
+    # branches nor operators, so every envelope was Jackson-lexed 3-4x.
+    # The alias is non-cheap and multiply-referenced, so CollapseProject
+    # keeps the projection apart and the parse runs once (plus, for
+    # non-deferred callers, the pushed op filter's pruned copy).
+    parsed = df.select(F.from_json(F.col(value_col), ENVELOPE_DDL).alias("_env"))
+    env = F.col("_env")
     # schemas-enabled vs schemas-disabled: prefer the payload wrapper,
     # fall back to the bare top-level fields
     p = F.when(env["payload"].isNotNull(), env["payload"]).otherwise(
@@ -139,8 +159,6 @@ def parse_debezium(
             env["ts_ms"].alias("ts_ms"),
         )
     )
-    out = df.select(p.alias("_p")).filter(F.col("_p")["op"].isNotNull())
-    p = F.col("_p")
     op = p["op"]
     engine_op = None
     for dbz, eng in _OP_MAP.items():
@@ -169,8 +187,14 @@ def parse_debezium(
             src["table"].alias("_src_table"),
             src["ts_ms"].alias("_src_ts_ms"),
         ]
-    # non-row ops (t/m) have a NULL engine op and no image
-    return out.filter(engine_op.isNotNull()).select(*cols)
+    out = parsed.select(*cols)
+    if _defer_op_filter:
+        return out
+    # one filter on the OUTPUT op column: a NULL engine op covers both
+    # drop classes — no ``op`` anywhere in the envelope (not a Debezium
+    # row event) and non-row ops (t/m), exactly the rows the previous
+    # two-filter spelling removed
+    return out.filter(F.col("op").isNotNull())
 
 
 def to_debezium(
