@@ -525,3 +525,25 @@ def test_cow_range_delete_keeps_untouched_dv_bucket_by_reference(spark, tmp_path
     rep = delete_where(t, where=("commit", "000000000010", None))
     assert rep["snapshot"] is None  # nothing provably touched
     assert set(_state(t)) == {("r1", "a.py"), ("r1", "b.py"), ("r3", "e.rs")}
+
+
+def test_dv_paths_survive_hostile_root_containing_data_segment(spark, tmp_path):
+    """A table ROOT whose path itself contains '/data/' must not
+    confuse the data-file identity derivation (_rel_to_data and its
+    substring_index(file_path, '/data/', -1) SQL twins split on the
+    LAST occurrence): DV reads, metadata counts and the changefeed all
+    key files by that suffix."""
+    root = tmp_path / "data" / "warehouse"
+    t = _mk_table(spark, root, BASE, stats_cols=["commit"])
+    assert "/data/" in str(root).replace("\\", "/")
+    pre_sid = t.current()["snapshot_id"]
+    rep = delete_where(t, predicate="lang = 'go'", mode="dv")
+    assert rep["rows_changed"] == 2
+    # read-side: deleted rows are gone, survivors intact
+    assert set(_state(t)) == {("r1", "a.py"), ("r1", "b.py"), ("r3", "e.rs")}
+    assert t.metadata_row_count() == 3 == t.read().count()
+    # changefeed across the DV commit: tombstones reconstructed from the
+    # same /data/-relative identity
+    ch = t.changes(pre_sid, t.current()["snapshot_id"])
+    rows = {(r["repo"], r["path"]): r["op"] for r in ch.collect()}
+    assert rows == {("r2", "c.go"): "D", ("r2", "d.go"): "D"}
